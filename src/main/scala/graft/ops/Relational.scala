@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch relational operators re-expressing the reference's query shapes
+  * over the driver test tables (TESTDATA.md). Each builder returns a
+  * DataFrame; SparkEntry wires them into `queries` with a DuckDB oracle.
+  *
+  * Scale notes (100 TB design intent):
+  *  - Dimension sides of joins (region/nation/customer at dim scale) are
+  *    explicitly `broadcast()` so the fact scan never shuffles for the
+  *    lookup — the same asymmetry the reference encodes by using
+  *    stream-static joins for dim lookups (silver_layer_production.py:15-17).
+  *  - Aggregates are declarative groupBy/agg → Catalyst plans partial
+  *    (map-side) + final HashAggregate, so the shuffle carries the
+  *    already-combined partials, not raw rows.
+  *  - All predicates/projections are Column expressions → pushed into the
+  *    parquet scan (PushedFilters / ReadSchema), never evaluated post-scan.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: single-pass scan + partial/final hash aggregate.
+    * Exercises the groupBy+avg pattern of Geo_silver_layer_common.py:18-24
+    * at fact-table scale. All money aggregates use Exact fixed-point sums
+    * so the result is bit-identical regardless of partitioning. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.sumFixed(col("l_quantity"), 2).as("sum_qty"),
+        Exact.sumFixed(col("l_extendedprice"), 2).as("sum_base_price"),
+        // 2dp price × 2dp rate = exact 4-decimal product
+        Exact.sumFixed(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        Exact.avgFixed(col("l_quantity"), 2).as("avg_qty"),
+        Exact.avgFixed(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Exact.sumFixedSql("l_quantity", 2)} AS sum_qty,
+       |  ${Exact.sumFixedSql("l_extendedprice", 2)} AS sum_base_price,
+       |  ${Exact.sumFixedSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+       |  ${Exact.avgFixedSql("l_quantity", 2)} AS avg_qty,
+       |  ${Exact.avgFixedSql("l_discount", 2)} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** The reference's `fact_weather` shape (Geo_silver_layer_common.py:8-41):
+    * batch scan ⨝ dimension → IN-list filter → groupBy on a computed key
+    * (upper(variable)) + avg → pivot with an EXPLICIT value list + avg →
+    * snake_case rename. Explicit pivot values skip the distinct-discovery
+    * job (same manual optimization the reference encodes at :27-32); the
+    * pivot desugars to avg(CASE WHEN variable=v ...) before analysis.
+    * The dimension is broadcast: at 100 TB the events fact never shuffles. */
+  def qWeatherPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val cust = Tables.load(spark, dir, "customer")
+    val kinds = Seq("VIEW", "CLICK", "PURCHASE", "SIGNUP")
+    val daily = ev
+      .filter(col("event_type").isin("view", "click", "purchase", "signup"))
+      .join(broadcast(cust), ev("user_id") === cust("c_custkey"), "inner")
+      .groupBy(
+        col("c_mktsegment").as("segment"),
+        to_date(col("ts")).as("obs_date"),
+        upper(col("event_type")).as("variable"))
+      .agg(Exact.avgFixed(col("value"), 2).as("avg_value"))
+    daily.groupBy("segment", "obs_date")
+      .pivot("variable", kinds)
+      .agg(avg(col("avg_value")))
+      .select(
+        col("segment"), col("obs_date"),
+        col("VIEW").as("view_avg"),
+        col("CLICK").as("click_avg"),
+        col("PURCHASE").as("purchase_avg"),
+        col("SIGNUP").as("signup_avg"))
+  }
+
+  val qWeatherPivotOracle: String =
+    s"""WITH daily AS (
+       |  SELECT c_mktsegment AS segment, CAST(ts AS DATE) AS obs_date,
+       |         upper(event_type) AS variable,
+       |         ${Exact.avgFixedSql("value", 2)} AS avg_value
+       |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |  WHERE event_type IN ('view','click','purchase','signup')
+       |  GROUP BY 1, 2, 3)
+       |SELECT segment, obs_date,
+       |  avg(CASE WHEN variable = 'VIEW' THEN avg_value END) AS view_avg,
+       |  avg(CASE WHEN variable = 'CLICK' THEN avg_value END) AS click_avg,
+       |  avg(CASE WHEN variable = 'PURCHASE' THEN avg_value END) AS purchase_avg,
+       |  avg(CASE WHEN variable = 'SIGNUP' THEN avg_value END) AS signup_avg
+       |FROM daily GROUP BY segment, obs_date""".stripMargin
+}
