@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.Relational
+import graft.ops.{Dims, Extended, Ingest, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` maps operator names (SURVEY.md §2 inventory) to builders;
@@ -19,6 +19,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (Relational.q1Agg _),
     "q2_weather_pivot" -> (Relational.qWeatherPivot _),
+    "q3_dim_supplier" -> (Dims.q3DimSupplier _),
+    "q4_dim_customer" -> (Dims.q4DimCustomer _),
+    "q5_fact_orders" -> (Dims.q5FactOrders _),
+    "q6_fixed_width" -> (Ingest.q6FixedWidth _),
+    "q7_unit_convert" -> (Ingest.q7UnitConvert _),
+    "q8_window_topk" -> (Extended.q8WindowTopK _),
+    "q9_setops" -> (Extended.q9SetOps _),
+    "q10_semi_anti" -> (Extended.q10SemiAnti _),
+    "q11_rollup" -> (Extended.q11Rollup _),
+    "q12_interval_join" -> (Extended.q12IntervalJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,5 +36,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Relational.q1Oracle,
     "q2_weather_pivot" -> Relational.qWeatherPivotOracle,
+    "q3_dim_supplier" -> Dims.q3Oracle,
+    "q4_dim_customer" -> Dims.q4Oracle,
+    "q5_fact_orders" -> Dims.q5Oracle,
+    "q6_fixed_width" -> Ingest.q6Oracle,
+    "q7_unit_convert" -> Ingest.q7Oracle,
+    "q8_window_topk" -> Extended.q8Oracle,
+    "q9_setops" -> Extended.q9Oracle,
+    "q10_semi_anti" -> Extended.q10Oracle,
+    "q11_rollup" -> Extended.q11Oracle,
+    "q12_interval_join" -> Extended.q12Oracle,
   )
 }

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operators beyond the reference's own surface (SURVEY.md
+  * §2.11 lists them as absent there): window/top-k, set operations,
+  * semi/anti joins, rollup, and a batch interval join. Any real query
+  * workload over this engine needs them, and each has a clean
+  * distributed plan.
+  */
+object Extended {
+
+  /** Top-3 customers by balance per nation via row_number. The ordering
+    * key includes c_custkey as a total tiebreak so the result is
+    * deterministic (hash-comparable) despite balance ties. Window
+    * shuffles once on the partition key — no global sort. */
+  def q8WindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    cust
+      .withColumn("balance_rank", row_number().over(w))
+      .filter(col("balance_rank") <= 3)
+      .select(
+        col("c_nationkey").as("nation_id"),
+        col("balance_rank"),
+        col("c_custkey").as("customer_id"),
+        col("c_acctbal").as("account_balance"))
+  }
+
+  val q8Oracle: String =
+    """SELECT nation_id, balance_rank, customer_id, account_balance FROM (
+      |  SELECT c_nationkey AS nation_id,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS balance_rank,
+      |    c_custkey AS customer_id,
+      |    c_acctbal AS account_balance
+      |  FROM customer) t
+      |WHERE balance_rank <= 3""".stripMargin
+
+  /** Set operations: BUILDING-segment customers INTERSECT actual buyers,
+    * and EXCEPT (never ordered), tagged and unioned. Spark plans both as
+    * shuffle-based distinct joins; keys-only projection keeps the
+    * exchange narrow. */
+  def q9SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("customer_id"))
+    val buyers = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("customer_id"))
+    building.intersect(buyers).withColumn("tag", lit("buyer"))
+      .unionAll(building.except(buyers).withColumn("tag", lit("prospect")))
+  }
+
+  val q9Oracle: String =
+    """SELECT customer_id, 'buyer' AS tag FROM (
+      |  SELECT c_custkey AS customer_id FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT customer_id, 'prospect' AS tag FROM (
+      |  SELECT c_custkey AS customer_id FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders)""".stripMargin
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS): customers with vs without
+    * open orders. left_semi/left_anti never widen rows — the probe side
+    * streams through a broadcast/shuffled hash of DISTINCT keys only. */
+  def q10SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val open = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val withOrders = cust.join(open, cust("c_custkey") === open("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("customer_id"), col("c_name").as("customer_name"))
+      .withColumn("has_open_order", lit(true))
+    val without = cust.join(open, cust("c_custkey") === open("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("customer_id"), col("c_name").as("customer_name"))
+      .withColumn("has_open_order", lit(false))
+    withOrders.unionAll(without)
+  }
+
+  val q10Oracle: String =
+    """SELECT c_custkey AS customer_id, c_name AS customer_name, TRUE AS has_open_order
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT c_custkey AS customer_id, c_name AS customer_name, FALSE AS has_open_order
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""".stripMargin
+
+  /** ROLLUP over (status, priority) with exact money sums — subtotal and
+    * grand-total rows carry NULL group keys identically in both engines. */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    ord.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        Exact.sumFixed(col("o_totalprice"), 2).as("total_price"),
+        count(lit(1)).as("order_count"))
+      .select(
+        col("o_orderstatus").as("order_status"),
+        col("o_orderpriority").as("order_priority"),
+        col("total_price"), col("order_count"))
+  }
+
+  val q11Oracle: String =
+    s"""SELECT o_orderstatus AS order_status, o_orderpriority AS order_priority,
+       |  ${Exact.sumFixedSql("o_totalprice", 2)} AS total_price,
+       |  count(*) AS order_count
+       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Batch interval join — the fact_sales band-join shape
+    * (sales_aw_silver_layer_fact_sales.py:35-47) in batch form: equi key
+    * + time band [o_orderdate, o_orderdate + 90 days], aggregated per
+    * status. The equi conjunct keeps it a hash join (band is a residual
+    * filter, not a nested-loop condition). */
+  def q12IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").as("l")
+    val ord = Tables.load(spark, dir, "orders").as("o")
+    li.join(ord,
+        expr("""l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= o.o_orderdate
+                AND l.l_shipdate <= o.o_orderdate + interval 90 days"""),
+        "inner")
+      .groupBy(col("o.o_orderstatus").as("order_status"))
+      .agg(
+        count(lit(1)).as("shipped_lines"),
+        Exact.sumFixed(col("l.l_extendedprice"), 2).as("shipped_value"))
+  }
+
+  val q12Oracle: String =
+    s"""SELECT o.o_orderstatus AS order_status,
+       |  count(*) AS shipped_lines,
+       |  ${Exact.sumFixedSql("l.l_extendedprice", 2)} AS shipped_value
+       |FROM lineitem l JOIN orders o
+       |  ON l.l_orderkey = o.o_orderkey
+       | AND l.l_shipdate >= o.o_orderdate
+       | AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+       |GROUP BY o.o_orderstatus""".stripMargin
+}
