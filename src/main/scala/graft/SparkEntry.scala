@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Dims, Extended, Ingest, Relational}
+import graft.ops.{DedupOps, Dims, Extended, Ingest, MultimodalOps, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` maps operator names (SURVEY.md §2 inventory) to builders;
@@ -29,6 +29,17 @@ object SparkEntry {
     "q10_semi_anti" -> (Extended.q10SemiAnti _),
     "q11_rollup" -> (Extended.q11Rollup _),
     "q12_interval_join" -> (Extended.q12IntervalJoin _),
+    "q13_token_stats" -> (TextOps.q13TokenStats _),
+    "q14_quality" -> (TextOps.q14Quality _),
+    "q15_lang_id" -> (TextOps.q15LangId _),
+    "q16_fingerprint" -> (TextOps.q16Fingerprint _),
+    "q17_dedup_exact" -> (DedupOps.q17DedupExact _),
+    "q18_ngram_jaccard" -> (DedupOps.q18NgramJaccard _),
+    "q19_minhash_lsh" -> (DedupOps.q19MinhashLsh _),
+    "q20_simhash" -> (DedupOps.q20Simhash _),
+    "q21_knn_cosine" -> (SimilarityOps.q21KnnCosine _),
+    "q22_ann_lsh" -> (SimilarityOps.q22AnnLshBuckets _),
+    "q23_multimodal_decode" -> (MultimodalOps.q23MultimodalDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +57,16 @@ object SparkEntry {
     "q10_semi_anti" -> Extended.q10Oracle,
     "q11_rollup" -> Extended.q11Oracle,
     "q12_interval_join" -> Extended.q12Oracle,
+    "q13_token_stats" -> TextOps.q13Oracle,
+    "q14_quality" -> TextOps.q14Oracle,
+    "q15_lang_id" -> TextOps.q15Oracle,
+    "q16_fingerprint" -> TextOps.q16Oracle,
+    "q17_dedup_exact" -> DedupOps.q17Oracle,
+    "q18_ngram_jaccard" -> DedupOps.jaccardOracle,
+    "q19_minhash_lsh" -> DedupOps.jaccardOracle,
+    "q21_knn_cosine" -> SimilarityOps.q21Oracle,
+    "q23_multimodal_decode" -> MultimodalOps.q23Oracle,
+    // q20_simhash, q22_ann_lsh: xxhash64/seeded-hyperplane outputs are not
+    // SQL-expressible in DuckDB -> rows-only check; semantics in ScalaTest.
   )
 }

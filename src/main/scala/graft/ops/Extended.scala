@@ -22,7 +22,7 @@ object Extended {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
     cust
-      .withColumn("balance_rank", row_number().over(w))
+      .withColumn("balance_rank", row_number().over(w).cast("long"))
       .filter(col("balance_rank") <= 3)
       .select(
         col("c_nationkey").as("nation_id"),

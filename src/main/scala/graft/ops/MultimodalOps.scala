@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, decoded partition-wise.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked deterministic fake — but everything Spark-side is
+  * real: a binary column, a metadata struct, a typed Dataset, and a
+  * `mapPartitions` decode (the Scala analog of `mapInPandas`: one
+  * iterator per partition, so a real codec would amortize model/codec
+  * init across the batch, and partitions parallelize across executors).
+  */
+object MultimodalOps {
+
+  /** Decoded frame metadata produced per payload. */
+  final case class FrameMeta(
+      doc_id: Long, byte_length: Long, frame_width: Long,
+      frame_height: Long, channels: Long, byte_checksum: Long, source: String)
+
+  /** STUB DECODER — stands in for a real image decode. Reads the actual
+    * payload bytes; the "dimensions" are deterministic functions of the
+    * payload so the whole pipeline stays oracle-checkable. A real
+    * deployment swaps only this function's body for a codec call. */
+  def fakeDecode(docId: Long, payload: Array[Byte], source: String): FrameMeta = {
+    val len = payload.length.toLong
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += (payload(i) & 0xff); i += 1 }
+    FrameMeta(docId, len, len % 625 + 16, (len / 3) % 480 + 16, 3L, sum, source)
+  }
+
+  /** documents.text reinterpreted as a binary media payload (UTF-8
+    * bytes), decoded via mapPartitions into typed frame metadata. */
+  def q23MultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("source"))
+      .as[(Long, Array[Byte], String)]
+    payloads
+      .mapPartitions(_.map { case (id, bytes, src) => fakeDecode(id, bytes, src) })
+      .toDF()
+  }
+
+  /** The payloads are ASCII text, so byte length == char length and the
+    * byte checksum == sum of codepoints — both SQL-expressible. */
+  val q23Oracle: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS byte_length,
+      |  CAST(length(text) % 625 + 16 AS BIGINT) AS frame_width,
+      |  CAST((length(text) // 3) % 480 + 16 AS BIGINT) AS frame_height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS byte_checksum,
+      |  source
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the embeddings table (embedding:
+  * array<float>, 64-dim).
+  *
+  * Two plans: brute-force cosine top-k (baseline — a broadcast of the
+  * query set against a full scan, exact), and a sign-LSH bucketed
+  * variant (the scale path: hyperplane signatures give a blocking key
+  * so candidate generation is a bucket join, not a cross join).
+  * All vector math uses sequential left-fold `aggregate()` over doubles
+  * so the oracle (DuckDB `list_reduce`) reproduces the exact bits.
+  */
+object SimilarityOps {
+
+  /** Sequential left-fold sum — deterministic, matches list_reduce. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  private def toDouble(arr: Column): Column = transform(arr, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column = foldSum(zip_with(a, b, (x, y) => x * y))
+
+  def l2Norm(a: Column): Column = sqrt(foldSum(transform(a, x => x * x)))
+
+  /** Brute-force cosine top-10: query vectors (vec_id < 5) broadcast
+    * against all others; rank by cosine desc with vec_id tiebreak. The
+    * data never shuffles for scoring — only the tiny top-k window does. */
+  def q21KnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val queries = emb
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = emb
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  val q21Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a,b) -> a + b)) AS nrm
+      |  FROM e
+      |), q AS (
+      |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT q.query_id, n.vec_id AS neighbor_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, n.v),
+      |        p -> p[1] * p[2])), (a,b) -> a + b) / (q.qnrm * n.nrm) AS cosine
+      |  FROM q, n WHERE n.vec_id <> q.query_id)
+      |SELECT query_id, rank, neighbor_id, cosine FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 10""".stripMargin
+
+  /** Fixed-seed random hyperplanes for sign-LSH (deterministic across
+    * runs and executors — generated once on the driver). */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-LSH bucketing: 16 hyperplane sign bits → bucket id. Vectors
+    * with high cosine land in the same bucket with high probability;
+    * ANN then probes only the query's bucket. Output is (vec_id,
+    * bucket, bucket_size) — rows-only check (driver), semantics
+    * asserted in SimilaritySpec against brute force. */
+  def q22AnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes(bits = 16, dim = 64)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val bucket = (0 until planes.length).map { i =>
+      val plane = array(planes(i).map(lit): _*)
+      when(dot(col("v"), plane) >= 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val withBucket = emb.select(col("vec_id"), bucket.as("bucket"))
+    val sizes = withBucket.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
+    withBucket.join(sizes, "bucket")
+      .select(col("vec_id"), col("bucket"), col("bucket_size"))
+  }
+}

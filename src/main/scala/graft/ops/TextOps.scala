@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{RollingMinHash, TextFunctions => TF}
+
+/** Text-analysis operators for LLM training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All narrow
+  * (per-row) projections — they scale linearly with input splits, no
+  * shuffle at all, which is exactly what a 100 TB corpus pass needs.
+  */
+object TextOps {
+
+  /** Token counting: whitespace tokens + BPE-ish subword tokens
+    * (letter runs / digit runs / single symbols) + char stats. */
+  def q13TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val ws = size(split(trim(col("text")), "\\s+"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("char_count"),
+      ws.cast("long").as("ws_token_count"),
+      TF.bpeTokenCount(col("text")).cast("long").as("bpe_token_count"),
+      (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / ws)
+        .as("avg_token_len"))
+  }
+
+  val q13Oracle: String =
+    """SELECT doc_id,
+      |  length(text) AS char_count,
+      |  len(string_split_regex(trim(text), '\s+')) AS ws_token_count,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_token_count,
+      |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |    / len(string_split_regex(trim(text), '\s+')) AS avg_token_len
+      |FROM documents""".stripMargin
+
+  /** Quality scoring: alphabetic ratio, punctuation density, stopword
+    * ratio, composite score + categorical grade — the
+    * length/punct/stopword heuristics of C4/Gopher-style filters. */
+  def q14Quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val ws = size(split(trim(col("text")), "\\s+"))
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val punct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+    val stops = TF.stopwordHits(lower(col("text")), "\\b(the|and|of|to|in|a|is)\\b")
+    val alphaRatio = alpha.cast("double") / length(col("text"))
+    val stopRatio = stops.cast("double") / ws
+    docs.select(
+      col("doc_id"),
+      ws.cast("long").as("n_tokens"),
+      alphaRatio.as("alpha_ratio"),
+      (punct.cast("double") / length(col("text"))).as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      (alphaRatio * 0.5 + least(stopRatio * 5.0, lit(1.0)) * 0.3
+        + least(ws.cast("double") / 100.0, lit(1.0)) * 0.2).as("quality_score"),
+      when(ws >= 20 && alphaRatio > 0.6, "good")
+        .when(ws >= 5, "fair")
+        .otherwise("junk").as("quality_grade"))
+  }
+
+  val q14Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    len(string_split_regex(trim(text), '\s+')) AS ws,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b')) AS DOUBLE)
+      |      / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ws AS n_tokens,
+      |  alpha_ratio,
+      |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+      |  stop_ratio AS stopword_ratio,
+      |  alpha_ratio * 0.5 + least(stop_ratio * 5.0, 1.0) * 0.3
+      |    + least(CAST(ws AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality_score,
+      |  CASE WHEN ws >= 20 AND alpha_ratio > 0.6 THEN 'good'
+      |       WHEN ws >= 5 THEN 'fair' ELSE 'junk' END AS quality_grade
+      |FROM t""".stripMargin
+
+  /** Language ID via stopword/n-gram hits with a fixed-priority argmax
+    * (deterministic on ties) + CJK codepoint detection. */
+  def q15LangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val low = lower(col("text"))
+    val en = TF.stopwordHits(low, "\\b(the|and|of|to|in)\\b")
+    val de = TF.stopwordHits(low, "\\b(der|die|und|das|ist)\\b")
+    val es = TF.stopwordHits(low, "\\b(el|la|los|que|para)\\b")
+    val fr = TF.stopwordHits(low, "\\b(le|les|des|une|est)\\b")
+    val zh = TF.stopwordHits(col("text"), "[一-鿿]")
+    docs.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.cast("long").as("en_hits"), de.cast("long").as("de_hits"), es.cast("long").as("es_hits"),
+      fr.cast("long").as("fr_hits"), zh.cast("long").as("zh_hits"),
+      when(zh > 0, "zh")
+        .when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr").as("predicted_lang"))
+  }
+
+  val q15Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS en_hits,
+      |    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS de_hits,
+      |    len(regexp_extract_all(lower(text), '\b(el|la|los|que|para)\b')) AS es_hits,
+      |    len(regexp_extract_all(lower(text), '\b(le|les|des|une|est)\b')) AS fr_hits,
+      |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_hits
+      |  FROM documents)
+      |SELECT doc_id, lang AS labeled_lang,
+      |  en_hits, de_hits, es_hits, fr_hits, zh_hits,
+      |  CASE WHEN zh_hits > 0 THEN 'zh'
+      |       WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+      |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+      |       WHEN es_hits >= fr_hits THEN 'es'
+      |       ELSE 'fr' END AS predicted_lang
+      |FROM t""".stripMargin
+
+  /** Document fingerprinting: md5 content hash of the whitespace-
+    * canonical form (exact-dedup key) + the O(n) Rabin–Karp min-window
+    * fingerprint (near-dup signal) from the custom codegen expression
+    * graft.functions.RollingMinHash. */
+  def q16Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val norm = TF.normText(col("text"))
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("content_md5"),
+      substring(md5(norm), 1, 8).as("md5_prefix"),
+      RollingMinHash(norm, 8).as("rolling_fp"))
+  }
+
+  val q16Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |  FROM documents)
+      |SELECT doc_id,
+      |  md5(norm) AS content_md5,
+      |  substring(md5(norm), 1, 8) AS md5_prefix,
+      |  CASE WHEN length(norm) >= 8 THEN
+      |    list_min([list_reduce(list_transform(string_split(substring(norm, i, 8), ''),
+      |                c -> CAST(unicode(c) AS BIGINT)), (a,b) -> (a*31+b) % 1000000007)
+      |              for i in generate_series(1, length(norm)-7)])
+      |  ELSE list_reduce(list_transform(string_split(norm, ''),
+      |                c -> CAST(unicode(c) AS BIGINT)), (a,b) -> (a*31+b) % 1000000007)
+      |  END AS rolling_fp
+      |FROM t""".stripMargin
+}

@@ -44,6 +44,9 @@ for name in sorted(os.listdir(out_dir)):
         return df.sort_values(by=list(df.columns)).reset_index(drop=True)
     g, e = norm(got), norm(exp)
     status = []
+    for c in sorted(set(got.columns) & set(exp.columns)):
+        if got[c].dtype != exp[c].dtype:
+            print(f"[warn] {name}.{c}: dtype got={got[c].dtype} exp={exp[c].dtype}")
     if sorted(got.columns) != sorted(exp.columns):
         status.append(f"SCHEMA got={sorted(got.columns)} exp={sorted(exp.columns)}")
     elif len(g) != len(e):
