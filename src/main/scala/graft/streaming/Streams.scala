@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming combinators reproducing the reference's streaming operator
+  * surface (SURVEY.md §2.7): watermarks, stream-static dim lookups,
+  * stream-stream interval joins with left-outer null emission, and a
+  * CDF-modeled change stream.
+  *
+  * State-bounding is the whole game at scale (the reference's only
+  * tuning, BASELINE.md): every stream-stream join here requires both
+  * watermarks and a time band so Spark can derive state eviction
+  * (`StreamingJoinHelper.getStateValueWatermark`) — unbounded join state
+  * is the one thing that cannot survive a 100 TB stream.
+  */
+object Streams {
+
+  /** `withWatermark` wrapper (silver_layer_person.py:15 et al.). */
+  def watermarked(df: DataFrame, eventCol: String, delay: String = "5 minutes"): DataFrame =
+    df.withWatermark(eventCol, delay)
+
+  /** Stream-static LEFT equi-join chain — the dim-lookup asymmetry the
+    * reference encodes deliberately ("Lookups estáticos para evitar
+    * errores de Stream-Stream Join", silver_layer_production.py:15).
+    * The static side is broadcast per micro-batch; no join state at all. */
+  def streamStaticLeft(stream: DataFrame, dim: DataFrame, cond: Column): DataFrame =
+    stream.join(broadcast(dim), cond, "left")
+
+  /** Stream-stream LEFT interval join (sales_aw_silver_layer_dim_store
+    * .py:24-34): equi key + [lowerBound, upperBound] band on the two
+    * event-time columns. Both inputs MUST be watermarked; null-padded
+    * left rows emit once the watermark passes the band. */
+  def intervalJoinLeft(
+      left: DataFrame, right: DataFrame,
+      equiCond: Column,
+      leftTime: String, rightTime: String,
+      lower: String, upper: String): DataFrame = {
+    val band = expr(s"$rightTime >= $leftTime - interval $lower") &&
+      expr(s"$rightTime <= $leftTime + interval $upper")
+    left.join(right, equiCond && band, "left_outer")
+  }
+
+  /** Change-data-feed model for a Parquet-only engine (SURVEY.md §7.3):
+    * an append stream carrying (_change_type, _commit_version,
+    * _commit_timestamp) columns, as Delta CDF would emit. Applying it
+    * means dropping deletes and pre-images — inserts/update_postimages
+    * flow to consumers (the dim_customer CDF join reads exactly these,
+    * sales_aw_silver_layer_dim_customer.py:10-16). */
+  def applyChangeFeed(changes: DataFrame): DataFrame =
+    changes.filter(col("_change_type").isin("insert", "update_postimage"))
+
+  /** CDF-fed stream-stream inner equi-join (dim_customer shape). The
+    * reference omits watermarks here (unbounded state); we require them
+    * — semantics-preserving for on-time data, mandatory at scale. */
+  def cdfInnerJoin(
+      leftChanges: DataFrame, rightChanges: DataFrame,
+      cond: Column, leftTime: String, rightTime: String,
+      delay: String = "5 minutes"): DataFrame =
+    applyChangeFeed(leftChanges).withWatermark(leftTime, delay)
+      .join(applyChangeFeed(rightChanges).withWatermark(rightTime, delay), cond, "inner")
+}

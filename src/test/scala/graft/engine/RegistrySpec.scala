@@ -1,0 +1,49 @@
+package graft.engine
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RegistrySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("materializes in dependency order with memoized reads") {
+    import spark.implicits._
+    val reg = new Registry
+    var builds = 0
+    reg.register(TableDef("silver", "", Seq("bronze"), (_, read) => {
+      builds += 1; read("bronze").withColumn("x2", col("v") * 2)
+    }))
+    reg.register(TableDef("gold", "", Seq("silver"), (_, read) => {
+      builds += 1; read("silver").agg(sum("x2").as("total"))
+    }))
+    reg.register(TableDef("bronze", "", Seq("src"), (_, read) => { builds += 1; read("src") }))
+    val out = reg.materializeAll(spark, {
+      case "src" => Seq(1, 2, 3).toDF("v")
+      case other => fail(s"unexpected external read: $other")
+    })
+    assert(builds == 3)
+    assert(out("gold").head.getLong(0) == 12L)
+  }
+
+  test("topoOrder rejects cycles") {
+    val reg = new Registry
+    reg.register(TableDef("a", "", Seq("b"), (_, r) => r("b")))
+    reg.register(TableDef("b", "", Seq("a"), (_, r) => r("a")))
+    assertThrows[IllegalArgumentException](reg.topoOrder())
+  }
+
+  test("bronze fan-out registers one passthrough per source table (bronze_structure shape)") {
+    val reg = new Registry
+    Registry.bronzeFanOut(reg, Map(
+      "sales" -> Seq("customer", "store", "salesorderheader"),
+      "person" -> Seq("address", "person")))
+    assert(reg.tableNames.size == 5)
+    assert(reg.tableNames.contains("stg_sales.stg_customer"))
+    val out = reg.materializeAll(spark, name => {
+      import spark.implicits._
+      Seq(name).toDF("src_name")
+    })
+    assert(out("stg_person.stg_address").head.getString(0) == "src_person.address")
+  }
+}

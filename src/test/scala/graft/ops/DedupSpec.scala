@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("minhash+LSH finds exactly the pairs the exhaustive Jaccard join finds") {
+    val exhaustive = DedupOps.q18NgramJaccard(spark, TestSpark.sfDir)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.q19MinhashLsh(spark, TestSpark.sfDir)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(exhaustive.nonEmpty, "test data should contain planted near-dups")
+    assert(lsh == exhaustive)
+  }
+
+  test("exact dedup groups a planted duplicate") {
+    val docs = Seq(
+      (1L, "alpha beta gamma  delta"),
+      (2L, "alpha beta GAMMA delta"), // differs only in case/spacing
+      (3L, "something else entirely here")).toDF("doc_id", "text")
+    val clusters = docs
+      .select(col("doc_id"), md5(graft.functions.TextFunctions.normText(col("text"))).as("k"))
+      .groupBy("k").agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    assert(clusters.length == 2)
+    assert(clusters.find(_._3 == 2).map(_._2).contains(1L))
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val base = "spark shuffles partition data across executors during wide transformations " +
+      "and the optimizer prunes columns predicates and partitions before the scan"
+    val nearDup = base.replace("prunes", "removes")
+    val far = "completely different content about cooking recipes and garden furniture " +
+      "with nothing shared at all in vocabulary or structure or intent"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sim_docs")
+    // reuse the q20 pipeline over a temp dir-free path: inline the same logic
+    val tok = docs.select(col("doc_id"), explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("token"))
+    val h = xxhash64(col("token"))
+    val votes = (0 until 64).map(i => sum(when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$i"))
+    val bits = (0 until 64).map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+    val sh = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+    assert(hamming(sh(1L), sh(2L)) <= 8)
+  }
+}
