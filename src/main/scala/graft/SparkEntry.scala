@@ -40,6 +40,7 @@ object SparkEntry {
     "q21_knn_cosine" -> (SimilarityOps.q21KnnCosine _),
     "q22_ann_lsh" -> (SimilarityOps.q22AnnLshBuckets _),
     "q23_multimodal_decode" -> (MultimodalOps.q23MultimodalDecode _),
+    "q24_json_extract" -> (Ingest.q24JsonExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,6 +67,7 @@ object SparkEntry {
     "q19_minhash_lsh" -> DedupOps.jaccardOracle,
     "q21_knn_cosine" -> SimilarityOps.q21Oracle,
     "q23_multimodal_decode" -> MultimodalOps.q23Oracle,
+    "q24_json_extract" -> Ingest.q24Oracle,
     // q20_simhash, q22_ann_lsh: xxhash64/seeded-hyperplane outputs are not
     // SQL-expressible in DuckDB -> rows-only check; semantics in ScalaTest.
   )

@@ -81,6 +81,30 @@ object Ingest {
         when(col("user_id") % 2 === 0, "EVEN").otherwise("")).as("flags"))
   }
 
+  /** Semi-structured extraction: JSON path over the events.props payload
+    * (get_json_object → typed cast), aggregated with exact integer sums
+    * and an exact distinct count. */
+  def q24JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    ev.select(col("event_type"), col("user_id"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("k_sum"),
+        (sum(col("k")) / (count(col("k")) * 1.0)).as("k_avg"),
+        countDistinct(col("user_id")).as("distinct_users"))
+  }
+
+  val q24Oracle: String =
+    """SELECT event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    / (count(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1.0) AS k_avg,
+      |  count(DISTINCT user_id) AS distinct_users
+      |FROM events GROUP BY event_type""".stripMargin
+
   val q7Oracle: String =
     """SELECT event_id,
       |  CAST(ts AS DATE) AS event_date,

@@ -75,6 +75,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Map(1 -> Some("InBand"), 2 -> None, 3 -> None))
   }
 
+  test("3-way stream-stream LEFT interval join chain (fact_sales shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sod = MemoryStream[(Int, Int, Timestamp)] // (order_id, line_no, d_time)
+    val soh = MemoryStream[(Int, Int, Timestamp)] // (order_id, addr_id, h_time)
+    val addr = MemoryStream[(Int, String, Timestamp)] // (addr_id, city, a_time)
+    val d = Streams.watermarked(sod.toDF().toDF("order_id", "line_no", "d_time"), "d_time")
+    val h = Streams.watermarked(soh.toDF().toDF("h_order_id", "addr_fk", "h_time"), "h_time")
+    val a = Streams.watermarked(addr.toDF().toDF("addr_id", "city", "a_time"), "a_time")
+    // bands [-2 min, +5 min] as in sales_aw_silver_layer_fact_sales.py:35-47.
+    // Both bands anchor on the driving detail's event time (d_time): after a
+    // left-outer join, h_time is NULL on unmatched rows, and a null event
+    // time can never satisfy the second band nor be evicted — anchoring on
+    // the never-null driving time is the semantics-preserving chain.
+    val j1 = Streams.intervalJoinLeft(d, h, col("order_id") === col("h_order_id"),
+      "d_time", "h_time", "2 minutes", "5 minutes")
+    val j2 = Streams.intervalJoinLeft(j1, a, col("addr_fk") === col("addr_id"),
+      "d_time", "a_time", "2 minutes", "5 minutes")
+      .select(col("order_id"), col("line_no"), col("city"))
+    val q = j2.writeStream.format("memory").queryName("fact_out")
+      .outputMode("append").start()
+    sod.addData((1, 1, ts(10)), (2, 1, ts(10)))
+    soh.addData((1, 500, ts(12))) // in band for order 1; order 2 has no header
+    addr.addData((500, "Lisbon", ts(13)))
+    q.processAllAvailable()
+    sod.addData((9, 9, ts(40))); soh.addData((9, 9, ts(40))); addr.addData((9, "x", ts(40)))
+    q.processAllAvailable()
+    sod.addData((8, 8, ts(55))); soh.addData((8, 8, ts(55))); addr.addData((8, "y", ts(55)))
+    runToCompletion(q)
+    val rows = spark.table("fact_out").as[(Int, Int, Option[String])].collect()
+      .filter(_._1 <= 2).toSet
+    assert(rows == Set((1, 1, Some("Lisbon")), (2, 1, None)))
+  }
+
+  test("streaming passthrough materializes to a parquet sink with checkpoint (bronze @dp.table shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Int, String)]
+    val out = java.nio.file.Files.createTempDirectory("bronze_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bronze_ckpt").toString
+    val q = src.toDF().toDF("id", "payload").writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    src.addData((1, "a"), (2, "b"), (3, "c"))
+    runToCompletion(q)
+    val persisted = spark.read.parquet(out)
+    assert(persisted.count() == 3)
+    assert(persisted.columns.toSeq == Seq("id", "payload"))
+  }
+
   test("CDF-modeled stream: deletes and pre-images dropped, inner join over post-images (dim_customer shape)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
