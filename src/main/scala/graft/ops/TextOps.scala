@@ -16,14 +16,19 @@ object TextOps {
     * (letter runs / digit runs / single symbols) + char stats. */
   def q13TokenStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val ws = size(split(trim(col("text")), "\\s+"))
-    docs.select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("char_count"),
-      ws.cast("long").as("ws_token_count"),
-      TF.bpeTokenCount(col("text")).cast("long").as("bpe_token_count"),
-      (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / ws)
-        .as("avg_token_len"))
+    // tokenize once in its own projection (multi-use non-cheap alias is
+    // kept materialized by CollapseProject) instead of re-splitting per
+    // consuming expression
+    docs
+      .select(col("doc_id"), col("text"),
+        size(split(trim(col("text")), "\\s+")).as("ws"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("char_count"),
+        col("ws").cast("long").as("ws_token_count"),
+        TF.bpeTokenCount(col("text")).cast("long").as("bpe_token_count"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / col("ws"))
+          .as("avg_token_len"))
   }
 
   val q13Oracle: String =
@@ -40,22 +45,27 @@ object TextOps {
     * length/punct/stopword heuristics of C4/Gopher-style filters. */
   def q14Quality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val ws = size(split(trim(col("text")), "\\s+"))
-    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
-    val punct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
-    val stops = TF.stopwordHits(lower(col("text")), "\\b(the|and|of|to|in|a|is)\\b")
-    val alphaRatio = alpha.cast("double") / length(col("text"))
-    val stopRatio = stops.cast("double") / ws
-    docs.select(
+    // stage the expensive regex-derived counts once; downstream ratios
+    // and the composite score reference the materialized aliases
+    val staged = docs.select(
       col("doc_id"),
-      ws.cast("long").as("n_tokens"),
-      alphaRatio.as("alpha_ratio"),
-      (punct.cast("double") / length(col("text"))).as("punct_ratio"),
+      size(split(trim(col("text")), "\\s+")).as("ws"),
+      (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+        / length(col("text"))).as("alpha_ratio"),
+      (length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("double")
+        / length(col("text"))).as("punct_ratio"),
+      TF.stopwordHits(lower(col("text")), "\\b(the|and|of|to|in|a|is)\\b").as("stops"))
+    val stopRatio = col("stops").cast("double") / col("ws")
+    staged.select(
+      col("doc_id"),
+      col("ws").cast("long").as("n_tokens"),
+      col("alpha_ratio"),
+      col("punct_ratio"),
       stopRatio.as("stopword_ratio"),
-      (alphaRatio * 0.5 + least(stopRatio * 5.0, lit(1.0)) * 0.3
-        + least(ws.cast("double") / 100.0, lit(1.0)) * 0.2).as("quality_score"),
-      when(ws >= 20 && alphaRatio > 0.6, "good")
-        .when(ws >= 5, "fair")
+      (col("alpha_ratio") * 0.5 + least(stopRatio * 5.0, lit(1.0)) * 0.3
+        + least(col("ws").cast("double") / 100.0, lit(1.0)) * 0.2).as("quality_score"),
+      when(col("ws") >= 20 && col("alpha_ratio") > 0.6, "good")
+        .when(col("ws") >= 5, "fair")
         .otherwise("junk").as("quality_grade"))
   }
 
