@@ -33,6 +33,17 @@ class RegistrySpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](reg.topoOrder())
   }
 
+  test("reference bronze catalog registers all 68 staging tables, acyclic") {
+    val reg = new Registry
+    ReferenceCatalog.registerBronze(reg)
+    assert(reg.tableNames.size == 68)
+    assert(ReferenceCatalog.bronzeSchemas("sales").size == 19)
+    assert(ReferenceCatalog.bronzeSchemas("production").size == 25)
+    val external = for ((s, ts) <- ReferenceCatalog.bronzeSchemas.toSeq; t <- ts)
+      yield s"src_$s.$t"
+    assert(reg.topoOrder(external = external.toSet).size == 68)
+  }
+
   test("bronze fan-out registers one passthrough per source table (bronze_structure shape)") {
     val reg = new Registry
     Registry.bronzeFanOut(reg, Map(
