@@ -41,6 +41,7 @@ object SparkEntry {
     "q22_ann_lsh" -> (SimilarityOps.q22AnnLshBuckets _),
     "q23_multimodal_decode" -> (MultimodalOps.q23MultimodalDecode _),
     "q24_json_extract" -> (Ingest.q24JsonExtract _),
+    "q25_embed_neardup" -> (DedupOps.q25EmbedNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,6 +69,7 @@ object SparkEntry {
     "q21_knn_cosine" -> SimilarityOps.q21Oracle,
     "q23_multimodal_decode" -> MultimodalOps.q23Oracle,
     "q24_json_extract" -> Ingest.q24Oracle,
+    "q25_embed_neardup" -> DedupOps.q25Oracle,
     // q20_simhash, q22_ann_lsh: xxhash64/seeded-hyperplane outputs are not
     // SQL-expressible in DuckDB -> rows-only check; semantics in ScalaTest.
   )
