@@ -42,6 +42,7 @@ object SparkEntry {
     "q23_multimodal_decode" -> (MultimodalOps.q23MultimodalDecode _),
     "q24_json_extract" -> (Ingest.q24JsonExtract _),
     "q25_embed_neardup" -> (DedupOps.q25EmbedNearDup _),
+    "q26_frame_sample" -> (MultimodalOps.q26FrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -70,6 +71,7 @@ object SparkEntry {
     "q23_multimodal_decode" -> MultimodalOps.q23Oracle,
     "q24_json_extract" -> Ingest.q24Oracle,
     "q25_embed_neardup" -> DedupOps.q25Oracle,
+    "q26_frame_sample" -> MultimodalOps.q26Oracle,
     // q20_simhash, q22_ann_lsh: xxhash64/seeded-hyperplane outputs are not
     // SQL-expressible in DuckDB -> rows-only check; semantics in ScalaTest.
   )

@@ -73,6 +73,21 @@ final class Registry {
 
   private def collectExternal: Set[String] =
     defs.values.flatMap(_.deps).filterNot(defs.contains).toSet
+
+  /** The `@dp.table` materialization sink: builds every dataset in
+    * dependency order and persists each as parquet under
+    * `outDir/<schema>/<table>` (dots → path segments). Returns
+    * name → path. Batch analog of the streaming parquet+checkpoint
+    * sink; on a cluster independent subtrees write concurrently. */
+  def materializeToDir(
+      spark: SparkSession,
+      resolve: String => DataFrame,
+      outDir: String): Map[String, String] =
+    materializeAll(spark, resolve).map { case (name, df) =>
+      val path = s"$outDir/${name.replace('.', '/')}"
+      df.write.mode("overwrite").parquet(path)
+      name -> path
+    }
 }
 
 object Registry {

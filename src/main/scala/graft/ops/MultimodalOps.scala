@@ -45,6 +45,50 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Frame sampling: split each binary payload into fixed-size frames
+    * (video frame-extraction plumbing), one output row per frame with
+    * offset + per-frame checksum. Real byte slicing in mapPartitions;
+    * deterministic so the whole fan-out is oracle-checkable. */
+  final case class Frame(
+      doc_id: Long, frame_idx: Long, frame_offset: Long,
+      frame_len: Long, frame_checksum: Long)
+
+  val FrameSize = 256
+
+  def sampleFrames(docId: Long, payload: Array[Byte]): Iterator[Frame] = {
+    val n = payload.length
+    val frames = (n + FrameSize - 1) / FrameSize
+    (0 until frames).iterator.map { i =>
+      val off = i * FrameSize
+      val len = math.min(FrameSize, n - off)
+      var sum = 0L
+      var j = off
+      while (j < off + len) { sum += (payload(j) & 0xff); j += 1 }
+      Frame(docId, i.toLong, off.toLong, len.toLong, sum)
+    }
+  }
+
+  def q26FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => sampleFrames(id, bytes) })
+      .toDF()
+  }
+
+  val q26Oracle: String =
+    """SELECT doc_id,
+      |  CAST(i AS BIGINT) AS frame_idx,
+      |  CAST(i * 256 AS BIGINT) AS frame_offset,
+      |  CAST(least(256, length(text) - i * 256) AS BIGINT) AS frame_len,
+      |  CAST(list_sum(list_transform(
+      |      string_split(substring(text, i * 256 + 1,
+      |                   least(256, length(text) - i * 256)), ''),
+      |      c -> unicode(c))) AS BIGINT) AS frame_checksum
+      |FROM documents,
+      |     unnest(generate_series(0, (length(text) + 255) // 256 - 1)) AS t(i)""".stripMargin
+
   /** The payloads are ASCII text, so byte length == char length and the
     * byte checksum == sum of codepoints — both SQL-expressible. */
   val q23Oracle: String =

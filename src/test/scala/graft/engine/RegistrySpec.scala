@@ -26,6 +26,20 @@ class RegistrySpec extends AnyFunSuite {
     assert(out("gold").head.getLong(0) == 12L)
   }
 
+  test("materializeToDir persists every dataset as parquet in dependency order") {
+    import spark.implicits._
+    val reg = new Registry
+    reg.register(TableDef("stg.base", "", Seq("src"), (_, r) => r("src")))
+    reg.register(TableDef("silver.doubled", "", Seq("stg.base"),
+      (_, r) => r("stg.base").withColumn("x2", col("v") * 2)))
+    val out = java.nio.file.Files.createTempDirectory("reg_out").toString
+    val paths = reg.materializeToDir(spark, _ => Seq(1, 2, 3).toDF("v"), out)
+    assert(paths.keySet == Set("stg.base", "silver.doubled"))
+    val persisted = spark.read.parquet(paths("silver.doubled"))
+    assert(persisted.agg(sum("x2")).head.getLong(0) == 12L)
+    assert(paths("silver.doubled").endsWith("silver/doubled"))
+  }
+
   test("topoOrder rejects cycles") {
     val reg = new Registry
     reg.register(TableDef("a", "", Seq("b"), (_, r) => r("b")))

@@ -109,6 +109,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1, 1, Some("Lisbon")), (2, 1, None)))
   }
 
+  test("watermarked tumbling-window aggregation emits closed windows only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(Long, Timestamp, Double)]
+    val agg = ev.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("user_id"), col("n"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    ev.addData((1L, ts(1), 10.0), (1L, ts(5), 20.0), (2L, ts(7), 5.0))
+    q.processAllAvailable()
+    assert(spark.table("win_out").count() == 0) // window [10:00,10:10) still open
+    ev.addData((1L, ts(30), 1.0)) // watermark -> 10:29 closes it
+    q.processAllAvailable()
+    ev.addData((1L, ts(55), 1.0))
+    runToCompletion(q)
+    val rows = spark.table("win_out")
+      .as[(Timestamp, Long, Long, Double)].collect()
+      .filter(_._1 == Timestamp.valueOf("2024-01-01 10:00:00")).toSet
+    assert(rows == Set(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 2L, 30.0),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 1L, 5.0)))
+  }
+
+  test("flatMapGroupsWithState sessionization: session emits after gap timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[Sessionize.Event]
+    val out = Sessionize.sessions(spark, ev.toDS(), gapMillis = 2 * 60 * 1000)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    ev.addData(
+      Sessionize.Event(1L, ts(0), 10.0),
+      Sessionize.Event(1L, ts(1), 5.0),
+      Sessionize.Event(2L, ts(0), 7.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0) // sessions still open
+    ev.addData(Sessionize.Event(3L, ts(30), 1.0)) // advances watermark past timeouts
+    q.processAllAvailable()
+    ev.addData(Sessionize.Event(3L, ts(55), 1.0))
+    runToCompletion(q)
+    val rows = spark.table("sess_out").as[Sessionize.Session].collect()
+      .filter(_.user_id <= 2).map(s => (s.user_id, s.n_events, s.total_value)).toSet
+    assert(rows == Set((1L, 2, 15.0), (2L, 1, 7.0)))
+  }
+
   test("streaming passthrough materializes to a parquet sink with checkpoint (bronze @dp.table shape)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
