@@ -16,10 +16,14 @@ object Dims {
     * chain through two lookup dims + per-column coalesce defaults
     * ("Missing" vs "-" tokens preserved deliberately, SURVEY.md §7.3) +
     * casts + snake_case rename contract. */
-  def q3DimSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val sup = Tables.load(spark, dir, "supplier").as("s")
-    val nat = Tables.load(spark, dir, "nation").as("n")
-    val reg = Tables.load(spark, dir, "region").as("r")
+  def q3DimSupplier(spark: SparkSession, dir: String): DataFrame =
+    dimSupplier(Tables.load(spark, dir, "supplier"),
+      Tables.load(spark, dir, "nation"), Tables.load(spark, dir, "region"))
+
+  def dimSupplier(supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    val sup = supplier.as("s")
+    val nat = nation.as("n")
+    val reg = region.as("r")
     sup
       .join(broadcast(nat), col("s.s_nationkey") === col("n.n_nationkey"), "left")
       .join(broadcast(reg), col("n.n_regionkey") === col("r.r_regionkey"), "left")
@@ -50,9 +54,12 @@ object Dims {
     * (concat_ws + regexp_replace + trim, the "refactored for Spark SQL
     * performance" pattern at :21-28) → multi-branch categorical decode →
     * `greatest` → surrogate key concat. */
-  def q4DimCustomer(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.load(spark, dir, "customer").as("c")
-    val nat = Tables.load(spark, dir, "nation").as("n")
+  def q4DimCustomer(spark: SparkSession, dir: String): DataFrame =
+    dimCustomer(Tables.load(spark, dir, "customer"), Tables.load(spark, dir, "nation"))
+
+  def dimCustomer(customer: DataFrame, nation: DataFrame): DataFrame = {
+    val cust = customer.as("c")
+    val nat = nation.as("n")
     cust
       .filter(col("c.c_nationkey").isNotNull)
       .join(broadcast(nat), col("c.c_nationkey") === col("n.n_nationkey"), "inner")
@@ -93,10 +100,14 @@ object Dims {
     * detail⟕header⟕dim chain with a wide typed projection: surrogate key
     * concat, to_date on the order timestamp, row-level revenue arithmetic
     * (deterministic per-row FP — safe to hash-compare unrounded). */
-  def q5FactOrders(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem").as("l")
-    val ord = Tables.load(spark, dir, "orders").as("o")
-    val cust = Tables.load(spark, dir, "customer").as("c")
+  def q5FactOrders(spark: SparkSession, dir: String): DataFrame =
+    factOrders(Tables.load(spark, dir, "lineitem"),
+      Tables.load(spark, dir, "orders"), Tables.load(spark, dir, "customer"))
+
+  def factOrders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame): DataFrame = {
+    val li = lineitem.as("l")
+    val ord = orders.as("o")
+    val cust = customer.as("c")
     li
       .join(ord, col("l.l_orderkey") === col("o.o_orderkey"), "left")
       .join(broadcast(cust), col("o.o_custkey") === col("c.c_custkey"), "left")

@@ -55,9 +55,12 @@ object Relational {
     * job (same manual optimization the reference encodes at :27-32); the
     * pivot desugars to avg(CASE WHEN variable=v ...) before analysis.
     * The dimension is broadcast: at 100 TB the events fact never shuffles. */
-  def qWeatherPivot(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-    val cust = Tables.load(spark, dir, "customer")
+  def qWeatherPivot(spark: SparkSession, dir: String): DataFrame =
+    factWeather(Tables.load(spark, dir, "events"), Tables.load(spark, dir, "customer"))
+
+  def factWeather(events: DataFrame, customer: DataFrame): DataFrame = {
+    val ev = events
+    val cust = customer
     val kinds = Seq("VIEW", "CLICK", "PURCHASE", "SIGNUP")
     val daily = ev
       .filter(col("event_type").isin("view", "click", "purchase", "signup"))
