@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cluster-scale techniques: salting for skew, bucketing for
+  * exchange-free co-located joins. Correctness is asserted here;
+  * the plan shapes are asserted from the executed plan text. */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salted equi-join returns exactly the plain join result") {
+    val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val ord = Tables.load(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val plain = li.join(ord, "l_orderkey")
+    val salted = SkewJoin.saltedEquiJoin(li, ord, "l_orderkey", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+      val ord = Tables.load(spark, TestSpark.sfDir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      li.write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li_b").saveAsTable("li_b")
+      ord.write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/ord_b").saveAsTable("ord_b")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val planText = joined.queryExecution.executedPlan.toString
+      assert(!planText.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$planText")
+      assert(joined.count() ==
+        Tables.load(spark, TestSpark.sfDir, "lineitem").count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+}

@@ -109,6 +109,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1, 1, Some("Lisbon")), (2, 1, None)))
   }
 
+  test("streaming dedup within watermark drops replayed events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(Long, Timestamp)]
+    val deduped = ev.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    ev.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(2))) // replay of id 1
+    q.processAllAvailable()
+    ev.addData((1L, ts(3)), (3L, ts(4))) // replay again, one new
+    runToCompletion(q)
+    val ids = spark.table("dedup_out").as[(Long, Timestamp)].collect().map(_._1).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L))
+  }
+
   test("watermarked tumbling-window aggregation emits closed windows only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
