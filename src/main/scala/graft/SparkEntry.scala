@@ -43,6 +43,7 @@ object SparkEntry {
     "q24_json_extract" -> (Ingest.q24JsonExtract _),
     "q25_embed_neardup" -> (DedupOps.q25EmbedNearDup _),
     "q26_frame_sample" -> (MultimodalOps.q26FrameSample _),
+    "q27_ivf_assign" -> (SimilarityOps.q27IvfAssign _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -74,5 +75,6 @@ object SparkEntry {
     "q26_frame_sample" -> MultimodalOps.q26Oracle,
     // q20_simhash, q22_ann_lsh: xxhash64/seeded-hyperplane outputs are not
     // SQL-expressible in DuckDB -> rows-only check; semantics in ScalaTest.
+    "q27_ivf_assign" -> SimilarityOps.q27Oracle,
   )
 }

@@ -71,11 +71,65 @@ object SimilarityOps {
       |  FROM scored) t
       |WHERE rank <= 10""".stripMargin
 
+  val q27Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a,b) -> a + b)) AS nrm
+      |  FROM e
+      |), c AS (
+      |  SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8
+      |), assigned AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT n.vec_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv),
+      |            p -> p[1] * p[2])), (x,y) -> x + y) / (n.nrm * c.cnrm) DESC,
+      |        c.cell_id ASC) AS rk
+      |    FROM n, c) t
+      |  WHERE rk = 1)
+      |SELECT vec_id, cell_id, cell_size FROM assigned
+      |JOIN (SELECT cell_id, count(*) AS cell_size FROM assigned GROUP BY 1) USING (cell_id)""".stripMargin
+
   /** Fixed-seed random hyperplanes for sign-LSH (deterministic across
     * runs and executors — generated once on the driver). */
   def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** IVF (inverted-file) coarse quantization: assign every vector to
+    * its nearest of `nCells` centroids (here: the first nCells vectors
+    * as deterministic seeds — a real deployment would k-means them).
+    * ANN search then probes only the query's cell(s). Output is the
+    * cell assignment + per-cell population, oracle-checked (the seeds
+    * are data rows, so DuckDB reproduces the argmax exactly with the
+    * same sequential-fold cosine). The assignment is a narrow
+    * broadcast-map pass — one scan at 100 TB, no shuffle except the
+    * tiny cell-size agg. */
+  def q27IvfAssign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotProduct
+    val nCells = 8
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"),
+        sqrt(DotProduct(col("v"), col("v"))).as("cnrm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell_id"),
+        (DotProduct(col("v"), col("cv")) /
+          (sqrt(DotProduct(col("v"), col("v"))) * col("cnrm"))).as("sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell_id").asc)
+    val assigned = scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell_id"))
+    val sizes = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("cell_size"))
+    assigned.join(broadcast(sizes), "cell_id")
+      .select(col("vec_id"), col("cell_id"), col("cell_size"))
   }
 
   /** Sign-LSH bucketing: 16 hyperplane sign bits → bucket id. Vectors
