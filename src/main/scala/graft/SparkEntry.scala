@@ -44,6 +44,7 @@ object SparkEntry {
     "q25_embed_neardup" -> (DedupOps.q25EmbedNearDup _),
     "q26_frame_sample" -> (MultimodalOps.q26FrameSample _),
     "q27_ivf_assign" -> (SimilarityOps.q27IvfAssign _),
+    "q28_global_topk" -> (Extended.q28GlobalTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,5 +77,6 @@ object SparkEntry {
     // q20_simhash, q22_ann_lsh: xxhash64/seeded-hyperplane outputs are not
     // SQL-expressible in DuckDB -> rows-only check; semantics in ScalaTest.
     "q27_ivf_assign" -> SimilarityOps.q27Oracle,
+    "q28_global_topk" -> Extended.q28Oracle,
   )
 }

@@ -41,6 +41,25 @@ object Extended {
       |  FROM customer) t
       |WHERE balance_rank <= 3""".stripMargin
 
+  /** Global ordered top-k (sort + limit): plans as TakeOrderedAndProject
+    * — per-partition heaps + a k-row driver merge, never a full sort of
+    * the data. Tiebreak on the key makes it deterministic. */
+  def q28GlobalTopK(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    ord
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("o_totalprice").as("total_price"),
+        col("o_orderstatus").as("order_status"))
+  }
+
+  val q28Oracle: String =
+    """SELECT o_orderkey AS order_id, o_totalprice AS total_price,
+      |  o_orderstatus AS order_status
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
   /** Set operations: BUILDING-segment customers INTERSECT actual buyers,
     * and EXCEPT (never ordered), tagged and unioned. Spark plans both as
     * shuffle-based distinct joins; keys-only projection keeps the
