@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{DedupOps, Dims, Extended, Ingest, MultimodalOps, Relational, SimilarityOps, TextOps}
+import graft.ops.{AsOfJoin, DedupOps, Dims, Extended, Ingest, MultimodalOps, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` maps operator names (SURVEY.md §2 inventory) to builders;
@@ -45,6 +45,7 @@ object SparkEntry {
     "q26_frame_sample" -> (MultimodalOps.q26FrameSample _),
     "q27_ivf_assign" -> (SimilarityOps.q27IvfAssign _),
     "q28_global_topk" -> (Extended.q28GlobalTopK _),
+    "q29_asof_join" -> (AsOfJoin.q29AsOfJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,5 +79,6 @@ object SparkEntry {
     // SQL-expressible in DuckDB -> rows-only check; semantics in ScalaTest.
     "q27_ivf_assign" -> SimilarityOps.q27Oracle,
     "q28_global_topk" -> Extended.q28Oracle,
+    "q29_asof_join" -> AsOfJoin.q29Oracle,
   )
 }
