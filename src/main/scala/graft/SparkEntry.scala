@@ -46,6 +46,7 @@ object SparkEntry {
     "q27_ivf_assign" -> (SimilarityOps.q27IvfAssign _),
     "q28_global_topk" -> (Extended.q28GlobalTopK _),
     "q29_asof_join" -> (AsOfJoin.q29AsOfJoin _),
+    "q30_hll_distinct" -> (Extended.q30HllDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -131,6 +131,17 @@ object Extended {
        |  count(*) AS order_count
        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Sketch-based distinct counting via the HllAggregator extension
+    * point, alongside the exact count for comparison. Rows-only check
+    * (the sketch estimate is engine-specific); accuracy and
+    * partition-invariance are asserted in HllSpec. */
+  def q30HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.groupBy(col("event_type")).agg(
+      graft.functions.HllAggregator.hllDistinct(col("user_id")).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"))
+  }
+
   /** Batch interval join — the fact_sales band-join shape
     * (sales_aw_silver_layer_fact_sales.py:35-47) in batch form: equi key
     * + time band [o_orderdate, o_orderdate + 90 days], aggregated per
