@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AsOfJoin, DedupOps, Dims, Extended, Ingest, MultimodalOps, Relational, SimilarityOps, TextOps}
+import graft.ops.{AsOfJoin, DedupOps, Dims, Extended, Ingest, MultimodalOps, Relational, Sessions, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` maps operator names (SURVEY.md §2 inventory) to builders;
@@ -47,6 +47,8 @@ object SparkEntry {
     "q28_global_topk" -> (Extended.q28GlobalTopK _),
     "q29_asof_join" -> (AsOfJoin.q29AsOfJoin _),
     "q30_hll_distinct" -> (Extended.q30HllDistinct _),
+    "q31_sessionize" -> (Sessions.q31SessionizeBatch _),
+    "q32_vocabulary" -> (Sessions.q32Vocabulary _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,5 +83,7 @@ object SparkEntry {
     "q27_ivf_assign" -> SimilarityOps.q27Oracle,
     "q28_global_topk" -> Extended.q28Oracle,
     "q29_asof_join" -> AsOfJoin.q29Oracle,
+    "q31_sessionize" -> Sessions.q31Oracle,
+    "q32_vocabulary" -> Sessions.q32Oracle,
   )
 }
