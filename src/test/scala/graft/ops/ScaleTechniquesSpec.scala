@@ -22,6 +22,23 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("date-partitioned layout prunes partitions at scan time") {
+    val out = java.nio.file.Files.createTempDirectory("part").toString
+    val ev = Tables.load(spark, TestSpark.sfDir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val nDates = ev.select("event_date").distinct().count()
+    val filtered = spark.read.parquet(out)
+      .filter(col("event_date") === ev.select(min("event_date")).head.getDate(0))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // only one of nDates partitions is read
+    val scanned = filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(filtered.count() > 0 && nDates > 1)
+    assert(filtered.count() < ev.count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
