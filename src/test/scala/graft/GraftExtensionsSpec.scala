@@ -27,6 +27,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("rh") > 0L)
   }
 
+  test("registerAll exposes every test table to spark.sql") {
+    graft.Tables.registerAll(spark, TestSpark.sfDir)
+    val row = spark.sql(
+      """SELECT n.n_name, count(*) AS suppliers
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY suppliers DESC, n.n_name LIMIT 1""".stripMargin).head
+    assert(row.getLong(1) > 0)
+    assert(spark.sql("SELECT count(*) FROM documents").head.getLong(0) > 0)
+  }
+
   test("SQL simhash64 matches the column-function vote computation") {
     import spark.implicits._
     val docs = Seq((1L, "spark shuffles partition data across executors")).toDF("doc_id", "text")
