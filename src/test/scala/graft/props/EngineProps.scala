@@ -62,6 +62,40 @@ object EngineProps extends Properties("graft.kernels") {
       sh(ts) == sh(scala.util.Random.shuffle(ts))
     }
 
+  /** Model of q18's candidate filters over sorted hash sets: a pair
+    * survives if (1) some shared token lies in BOTH prefixes,
+    * (2) size ratio ≥ t, (3) min positional upper bound ≥ required
+    * overlap. Property: no pair with true Jaccard ≥ t is ever dropped. */
+  private def survives(x: Vector[Long], y: Vector[Long], t: Double): Boolean = {
+    def prefixLen(n: Int) = n - math.ceil(n * t).toInt + 1
+    val (px, py) = (prefixLen(x.length), prefixLen(y.length))
+    val posX = x.take(px).zipWithIndex.toMap
+    val posY = y.take(py).zipWithIndex.toMap
+    val shared = posX.keySet intersect posY.keySet
+    if (shared.isEmpty) return false
+    if (math.min(x.length, y.length) < math.max(x.length, y.length) * t) return false
+    val ub = shared.iterator.map { h =>
+      val (i, j) = (posX(h), posY(h))
+      math.min(i, j) + math.min(x.length - i, y.length - j)
+    }.min
+    ub * (1.0 + t) >= t * (x.length + y.length)
+  }
+
+  private val docSet: Gen[Vector[Long]] =
+    Gen.chooseNum(3, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 60L))).map(_.distinct.sorted.toVector)
+      .suchThat(_.nonEmpty)
+
+  property("positional+size prefix filters never drop a pair with Jaccard >= t") =
+    forAll(docSet, docSet) { (x, y) =>
+      val inter = x.toSet.intersect(y.toSet).size.toDouble
+      val jac = inter / (x.length + y.length - inter)
+      val t = 0.5
+      Prop.collect(if (jac >= t) "similar" else "dissimilar") {
+        jac < t || survives(x, y, t)
+      }
+    }
+
   property("fixed-point units round-trip cents exactly") =
     forAll(Gen.chooseNum(-9999999L, 9999999L)) { cents =>
       val d = cents / 100.0
