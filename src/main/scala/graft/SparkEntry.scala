@@ -49,6 +49,7 @@ object SparkEntry {
     "q30_hll_distinct" -> (Extended.q30HllDistinct _),
     "q31_sessionize" -> (Sessions.q31SessionizeBatch _),
     "q32_vocabulary" -> (Sessions.q32Vocabulary _),
+    "q33_dedup_clusters" -> (DedupOps.q33DedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +86,6 @@ object SparkEntry {
     "q29_asof_join" -> AsOfJoin.q29Oracle,
     "q31_sessionize" -> Sessions.q31Oracle,
     "q32_vocabulary" -> Sessions.q32Oracle,
+    "q33_dedup_clusters" -> DedupOps.q33Oracle,
   )
 }
