@@ -50,6 +50,7 @@ object SparkEntry {
     "q31_sessionize" -> (Sessions.q31SessionizeBatch _),
     "q32_vocabulary" -> (Sessions.q32Vocabulary _),
     "q33_dedup_clusters" -> (DedupOps.q33DedupClusters _),
+    "q34_scalar_subquery" -> (Extended.q34ScalarSubquery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,5 +88,6 @@ object SparkEntry {
     "q31_sessionize" -> Sessions.q31Oracle,
     "q32_vocabulary" -> Sessions.q32Oracle,
     "q33_dedup_clusters" -> DedupOps.q33Oracle,
+    "q34_scalar_subquery" -> Extended.q34Sql,
   )
 }

@@ -131,6 +131,25 @@ object Extended {
        |  count(*) AS order_count
        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Scalar + IN subqueries through the spark.sql entry path: customers
+    * above the global average balance who bought from a filtered order
+    * set. The SAME SQL text runs on Spark (temp-view catalog) and DuckDB
+    * — the subquery threshold uses exact integer-scaled arithmetic so
+    * the comparison boundary is bit-identical. Catalyst rewrites the
+    * scalar subquery to a broadcast and the IN to a left-semi join. */
+  val q34Sql: String =
+    """SELECT c_custkey AS customer_id, c_name AS customer_name,
+      |  c_acctbal AS account_balance
+      |FROM customer
+      |WHERE c_acctbal > (SELECT sum(CAST(round(c_acctbal * 100.0) AS BIGINT))
+      |                          / (count(c_acctbal) * 100.0) FROM customer)
+      |  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin
+
+  def q34ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(q34Sql)
+  }
+
   /** Sketch-based distinct counting via the HllAggregator extension
     * point, alongside the exact count for comparison. Rows-only check
     * (the sketch estimate is engine-specific); accuracy and
