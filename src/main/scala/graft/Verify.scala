@@ -16,10 +16,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // Release per-query persistence (operator caches, eager
+      // localCheckpoints) so a 30+-query session doesn't accumulate
+      // block-manager residue.
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(false)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -23,13 +23,22 @@ object Exact {
   /** Exact scaled integer units of a fixed-point column (`dec` decimals). */
   def units(c: Column, dec: Int): Column = round(c * factor(dec)).cast("long")
 
+  /** Accumulate units as DecimalType(38,0): a `sum(long)` wraps silently
+    * in non-ANSI mode once a hot group's scaled units pass 2⁶³ (~1e18 —
+    * reachable at 100 TB); 128-bit decimal accumulation cannot. DuckDB's
+    * integer `sum` already returns HUGEINT, so this also mirrors the
+    * oracle's arithmetic more closely. The final double division is
+    * unchanged bit-wise for any sum that fits a long. */
+  private def unitsSum(c: Column, dec: Int): Column =
+    sum(units(c, dec).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+
   /** Exact sum of a fixed-point column, returned as double. */
-  def sumFixed(c: Column, dec: Int): Column = sum(units(c, dec)) / factor(dec)
+  def sumFixed(c: Column, dec: Int): Column = unitsSum(c, dec) / factor(dec)
 
   /** Exact mean of a fixed-point column, returned as double.
     * `count(c)` (non-null) matches SQL AVG null semantics. */
   def avgFixed(c: Column, dec: Int): Column =
-    sum(units(c, dec)) / (count(c) * factor(dec))
+    unitsSum(c, dec) / (count(c) * factor(dec))
 
   /** DuckDB-side fragments mirroring the same arithmetic. */
   def sumFixedSql(expr: String, dec: Int): String = {
