@@ -114,13 +114,14 @@ object SimilarityOps {
     val nCells = 8
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      // norm computed once in the pre-join projection (not inside the
+      // crossJoin select, where it would be re-evaluated per centroid)
+      .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
     val cents = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("v").as("cv"),
-        sqrt(DotProduct(col("v"), col("v"))).as("cnrm"))
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     val scored = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell_id"),
-        (DotProduct(col("v"), col("cv")) /
-          (sqrt(DotProduct(col("v"), col("v"))) * col("cnrm"))).as("sim"))
+        (DotProduct(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("cell_id").asc)
     val assigned = scored
@@ -147,7 +148,8 @@ object SimilarityOps {
     }.reduce((a, b) => a.bitwiseOR(b))
     val withBucket = emb.select(col("vec_id"), bucket.as("bucket"))
     val sizes = withBucket.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
-    withBucket.join(sizes, "bucket")
+    // ≤2^16 rows — broadcast explicitly rather than relying on AQE
+    withBucket.join(broadcast(sizes), "bucket")
       .select(col("vec_id"), col("bucket"), col("bucket_size"))
   }
 }

@@ -30,6 +30,24 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters.find(_._3 == 2).map(_._2).contains(1L))
   }
 
+  test("connected components resolves a long path graph across convergence blocks") {
+    // a 65-node path needs several large/small-star rounds (> one
+    // convergence block of 2) before contracting to a single star
+    val edges = (0L until 64L).map(i => (i, i + 1)).toDF("u", "v")
+    val cc = DedupOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.keySet == (0L to 64L).toSet)
+    assert(cc.values.toSet == Set(0L))
+  }
+
+  test("connected components throws rather than returning un-converged labels") {
+    val edges = (0L until 64L).map(i => (i, i + 1)).toDF("u", "v")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(edges, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val base = "spark shuffles partition data across executors during wide transformations " +
       "and the optimizer prunes columns predicates and partitions before the scan"
