@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AsOfJoin, DedupOps, Dims, Extended, Ingest, MultimodalOps, Relational, Sessions, SimilarityOps, TextOps}
+import graft.ops.{AsOfJoin, CorrDedup, DedupOps, Dims, Extended, Ingest, MultimodalOps, Relational, Sessions, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` maps operator names (SURVEY.md §2 inventory) to builders;
@@ -51,6 +51,7 @@ object SparkEntry {
     "q32_vocabulary" -> (Sessions.q32Vocabulary _),
     "q33_dedup_clusters" -> (DedupOps.q33DedupClusters _),
     "q34_scalar_subquery" -> (Extended.q34ScalarSubquery _),
+    "q35_lsh_neardup" -> (CorrDedup.q35LshNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,5 +90,6 @@ object SparkEntry {
     "q32_vocabulary" -> Sessions.q32Oracle,
     "q33_dedup_clusters" -> DedupOps.q33Oracle,
     "q34_scalar_subquery" -> Extended.q34Sql,
+    "q35_lsh_neardup" -> CorrDedup.q35Oracle,
   )
 }

@@ -30,6 +30,36 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters.find(_._3 == 2).map(_._2).contains(1L))
   }
 
+  test("q35 LSH-blocked correlation near-dup equals the exhaustive all-pairs result") {
+    // real corpus: the LSH candidate stage must not lose a single pair
+    // vs brute force (this is the recall-1.0 claim the oracle relies on)
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+    val blocked = CorrDedup.corrNearDup(docs)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    val exhaustive = CorrDedup.corrNearDup(docs, exhaustive = true)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(exhaustive.nonEmpty, "corpus should contain correlated near-dups")
+    assert(blocked == exhaustive)
+  }
+
+  test("q35 pipeline finds a planted near-dup and ignores unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "sailors navigate uncharted waters seeking distant harbors before dawn " +
+      "breaks across the frozen mountain range and valleys echo with birdsong"
+    val nearDup = base.replace("sailors", "pirates")
+    val others = (3L to 30L).map { i =>
+      (i, s"document number $i talks about topic${i} subject${i * 7} item${i * 13} " +
+        s"matter${i * 3} detail${i * 11} aspect${i * 5} element${i * 17} unique${i * 23}")
+    }
+    val docs = (Seq((1L, base), (2L, nearDup)) ++ others).toDF("doc_id", "text")
+    val found = CorrDedup.corrNearDup(docs)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    val exhaustive = CorrDedup.corrNearDup(docs, exhaustive = true)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 2L)))
+    assert(found == exhaustive)
+  }
+
   test("connected components resolves a long path graph across convergence blocks") {
     // a 65-node path needs several large/small-star rounds (> one
     // convergence block of 2) before contracting to a single star
