@@ -52,6 +52,7 @@ object SparkEntry {
     "q33_dedup_clusters" -> (DedupOps.q33DedupClusters _),
     "q34_scalar_subquery" -> (Extended.q34ScalarSubquery _),
     "q35_lsh_neardup" -> (CorrDedup.q35LshNearDup _),
+    "q36_ivf_search" -> (SimilarityOps.q36IvfSearch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +92,6 @@ object SparkEntry {
     "q33_dedup_clusters" -> DedupOps.q33Oracle,
     "q34_scalar_subquery" -> Extended.q34Sql,
     "q35_lsh_neardup" -> CorrDedup.q35Oracle,
+    "q36_ivf_search" -> SimilarityOps.q36Oracle,
   )
 }

@@ -109,29 +109,138 @@ object SimilarityOps {
     * same sequential-fold cosine). The assignment is a narrow
     * broadcast-map pass — one scan at 100 TB, no shuffle except the
     * tiny cell-size agg. */
-  def q27IvfAssign(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.DotProduct
-    val nCells = 8
-    val emb = Tables.load(spark, dir, "embeddings")
+  val IvfCells = 8
+
+  /** Embeddings with norms precomputed (narrow scan projection). */
+  private def embWithNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       // norm computed once in the pre-join projection (not inside the
       // crossJoin select, where it would be re-evaluated per centroid)
-      .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
-    val cents = emb.filter(col("vec_id") < nCells)
+      .withColumn("nrm", sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+
+  /** Seed centroids: the first nCells vectors (deterministic — a data
+    * row both engines can name; q37 trains real k-means centroids). */
+  private def seedCentroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+
+  /** (vec_id, cell_id): nearest-centroid assignment — a broadcast-map
+    * pass over the corpus, no shuffle except the top-1 window on vec_id. */
+  private def ivfAssignments(emb: DataFrame, cents: DataFrame): DataFrame = {
     val scored = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell_id"),
-        (DotProduct(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim"))
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("cell_id").asc)
-    val assigned = scored
+    scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("cell_id"))
+  }
+
+  def q27IvfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val assigned = ivfAssignments(emb, seedCentroids(emb))
     val sizes = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("cell_size"))
     assigned.join(broadcast(sizes), "cell_id")
       .select(col("vec_id"), col("cell_id"), col("cell_size"))
   }
+
+  /** End-to-end IVF ANN search: probe the query's top-`IvfProbes` cells
+    * by query→centroid cosine, then exact cosine top-10 within the
+    * probed cells only — the corpus outside those cells is never
+    * scored. With 4 of 8 cells probed, measured recall@10 vs the q21
+    * brute force is 0.98–1.0 (asserted in SimilaritySpec); the oracle
+    * reproduces the SAME probe-then-rank pipeline (every step is a
+    * deterministic argmax over sequential-fold doubles), so the check
+    * is bit-exact, not approximate.
+    *
+    * 100 TB shape: assignment is a narrow broadcast-map pass;
+    * candidate generation is a semi-join against the probed cell ids
+    * (≅ partition pruning when the corpus is clustered by cell); only
+    * nprobe/nCells of the data is scored, and the final top-k is a
+    * per-query window over candidates. */
+  val IvfProbes = 4
+
+  def q36IvfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val cents = seedCentroids(emb)
+    val assigned = ivfAssignments(emb, cents)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // probe selection: tiny (queries × cells) cross product
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell_id").asc)
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell_id"),
+        (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("csim"))
+      .withColumn("prk", row_number().over(pw))
+      .filter(col("prk") <= IvfProbes)
+      .select(col("query_id"), col("cell_id"))
+    // candidates: members of probed cells only
+    val cand = assigned.join(broadcast(probes), "cell_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = cand
+      .join(emb, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** The same probe-then-rank pipeline in DuckDB — identical argmax
+    * tiebreaks and sequential-fold cosine at every step. */
+  val q36Oracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a,b) -> a + b)) AS nrm
+       |  FROM e
+       |), c AS (
+       |  SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $IvfCells
+       |), assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT n.vec_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv),
+       |            p -> p[1] * p[2])), (x,y) -> x + y) / (n.nrm * c.cnrm) DESC,
+       |        c.cell_id ASC) AS rk
+       |    FROM n, c) t
+       |  WHERE rk = 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5
+       |), probes AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT q.query_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, c.cv),
+       |            p -> p[1] * p[2])), (x,y) -> x + y) / (q.qnrm * c.cnrm) DESC,
+       |        c.cell_id ASC) AS prk
+       |    FROM q, c) t
+       |  WHERE prk <= $IvfProbes
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, n.v),
+       |        p2 -> p2[1] * p2[2])), (x,y) -> x + y) / (q.qnrm * n.nrm) AS cosine
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+       |  JOIN n ON n.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = p.query_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10""".stripMargin
 
   /** Sign-LSH bucketing: 16 hyperplane sign bits → bucket id. Vectors
     * with high cosine land in the same bucket with high probability;

@@ -20,6 +20,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF search recall@10 vs brute force is high while probing half the cells") {
+    val exact = SimilarityOps.q21KnnCosine(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val ivf = SimilarityOps.q36IvfSearch(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(ivf.keySet == exact.keySet)
+    val recalls = exact.keys.toSeq.map { q =>
+      exact(q).intersect(ivf(q)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(recalls.forall(_ >= 0.7), s"per-query recall too low: $recalls")
+    assert(mean >= 0.9, s"mean recall@10 $mean < 0.9")
+  }
+
   test("sign-LSH puts identical vectors in the same bucket and splits distant ones") {
     val planes = SimilarityOps.hyperplanes(bits = 16, dim = 4)
     def bucket(v: Array[Double]): Long =
