@@ -53,6 +53,7 @@ object SparkEntry {
     "q34_scalar_subquery" -> (Extended.q34ScalarSubquery _),
     "q35_lsh_neardup" -> (CorrDedup.q35LshNearDup _),
     "q36_ivf_search" -> (SimilarityOps.q36IvfSearch _),
+    "q37_kmeans_ivf" -> (SimilarityOps.q37KmeansIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +94,6 @@ object SparkEntry {
     "q34_scalar_subquery" -> Extended.q34Sql,
     "q35_lsh_neardup" -> CorrDedup.q35Oracle,
     "q36_ivf_search" -> SimilarityOps.q36Oracle,
+    "q37_kmeans_ivf" -> SimilarityOps.q37Oracle,
   )
 }

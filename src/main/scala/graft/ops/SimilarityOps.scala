@@ -242,6 +242,103 @@ object SimilarityOps {
        |  FROM scored) t
        |WHERE rank <= 10""".stripMargin
 
+  /** q37: IVF with TRAINED centroids — Lloyd's iterations (spherical
+    * k-means: reassign to max-cosine, recenter on the member mean)
+    * from the deterministic seed cells, then the final assignment.
+    *
+    * Bit-reproducibility is engineered so the oracle can replay
+    * training exactly: the centroid update is a SEQUENTIAL fold over
+    * members sorted by vec_id (sort_array(collect_list) + aggregate),
+    * matching DuckDB's `list_reduce(list_prepend(zero, list(v ORDER BY
+    * vec_id)))` element for element, and every cosine is the same
+    * left-fold DotProduct used everywhere else. The oracle unrolls the
+    * fixed iteration count as generated CTEs.
+    *
+    * Scale note: assignment is the narrow broadcast-map pass (the 100 TB
+    * cost); the update stage funnels each cell's members through one
+    * task — the standard practice this models is training centroids on
+    * a bounded sample, then assigning the full corpus with the final
+    * broadcast centroids. The sorted fold is what buys bit-exact
+    * verification; a production update would use commutative partial
+    * sums and settle for rows-only checks. */
+  val KmeansIters = 3
+
+  /** Lloyd's-trained centroids after `iters` iterations (iters = 0 →
+    * the seed cells). Exposed for the convergence property test. */
+  def kmeansCentroids(emb: DataFrame, iters: Int): DataFrame = {
+    import graft.functions.DotProduct
+    val zero = array((0 until 64).map(_ => lit(0.0)): _*)
+    var cents = seedCentroids(emb)
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssignments(emb, cents)
+      cents = assigned.join(emb, "vec_id")
+        .groupBy(col("cell_id"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ms"),
+          count(lit(1)).as("cnt"))
+        .select(col("cell_id"),
+          transform(
+            aggregate(col("ms"), zero, (acc, m) => zip_with(acc, m.getField("v"), _ + _)),
+            s => s / col("cnt")).as("cv"))
+        .withColumn("cnrm", sqrt(DotProduct(col("cv"), col("cv"))))
+    }
+    cents
+  }
+
+  def q37KmeansIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir).persist()
+    val fin = ivfAssignments(emb, kmeansCentroids(emb, KmeansIters))
+    val sizes = fin.groupBy(col("cell_id")).agg(count(lit(1)).as("cell_size"))
+    fin.join(broadcast(sizes), "cell_id")
+      .select(col("vec_id"), col("cell_id"), col("cell_size"))
+  }
+
+  /** Lloyd's unrolled in DuckDB: assignment + sorted-fold mean per
+    * iteration, byte-identical arithmetic to q37KmeansIvf. */
+  val q37Oracle: String = {
+    val dotVC = "list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), " +
+      "p -> p[1] * p[2])), (x,y) -> x + y)"
+    def assignCte(a: String, c: String): String =
+      s"""$a AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT n.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        $dotVC / (n.nrm * c.cnrm) DESC, c.cell_id ASC) AS rk
+         |    FROM n, $c c) t
+         |  WHERE rk = 1)""".stripMargin
+    def updateCte(c: String, a: String): String =
+      s"""$c AS (
+         |  SELECT cell_id, cv,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)),
+         |      (x,y) -> x + y)) AS cnrm
+         |  FROM (
+         |    SELECT cell_id, list_transform(sv, s -> s / cnt) AS cv FROM (
+         |      SELECT $a.cell_id,
+         |        list_reduce(
+         |          list_prepend([0.0 for i in generate_series(1, 64)],
+         |                       list(n.v ORDER BY n.vec_id)),
+         |          (acc, x) -> list_transform(list_zip(acc, x), p -> p[1] + p[2])) AS sv,
+         |        count(*) AS cnt
+         |      FROM $a JOIN n ON n.vec_id = $a.vec_id
+         |      GROUP BY $a.cell_id) t1) t2)""".stripMargin
+    val iters = (0 until KmeansIters).map { t =>
+      assignCte(s"a$t", s"c$t") + ",\n" + updateCte(s"c${t + 1}", s"a$t")
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a,b) -> a + b)) AS nrm
+       |  FROM e
+       |), c0 AS (
+       |  SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $IvfCells
+       |),
+       |$iters,
+       |${assignCte("afin", s"c$KmeansIters")}
+       |SELECT vec_id, cell_id, cell_size FROM afin
+       |JOIN (SELECT cell_id, count(*) AS cell_size FROM afin GROUP BY 1) USING (cell_id)""".stripMargin
+  }
+
   /** Sign-LSH bucketing: 16 hyperplane sign bits → bucket id. Vectors
     * with high cosine land in the same bucket with high probability;
     * ANN then probes only the query's bucket. Output is (vec_id,

@@ -36,6 +36,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall@10 $mean < 0.9")
   }
 
+  test("k-means objective (sum of max cosines) is non-decreasing per iteration") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+      .cache()
+    val objectives = (0 to 3).map { iters =>
+      val cents = SimilarityOps.kmeansCentroids(emb, iters)
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (graft.functions.DotProduct(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos"))
+        .groupBy("vec_id").agg(max("cos").as("best"))
+        .agg(sum("best")).head().getDouble(0)
+    }
+    objectives.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"objective decreased: $objectives")
+    }
+    assert(objectives.last > objectives.head, "training should improve the objective")
+  }
+
   test("sign-LSH puts identical vectors in the same bucket and splits distant ones") {
     val planes = SimilarityOps.hyperplanes(bits = 16, dim = 4)
     def bucket(v: Array[Double]): Long =
