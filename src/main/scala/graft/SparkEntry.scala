@@ -54,6 +54,8 @@ object SparkEntry {
     "q35_lsh_neardup" -> (CorrDedup.q35LshNearDup _),
     "q36_ivf_search" -> (SimilarityOps.q36IvfSearch _),
     "q37_kmeans_ivf" -> (SimilarityOps.q37KmeansIvf _),
+    "q38_dim_geo" -> (Dims.q38DimGeo _),
+    "q39_dim_store" -> (Dims.q39DimStore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -95,5 +97,7 @@ object SparkEntry {
     "q35_lsh_neardup" -> CorrDedup.q35Oracle,
     "q36_ivf_search" -> SimilarityOps.q36Oracle,
     "q37_kmeans_ivf" -> SimilarityOps.q37Oracle,
+    "q38_dim_geo" -> Dims.q38Oracle,
+    "q39_dim_store" -> Dims.q39Oracle,
   )
 }

@@ -40,6 +40,15 @@ object SilverPipelines {
       (_, read) => Dims.factOrders(
         read("stg.lineitem"), read("stg.orders"), read("stg.customer"))))
     reg.register(TableDef(
+      "silver.dim_geo", "dim_geo-shape surrogate key + 2-dim lookup chain",
+      Seq("stg.customer", "stg.nation", "stg.region"),
+      (_, read) => Dims.dimGeo(
+        read("stg.customer"), read("stg.nation"), read("stg.region"))))
+    reg.register(TableDef(
+      "silver.dim_store", "dim_store-shape interval join + greatest refresh",
+      Seq("stg.events"),
+      (_, read) => Dims.dimStore(read("stg.events"))))
+    reg.register(TableDef(
       "silver.fact_weather", "fact_weather-shape agg + pivot",
       Seq("stg.events", "stg.customer"),
       (_, read) => Relational.factWeather(read("stg.events"), read("stg.customer"))))

@@ -126,6 +126,85 @@ object Dims {
         col("o.o_totalprice").as("order_total"))
   }
 
+  /** `dim_geo` shape (silver_layer_person.py:22-41): surrogate key built
+    * by string concat of the natural key and the postal column (:35 —
+    * `concat(AddressID, '_', PostalCode)`), then the 2-dim left lookup
+    * chain (address ⟕ state_province ⟕ country_region) with snake_case
+    * rename. Testdata analog: customer ⟕ nation ⟕ region with
+    * c_mktsegment standing in for the postal code. */
+  def q38DimGeo(spark: SparkSession, dir: String): DataFrame =
+    dimGeo(Tables.load(spark, dir, "customer"),
+      Tables.load(spark, dir, "nation"), Tables.load(spark, dir, "region"))
+
+  def dimGeo(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    val cust = customer.as("c")
+    val nat = nation.as("n")
+    val reg = region.as("r")
+    cust
+      .join(broadcast(nat), col("c.c_nationkey") === col("n.n_nationkey"), "left")
+      .join(broadcast(reg), col("n.n_regionkey") === col("r.r_regionkey"), "left")
+      .select(
+        concat(col("c.c_custkey").cast("string"), lit("_"),
+          trim(col("c.c_mktsegment"))).as("geo_id"),
+        trim(col("c.c_name")).as("address"),
+        trim(col("c.c_mktsegment")).as("postal_code"),
+        coalesce(col("n.n_name"), lit("Missing")).as("nation_name"),
+        coalesce(col("r.r_name"), lit("Missing")).as("region_name"))
+  }
+
+  val q38Oracle: String =
+    """SELECT CAST(c.c_custkey AS VARCHAR) || '_' || trim(c.c_mktsegment) AS geo_id,
+      |  trim(c.c_name) AS address,
+      |  trim(c.c_mktsegment) AS postal_code,
+      |  coalesce(n.n_name, 'Missing') AS nation_name,
+      |  coalesce(r.r_name, 'Missing') AS region_name
+      |FROM customer c
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin
+
+  /** `dim_store` shape (sales_aw_silver_layer_dim_store.py:24-39): the
+    * not-null guard (:25), the ±2-minute interval LEFT join on the equi
+    * key (:26-33), and the `greatest`-of-both-sides refresh timestamp
+    * (:39). Batch analog over events: signup events ⟕ purchase events
+    * by the same user within ±2 minutes. */
+  def q39DimStore(spark: SparkSession, dir: String): DataFrame =
+    dimStore(Tables.load(spark, dir, "events"))
+
+  def dimStore(events: DataFrame): DataFrame = {
+    val cust = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("signup_ts"))
+      .filter(col("user_id").isNotNull)
+      .as("c")
+    val store = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .as("s")
+    cust
+      .join(store,
+        col("c.user_id") === col("s.user_id") &&
+          col("s.purchase_ts") >= col("c.signup_ts") - expr("interval 2 minutes") &&
+          col("s.purchase_ts") <= col("c.signup_ts") + expr("interval 2 minutes"),
+        "left_outer")
+      .select(
+        col("signup_id"), col("c.user_id").as("user_id"),
+        col("purchase_id"), col("purchase_value"),
+        greatest(col("signup_ts"),
+          coalesce(col("purchase_ts"), col("signup_ts"))).as("last_refresh"))
+  }
+
+  val q39Oracle: String =
+    """SELECT c.event_id AS signup_id,
+      |  c.user_id AS user_id,
+      |  s.event_id AS purchase_id,
+      |  s.value AS purchase_value,
+      |  greatest(c.ts, coalesce(s.ts, c.ts)) AS last_refresh
+      |FROM (SELECT * FROM events WHERE event_type = 'signup' AND user_id IS NOT NULL) c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') s
+      |  ON c.user_id = s.user_id
+      | AND s.ts >= c.ts - INTERVAL 2 MINUTE
+      | AND s.ts <= c.ts + INTERVAL 2 MINUTE""".stripMargin
+
   val q5Oracle: String =
     """SELECT CAST(l.l_orderkey AS VARCHAR) || '_' || CAST(l.l_linenumber AS VARCHAR) AS sales_key,
       |  l.l_orderkey AS order_id,

@@ -15,7 +15,7 @@ class MedallionSpec extends AnyFunSuite {
     val out = java.nio.file.Files.createTempDirectory("medallion").toString
     val paths = reg.materializeToDir(spark,
       name => Tables.load(spark, TestSpark.sfDir, name.stripPrefix("src.")), out)
-    assert(paths.size == SilverPipelines.bronzeInputs.size + 4)
+    assert(paths.size == SilverPipelines.bronzeInputs.size + 6)
 
     val factWeather = spark.read.parquet(paths("silver.fact_weather"))
     assert(factWeather.count() > 0)
@@ -30,5 +30,17 @@ class MedallionSpec extends AnyFunSuite {
     val dimSupplier = spark.read.parquet(paths("silver.dim_supplier"))
     assert(dimSupplier.count() ==
       Tables.load(spark, TestSpark.sfDir, "supplier").count())
+
+    // the six silver datasets of the reference are all registered:
+    // dim_supplier(≅product), dim_customer, dim_geo, dim_store,
+    // fact_sales, fact_weather
+    val dimGeo = spark.read.parquet(paths("silver.dim_geo"))
+    assert(dimGeo.count() ==
+      Tables.load(spark, TestSpark.sfDir, "customer").count())
+    assert(dimGeo.columns.toSet == Set(
+      "geo_id", "address", "postal_code", "nation_name", "region_name"))
+    val dimStore = spark.read.parquet(paths("silver.dim_store"))
+    assert(dimStore.count() > 0)
+    assert(dimStore.columns.contains("last_refresh"))
   }
 }
