@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AsOfJoin, CorrDedup, DedupOps, Dims, Extended, Ingest, MultimodalOps, Relational, Sessions, SimilarityOps, TextOps}
+import graft.ops.{AsOfJoin, ChangeFeed, CorrDedup, DedupOps, Dims, Extended, Ingest, MultimodalOps, Relational, Sessions, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` maps operator names (SURVEY.md §2 inventory) to builders;
@@ -56,6 +56,7 @@ object SparkEntry {
     "q37_kmeans_ivf" -> (SimilarityOps.q37KmeansIvf _),
     "q38_dim_geo" -> (Dims.q38DimGeo _),
     "q39_dim_store" -> (Dims.q39DimStore _),
+    "q40_cdf_scd1" -> (ChangeFeed.q40CdfScd1 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,5 +100,6 @@ object SparkEntry {
     "q37_kmeans_ivf" -> SimilarityOps.q37Oracle,
     "q38_dim_geo" -> Dims.q38Oracle,
     "q39_dim_store" -> Dims.q39Oracle,
+    "q40_cdf_scd1" -> ChangeFeed.q40Oracle,
   )
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Streaming combinators reproducing the reference's streaming operator
@@ -49,6 +50,24 @@ object Streams {
     * sales_aw_silver_layer_dim_customer.py:10-16). */
   def applyChangeFeed(changes: DataFrame): DataFrame =
     changes.filter(col("_change_type").isin("insert", "update_postimage"))
+
+  /** SCD-1 apply (batch form): materialize the CURRENT state of a
+    * dimension from its full change feed — what a Delta `MERGE` driven
+    * by CDF computes. Pre-images never apply; each key resolves to its
+    * highest `_commit_version` change (out-of-order arrivals cannot
+    * regress the row); a key whose latest change is a delete is
+    * suppressed entirely. One hash-shuffle on the key — the same plan
+    * class as the exact-dedup digest groupBy, safe at any corpus size.
+    * Streaming form: [[Scd1.currentState]]. */
+  def scd1Apply(changes: DataFrame, keyCols: Seq[String],
+      versionCol: String = "_commit_version"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    changes
+      .filter(col("_change_type") =!= "update_preimage")
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1 && col("_change_type") =!= "delete")
+      .drop("_rk")
+  }
 
   /** CDF-fed stream-stream inner equi-join (dim_customer shape). The
     * reference omits watermarks here (unbounded state); we require them

@@ -193,6 +193,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(persisted.columns.toSeq == Seq("id", "payload"))
   }
 
+  test("streaming SCD-1 applies latest-version updates and deletes per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ch = MemoryStream[Scd1.Change]
+    val out = Scd1.currentState(spark, ch.toDS())
+    val q = out.writeStream.format("memory").queryName("scd1_out")
+      .outputMode("update").start()
+    // batch 1: insert A, B; update A (higher version wins within batch);
+    // a pre-image that must not apply
+    ch.addData(
+      Scd1.Change(1L, 1L, "A-v1", "insert"),
+      Scd1.Change(1L, 2L, "A-v2-pre", "update_preimage"),
+      Scd1.Change(1L, 2L, "A-v2", "update_postimage"),
+      Scd1.Change(2L, 1L, "B-v1", "insert"))
+    q.processAllAvailable()
+    val s1 = spark.table("scd1_out").as[Scd1.CurrentRow].collect()
+      .groupBy(_.key).view.mapValues(_.maxBy(_.version)).toMap
+    assert(s1(1L) == Scd1.CurrentRow(1L, 2L, "A-v2", deleted = false))
+    assert(s1(2L) == Scd1.CurrentRow(2L, 1L, "B-v1", deleted = false))
+    // batch 2: delete A (applied, emitted as tombstone); stale
+    // out-of-order update for B must NOT regress the row
+    ch.addData(
+      Scd1.Change(1L, 3L, null, "delete"),
+      Scd1.Change(2L, 0L, "B-v0-stale", "update_postimage"))
+    runToCompletion(q)
+    val s2 = spark.table("scd1_out").as[Scd1.CurrentRow].collect()
+      .groupBy(_.key).view.mapValues(_.maxBy(_.version)).toMap
+    assert(s2(1L).deleted && s2(1L).version == 3L)
+    assert(s2(2L) == Scd1.CurrentRow(2L, 1L, "B-v1", deleted = false))
+  }
+
   test("CDF-modeled stream: deletes and pre-images dropped, inner join over post-images (dim_customer shape)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
