@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AsOfJoin, ChangeFeed, CorrDedup, DedupOps, Dims, Extended, Ingest, MultimodalOps, Relational, Sessions, SimilarityOps, TextOps}
+import graft.ops.{AsOfJoin, ChangeFeed, CorrDedup, DedupOps, Dims, Extended, Ingest, MultimodalOps, Noaa, Relational, Sessions, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` maps operator names (SURVEY.md §2 inventory) to builders;
@@ -57,6 +57,10 @@ object SparkEntry {
     "q38_dim_geo" -> (Dims.q38DimGeo _),
     "q39_dim_store" -> (Dims.q39DimStore _),
     "q40_cdf_scd1" -> (ChangeFeed.q40CdfScd1 _),
+    "q41_noaa_stations" -> (Noaa.q41NoaaStations _),
+    "q42_noaa_inventory" -> (Noaa.q42NoaaInventory _),
+    "q43_noaa_timeseries" -> (Noaa.q43NoaaTimeseries _),
+    "q44_noaa_us_metrics" -> (Noaa.q44NoaaUsMetrics _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +105,9 @@ object SparkEntry {
     "q38_dim_geo" -> Dims.q38Oracle,
     "q39_dim_store" -> Dims.q39Oracle,
     "q40_cdf_scd1" -> ChangeFeed.q40Oracle,
+    "q41_noaa_stations" -> Noaa.q41Oracle,
+    "q42_noaa_inventory" -> Noaa.q42Oracle,
+    "q43_noaa_timeseries" -> Noaa.q43Oracle,
+    "q44_noaa_us_metrics" -> Noaa.q44Oracle,
   )
 }

@@ -40,6 +40,27 @@ class RegistrySpec extends AnyFunSuite {
     assert(paths("silver.doubled").endsWith("silver/doubled"))
   }
 
+  test("NOAA bundle is a 4-table DAG: us_metrics builds after its two deps") {
+    val reg = new Registry
+    NoaaPipelines.register(reg)
+    val order = reg.topoOrder(external = Set("src.customer", "src.nation", "src.events"))
+    assert(order.size == 4)
+    assert(order.indexOf("noaa.us_metrics") > order.indexOf("noaa.stations"))
+    assert(order.indexOf("noaa.us_metrics") > order.indexOf("noaa.timeseries"))
+    val out = reg.materializeAll(spark,
+      name => graft.Tables.load(spark, TestSpark.sfDir, name.stripPrefix("src.")))
+    assert(out("noaa.stations").count() ==
+      graft.Tables.load(spark, TestSpark.sfDir, "customer").count())
+    assert(out("noaa.inventory").count() > 0)
+    // every element of the 10-branch decode is populated
+    assert(out("noaa.timeseries").select("element").distinct().count() == 10)
+    // the US filter keeps only US-prefixed stations with a state
+    import spark.implicits._
+    val us = out("noaa.us_metrics")
+    assert(us.count() > 0)
+    assert(us.select("station_id").as[String].collect().forall(_.startsWith("US")))
+  }
+
   test("topoOrder rejects cycles") {
     val reg = new Registry
     reg.register(TableDef("a", "", Seq("b"), (_, r) => r("b")))
