@@ -16,10 +16,8 @@ object Sessions {
     * sessions, then one aggregation per (user, session). Two window
     * passes over the same (user, ts) partitioning — Catalyst reuses the
     * single sort+shuffle, so the whole operator costs one exchange. */
-  def q31SessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+  def sessionizeBatch(ev: DataFrame, gapMs: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    val gapMs = 30 * 60 * 1000L
     val marked = ev
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
@@ -32,8 +30,14 @@ object Sessions {
       .agg(
         count(lit(1)).as("n_events"),
         Exact.sumFixed(col("value"), 2).as("session_value"),
-        to_date(min(col("ts"))).as("session_date"))
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
   }
+
+  def q31SessionizeBatch(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBatch(Tables.load(spark, dir, "events"), gapMs = 30 * 60 * 1000L)
+      .select(col("user_id"), col("session_no"), col("n_events"),
+        col("session_value"), to_date(col("session_start")).as("session_date"))
 
   val q31Oracle: String =
     s"""WITH marked AS (

@@ -37,19 +37,32 @@ object Sessionize {
               userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
               s.events, s.total))
           } else {
-            val evs = batch.toSeq
-            val prev = state.getOption
-            val minTs = evs.map(_.ts.getTime).min
-            val maxTs = evs.map(_.ts.getTime).max
-            val next = prev match {
-              case Some(s) => SessionState(
-                math.min(s.start, minTs), math.max(s.lastSeen, maxTs),
-                s.events + evs.size, s.total + evs.map(_.value).sum)
-              case None => SessionState(minTs, maxTs, evs.size, evs.map(_.value).sum)
+            // Walk the batch in event-time order, splitting at every
+            // >gap step — a micro-batch carrying several sessions'
+            // events must close all but the trailing one immediately,
+            // or the operator diverges from the batch gap rule
+            // (EquivalenceSpec pins this equivalence).
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMillis =>
+                  cur = Some(SessionState(
+                    s.start, math.max(s.lastSeen, t), s.events + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.events, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
-            state.update(next)
-            state.setTimeoutTimestamp(next.lastSeen + gapMillis)
-            Iterator.empty
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMillis)
+            }
+            closed.result().iterator
           }
       }
   }

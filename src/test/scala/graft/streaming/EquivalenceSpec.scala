@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch/streaming equivalence: the batch operators and their streaming
+  * twins must agree on the same input — the closest the harness can get
+  * to oracle-checking streaming semantics (streaming plans aren't
+  * expressible as a DuckDB batch query, SURVEY.md §5.2).
+  */
+class EquivalenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("batch gap-rule sessionization equals streaming flatMapGroupsWithState sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two users; user 1 has two sessions split by a >2min gap
+    val fixture = Seq(
+      (1L, 1L, ts(0), 10.0), (2L, 1L, ts(1), 5.0), (3L, 2L, ts(0), 7.0),
+      (4L, 1L, ts(10), 2.0), (5L, 1L, ts(11), 3.0))
+    val gapMs = 2 * 60 * 1000L
+
+    val batch = graft.ops.Sessions.sessionizeBatch(
+      fixture.toDF("event_id", "user_id", "ts", "value"), gapMs)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+
+    val ev = MemoryStream[Sessionize.Event]
+    val out = Sessionize.sessions(spark, ev.toDS(), gapMs)
+    val q = out.writeStream.format("memory").queryName("equiv_sess")
+      .outputMode("append").start()
+    ev.addData(fixture.map(f => Sessionize.Event(f._2, f._3, f._4)): _*)
+    q.processAllAvailable()
+    ev.addData(Sessionize.Event(99L, ts(120), 0.0)) // flush watermark
+    q.processAllAvailable()
+    ev.addData(Sessionize.Event(99L, ts(240), 0.0))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val streaming = spark.table("equiv_sess").as[Sessionize.Session].collect()
+      .filter(_.user_id != 99L)
+      .map(s => (s.user_id, s.session_start, s.session_end,
+        s.n_events.toLong, s.total_value)).toSet
+
+    assert(batch.nonEmpty && batch == streaming)
+  }
+
+  test("batch interval left join equals the streaming interval join after watermark flush") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val custRows = Seq((1, 100, ts(10)), (2, 200, ts(10)), (3, 300, ts(10)))
+    val storeRows = Seq((100, "InBand", ts(11)), (200, "OutOfBand", ts(15)))
+
+    val bc = custRows.toDF("customer_id", "store_fk", "c_time")
+    val bs = storeRows.toDF("store_id", "store_name", "s_time")
+    val batch = bc.join(bs,
+      col("store_fk") === col("store_id") &&
+        col("s_time") >= col("c_time") - expr("interval 2 minutes") &&
+        col("s_time") <= col("c_time") + expr("interval 2 minutes"),
+      "left_outer")
+      .select(col("customer_id"), col("store_name"))
+      .as[(Int, Option[String])].collect().toSet
+
+    val cust = MemoryStream[(Int, Int, Timestamp)]
+    val store = MemoryStream[(Int, String, Timestamp)]
+    val joined = Streams.intervalJoinLeft(
+      Streams.watermarked(cust.toDF().toDF("customer_id", "store_fk", "c_time"), "c_time"),
+      Streams.watermarked(store.toDF().toDF("store_id", "store_name", "s_time"), "s_time"),
+      col("store_fk") === col("store_id"), "c_time", "s_time",
+      "2 minutes", "2 minutes")
+      .select(col("customer_id"), col("store_name"))
+    val q = joined.writeStream.format("memory").queryName("equiv_store")
+      .outputMode("append").start()
+    cust.addData(custRows: _*)
+    store.addData(storeRows: _*)
+    q.processAllAvailable()
+    cust.addData((99, 999, ts(60))); store.addData((999, "flush", ts(60)))
+    q.processAllAvailable()
+    cust.addData((98, 998, ts(120))); store.addData((998, "flush2", ts(120)))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val streaming = spark.table("equiv_store").as[(Int, Option[String])].collect()
+      .filter(_._1 <= 3).toSet
+
+    assert(batch == streaming)
+  }
+}
