@@ -271,7 +271,9 @@ object SimilarityOps {
     var cents = seedCentroids(emb)
     for (_ <- 0 until iters) {
       val assigned = ivfAssignments(emb, cents)
-      cents = assigned.join(emb, "vec_id")
+      // broadcast the (vec_id, cell_id) assignment so the vector table
+      // never shuffles during training — only the 8-group update does
+      cents = emb.join(broadcast(assigned), "vec_id")
         .groupBy(col("cell_id"))
         .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ms"),
           count(lit(1)).as("cnt"))
