@@ -96,6 +96,35 @@ object EngineProps extends Properties("graft.kernels") {
       }
     }
 
+  private val docText: Gen[String] =
+    Gen.listOf(Gen.frequency(8 -> Gen.alphaLowerChar, 1 -> Gen.alphaUpperChar,
+      2 -> Gen.const(' '))).map(_.mkString)
+
+  property("tokenBucketCounts total equals the non-empty token count") =
+    forAll(docText) { s =>
+      val counts = graft.functions.CorrUtil
+        .bucketCounts(UTF8String.fromString(s), 256).toLongArray
+      val tokens = s.toLowerCase.split("\\s+").count(_.nonEmpty)
+      counts.sum == tokens && counts.forall(_ >= 0)
+    }
+
+  property("tokenBucketCounts is case-insensitive and word-order-invariant") =
+    forAll(tokens) { ts =>
+      def v(l: List[String]) = graft.functions.CorrUtil
+        .bucketCounts(UTF8String.fromString(l.mkString(" ")), 256).toLongArray.toSeq
+      v(ts) == v(scala.util.Random.shuffle(ts).map(_.toUpperCase))
+    }
+
+  property("lsh band keys are deterministic and stay in their band's keyspace") =
+    forAll(Gen.listOfN(256, Gen.chooseNum(0L, 50L))) { cs =>
+      val cnt = new GenericArrayData(cs.toArray)
+      val hmu = new GenericArrayData(Array.fill(192)(0.0))
+      def keys = graft.functions.CorrUtil.bandKeys(cnt, hmu, 42L, 16, 12).toLongArray
+      val k1 = keys
+      k1.toSeq == keys.toSeq &&
+        k1.zipWithIndex.forall { case (k, b) => (k >> 12) == b && (k & 0xfffL) >= 0 }
+    }
+
   property("fixed-point units round-trip cents exactly") =
     forAll(Gen.chooseNum(-9999999L, 9999999L)) { cents =>
       val d = cents / 100.0
