@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AsOfJoin, ChangeFeed, CorrDedup, DedupOps, Dims, Extended, Ingest, MultimodalOps, Noaa, Relational, Sessions, SimilarityOps, TextOps}
+import graft.ops.{AsOfJoin, ChangeFeed, CorrDedup, Curation, DedupOps, Dims, Extended, Ingest, MultimodalOps, Noaa, Relational, Sessions, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` maps operator names (SURVEY.md §2 inventory) to builders;
@@ -61,6 +61,8 @@ object SparkEntry {
     "q42_noaa_inventory" -> (Noaa.q42NoaaInventory _),
     "q43_noaa_timeseries" -> (Noaa.q43NoaaTimeseries _),
     "q44_noaa_us_metrics" -> (Noaa.q44NoaaUsMetrics _),
+    "q45_stratified_sample" -> (Curation.q45StratifiedSample _),
+    "q46_contamination" -> (Curation.q46Contamination _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,5 +111,7 @@ object SparkEntry {
     "q42_noaa_inventory" -> Noaa.q42Oracle,
     "q43_noaa_timeseries" -> Noaa.q43Oracle,
     "q44_noaa_us_metrics" -> Noaa.q44Oracle,
+    "q45_stratified_sample" -> Curation.q45Oracle,
+    "q46_contamination" -> Curation.q46Oracle,
   )
 }

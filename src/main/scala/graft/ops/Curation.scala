@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data curation operators: deterministic splits/sampling and
+  * cross-split contamination detection — the two steps between "corpus"
+  * and "training set" that every LLM data pipeline runs after dedup.
+  */
+object Curation {
+
+  /** Uniform deterministic hash of the doc id — the md5 hex string.
+    * Hash-derived ordering and bucketing are reproducible across
+    * engines, runs, and cluster layouts (unlike rand(seed), which
+    * depends on partitioning). */
+  private def docHash(id: Column): Column = md5(id.cast("string"))
+
+  /** q45: train/val/test assignment + per-(source, split) hash-ranked
+    * stratified sample. The split is a pure projection (first hex
+    * nibble: 12/16 train, 2/16 val, 2/16 test); the sample takes the
+    * `SampleQuota` hash-smallest docs of each stratum, so growing the
+    * corpus only ever ADDS strata members deterministically — resample
+    * stability, the property curation pipelines need for incremental
+    * corpus refreshes. One window shuffle on (source, split). */
+  val SampleQuota = 25
+
+  def q45StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val h = docHash(col("doc_id"))
+    val split = when(substring(h, 1, 1).between("0", "b"), "train")
+      .when(substring(h, 1, 1).isin("c", "d"), "val")
+      .otherwise("test")
+    val w = Window.partitionBy(col("source"), col("split"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col("source"), h.as("h"), split.as("split"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= SampleQuota)
+      .select(col("doc_id"), col("source"), col("split"), col("sample_rank"))
+  }
+
+  val q45Oracle: String =
+    s"""WITH tagged AS (
+       |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+       |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT doc_id, source, split, sample_rank FROM (
+       |  SELECT doc_id, source, split,
+       |    row_number() OVER (PARTITION BY source, split
+       |                       ORDER BY h ASC, doc_id ASC) AS sample_rank
+       |  FROM tagged) t
+       |WHERE sample_rank <= $SampleQuota""".stripMargin
+
+  /** q46: test-set contamination — (test doc, train doc) pairs sharing
+    * word 5-grams, with the shared-shingle count. The join is an
+    * inverted index on the shingle STRING (5-grams are selective enough
+    * that no prefix filtering is needed at overlap-threshold 1, which
+    * is what contamination means); both sides come from one scan, and
+    * the shuffle carries (shingle → doc) postings like a search index
+    * build. Any hit is a leak: a training document that shares a
+    * 13-gram-class phrase with an evaluation document. */
+  def q46Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val h = docHash(col("doc_id"))
+    val split = when(substring(h, 1, 1).between("0", "b"), "train")
+      .when(substring(h, 1, 1).isin("c", "d"), "val")
+      .otherwise("test")
+    val toks = docs
+      .select(col("doc_id"), split.as("split"),
+        graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 5)
+    val sh = toks.select(col("doc_id"), col("split"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("w")) - 4),
+        i => concat_ws(" ",
+          element_at(col("w"), i), element_at(col("w"), i + lit(1)),
+          element_at(col("w"), i + lit(2)), element_at(col("w"), i + lit(3)),
+          element_at(col("w"), i + lit(4)))))).as("shingle"))
+    val test = sh.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc_id"), col("shingle"))
+    val train = sh.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc_id"), col("shingle"))
+    test.join(train, "shingle")
+      .groupBy(col("test_doc_id"), col("train_doc_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  val q46Oracle: String =
+    """WITH tagged AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, split, string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM tagged WHERE split <> 'val'
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, split, shingle FROM (
+      |    SELECT doc_id, split,
+      |      unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      |              for i in generate_series(1, len(w) - 4)]) AS shingle
+      |    FROM toks WHERE len(w) >= 5))
+      |SELECT a.doc_id AS test_doc_id, b.doc_id AS train_doc_id,
+      |  count(*) AS shared_ngrams
+      |FROM sh a JOIN sh b ON a.shingle = b.shingle
+      |WHERE a.split = 'test' AND b.split = 'train'
+      |GROUP BY 1, 2""".stripMargin
+}

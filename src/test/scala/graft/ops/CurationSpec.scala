@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stratified sample is deterministic, quota-bounded, and split-consistent") {
+    val a = Curation.q45StratifiedSample(spark, TestSpark.sfDir)
+      .as[(Long, String, String, Long)].collect().toSet
+    val b = Curation.q45StratifiedSample(spark, TestSpark.sfDir)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(a == b, "hash-derived sampling must not depend on run/partitioning")
+    assert(a.nonEmpty)
+    assert(a.forall(_._4 <= Curation.SampleQuota))
+    // a doc appears in exactly one (split, rank) slot
+    assert(a.groupBy(_._1).forall(_._2.size == 1))
+    assert(a.map(_._3).subsetOf(Set("train", "val", "test")))
+  }
+
+  test("contamination pairs really share a 5-gram across the split boundary") {
+    val pairs = Curation.q46Contamination(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty, "corpus near-dups should straddle the split")
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def grams(s: String): Set[String] = {
+      val w = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      w.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }
+    pairs.foreach { case (test_, train, n) =>
+      val shared = grams(docs(test_)).intersect(grams(docs(train)))
+      assert(shared.size.toLong == n, s"pair ($test_, $train)")
+    }
+  }
+}
