@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import graft.functions.{DotProduct, MinHashSig, RollingMinHash, SimHash64}
+import graft.functions.{DotProduct, HashedShingles, MinHashSig, RollingMinHash, SimHash64, TokenBucketCounts}
 
 /** Registers the engine's custom expressions as SQL functions, both via
   * the SparkSessionExtensions injection point
@@ -35,7 +35,11 @@ object GraftExtensions {
       RollingMinHash(args(0), intArg(args(1), "rolling_min_hash window"))),
     "minhash_sig" -> (args =>
       MinHashSig(args(0), intArg(args(1), "minhash_sig k"))),
-    "simhash64" -> (args => SimHash64(args(0))))
+    "simhash64" -> (args => SimHash64(args(0))),
+    "hashed_shingles" -> (args =>
+      HashedShingles(args(0), intArg(args(1), "hashed_shingles k"))),
+    "token_bucket_counts" -> (args =>
+      TokenBucketCounts(args(0), intArg(args(1), "token_bucket_counts dim"))))
 
   /** Registers the same functions on an already-built session. */
   def registerFunctions(spark: SparkSession): Unit =

@@ -27,6 +27,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("rh") > 0L)
   }
 
+  test("hashed_shingles / token_bucket_counts work from SQL") {
+    import spark.implicits._
+    Seq("alpha beta gamma delta").toDF("s").createOrReplaceTempView("ext_t2")
+    val row = spark.sql(
+      """SELECT size(hashed_shingles(s, 3)) AS ns,
+        |       aggregate(token_bucket_counts(s, 64), 0L, (a, x) -> a + x) AS total
+        |FROM ext_t2""".stripMargin).head
+    assert(row.getAs[Int]("ns") == 2) // two 3-gram shingles of 4 tokens
+    assert(row.getAs[Long]("total") == 4L) // four tokens counted
+  }
+
   test("registerAll exposes every test table to spark.sql") {
     graft.Tables.registerAll(spark, TestSpark.sfDir)
     val row = spark.sql(
