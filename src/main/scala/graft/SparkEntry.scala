@@ -63,6 +63,7 @@ object SparkEntry {
     "q44_noaa_us_metrics" -> (Noaa.q44NoaaUsMetrics _),
     "q45_stratified_sample" -> (Curation.q45StratifiedSample _),
     "q46_contamination" -> (Curation.q46Contamination _),
+    "q47_repetition" -> (Curation.q47Repetition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,5 +114,6 @@ object SparkEntry {
     "q44_noaa_us_metrics" -> Noaa.q44Oracle,
     "q45_stratified_sample" -> Curation.q45Oracle,
     "q46_contamination" -> Curation.q46Oracle,
+    "q47_repetition" -> Curation.q47Oracle,
   )
 }

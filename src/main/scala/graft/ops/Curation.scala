@@ -89,6 +89,68 @@ object Curation {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** q47: within-document repetition signals (the Gopher repetition
+    * filters): duplicate-word fraction, most-frequent-word share, and
+    * the same two over word 2-grams. All four are ratios of exact
+    * integer counts, so the doubles hash-compare. Shape: one explode +
+    * two-level aggregation per granularity — the shuffle carries
+    * (doc, term) partial counts, never raw text. */
+  def q47Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+
+    def stats(term: Column, suffix: String) = {
+      toks.select(col("doc_id"), explode(term).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"total_$suffix"),
+          count(lit(1)).as(s"distinct_$suffix"),
+          max(col("c")).as(s"top_$suffix"))
+    }
+
+    val grams2 = transform(sequence(lit(1), size(col("w")) - 1),
+      i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + lit(1))))
+    stats(col("w"), "words").join(stats(grams2, "grams"), "doc_id")
+      .select(col("doc_id"), col("total_words"),
+        (lit(1.0) - col("distinct_words") * lit(1.0) / col("total_words"))
+          .as("dup_word_frac"),
+        (col("top_words") * lit(1.0) / col("total_words")).as("top_word_frac"),
+        (lit(1.0) - col("distinct_grams") * lit(1.0) / col("total_grams"))
+          .as("dup_2gram_frac"),
+        (col("top_grams") * lit(1.0) / col("total_grams")).as("top_2gram_frac"))
+  }
+
+  val q47Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+      |), wstats AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_words,
+      |    count(*) AS distinct_words, max(c) AS top_words
+      |  FROM (
+      |    SELECT doc_id, t, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(w) AS t FROM toks) u
+      |    GROUP BY doc_id, t) x
+      |  GROUP BY doc_id
+      |), gstats AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_grams,
+      |    count(*) AS distinct_grams, max(c) AS top_grams
+      |  FROM (
+      |    SELECT doc_id, g AS t, count(*) AS c FROM (
+      |      SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+      |                             for i in generate_series(1, len(w) - 1)]) AS g
+      |      FROM toks) y
+      |    GROUP BY doc_id, g) x
+      |  GROUP BY doc_id)
+      |SELECT w.doc_id, w.total_words,
+      |  1.0 - w.distinct_words * 1.0 / w.total_words AS dup_word_frac,
+      |  w.top_words * 1.0 / w.total_words AS top_word_frac,
+      |  1.0 - g.distinct_grams * 1.0 / g.total_grams AS dup_2gram_frac,
+      |  g.top_grams * 1.0 / g.total_grams AS top_2gram_frac
+      |FROM wstats w JOIN gstats g ON w.doc_id = g.doc_id""".stripMargin
+
   val q46Oracle: String =
     """WITH tagged AS (
       |  SELECT doc_id, text,
