@@ -60,6 +60,20 @@ class DedupSpec extends AnyFunSuite {
     assert(found == exhaustive)
   }
 
+  test("q35 pipeline handles empty documents (zero vectors pair as identical)") {
+    // empty docs are maximally average: centered vectors equal -mean,
+    // so two of them correlate at exactly 1.0 and must pair up; they
+    // must not pair with substantive docs
+    val docs = (Seq((1L, ""), (2L, "   ")) ++ (3L to 20L).map(i =>
+      (i, s"substantive document $i about topic${i * 3} item${i * 7} thing${i * 11}")))
+      .toDF("doc_id", "text")
+    val found = CorrDedup.corrNearDup(docs)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 2L)))
+    assert(!found.exists(p => (p._1 <= 2L) != (p._2 <= 2L)),
+      "empty docs must not pair with substantive ones")
+  }
+
   test("connected components resolves a long path graph across convergence blocks") {
     // a 65-node path needs several large/small-star rounds (> one
     // convergence block of 2) before contracting to a single star
