@@ -64,6 +64,7 @@ object SparkEntry {
     "q45_stratified_sample" -> (Curation.q45StratifiedSample _),
     "q46_contamination" -> (Curation.q46Contamination _),
     "q47_repetition" -> (Curation.q47Repetition _),
+    "q48_length_profile" -> (Curation.q48LengthProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -115,5 +116,6 @@ object SparkEntry {
     "q45_stratified_sample" -> Curation.q45Oracle,
     "q46_contamination" -> Curation.q46Oracle,
     "q47_repetition" -> Curation.q47Oracle,
+    "q48_length_profile" -> Curation.q48Oracle,
   )
 }

@@ -151,6 +151,57 @@ object Curation {
       |  g.top_grams * 1.0 / g.total_grams AS top_2gram_frac
       |FROM wstats w JOIN gstats g ON w.doc_id = g.doc_id""".stripMargin
 
+  /** q48: per-source corpus length profile — count/min/max/mean plus
+    * NEAREST-RANK percentiles (median, p90). Nearest-rank (value at
+    * row_number ceil(p·n) in (n_chars, doc_id) order) is chosen over
+    * interpolated percentiles deliberately: it is pure integer
+    * indexing, so any two engines agree bitwise, and at corpus scale
+    * it is one sort-shuffle per stratum instead of a global sort.
+    * Mean is the exact integer sum with one final double division. */
+  def q48LengthProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val stats = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      sum(col("n_chars")).as("sum_chars"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val ranked = docs
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+    def atRank(p: Double, name: String) =
+      ranked.join(stats.select(col("source"), col("n_docs")), "source")
+        .filter(col("rk") === ceil(col("n_docs") * p).cast("long"))
+        .select(col("source"), col("n_chars").as(name))
+    stats
+      .join(atRank(0.5, "median_chars"), "source")
+      .join(atRank(0.9, "p90_chars"), "source")
+      .select(col("source"), col("n_docs"), col("min_chars"), col("max_chars"),
+        (col("sum_chars") * lit(1.0) / col("n_docs")).as("mean_chars"),
+        col("median_chars"), col("p90_chars"))
+  }
+
+  val q48Oracle: String =
+    """WITH stats AS (
+      |  SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars,
+      |    max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY source
+      |), ranked AS (
+      |  SELECT source, n_chars, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars ASC, doc_id ASC) AS rk
+      |  FROM documents)
+      |SELECT s.source, s.n_docs, s.min_chars, s.max_chars,
+      |  s.sum_chars * 1.0 / s.n_docs AS mean_chars,
+      |  med.n_chars AS median_chars,
+      |  p90.n_chars AS p90_chars
+      |FROM stats s
+      |JOIN ranked med ON med.source = s.source
+      |  AND med.rk = CAST(ceil(s.n_docs * 0.5) AS BIGINT)
+      |JOIN ranked p90 ON p90.source = s.source
+      |  AND p90.rk = CAST(ceil(s.n_docs * 0.9) AS BIGINT)""".stripMargin
+
   val q46Oracle: String =
     """WITH tagged AS (
       |  SELECT doc_id, text,
