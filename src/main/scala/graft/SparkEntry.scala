@@ -94,8 +94,10 @@ object SparkEntry {
     "q24_json_extract" -> Ingest.q24Oracle,
     "q25_embed_neardup" -> DedupOps.q25Oracle,
     "q26_frame_sample" -> MultimodalOps.q26Oracle,
-    // q20_simhash, q22_ann_lsh: xxhash64/seeded-hyperplane outputs are not
-    // SQL-expressible in DuckDB -> rows-only check; semantics in ScalaTest.
+    "q20_simhash" -> DedupOps.q20Oracle,
+    "q22_ann_lsh" -> SimilarityOps.q22Oracle,
+    // q30_hll_distinct stays rows-only: the xxhash64-based HLL sketch is
+    // not SQL-expressible in DuckDB; accuracy/merge semantics in HllSpec.
     "q27_ivf_assign" -> SimilarityOps.q27Oracle,
     "q28_global_topk" -> Extended.q28Oracle,
     "q29_asof_join" -> AsOfJoin.q29Oracle,

@@ -23,6 +23,8 @@ object CorrUtil {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  private[functions] def md5Digest(): MessageDigest = md5Local.get()
+
   /** Token → bucket in [0, dim): the 2nd and 3rd hex chars of
     * md5(token). Chosen because DuckDB reproduces it verbatim
     * (`strpos('0123456789abcdef', substring(md5(t), 2, 1))` etc.), so
@@ -92,6 +94,50 @@ object CorrUtil {
     }
     new GenericArrayData(out)
   }
+}
+
+object SimHashMd5Util {
+  /** 64-bit SimHash over md5 token hashes (first 8 digest bytes,
+    * big-endian; ±1 vote per bit with multiplicity; bit set when votes
+    * are positive). md5 instead of xxhash64 makes the value
+    * oracle-expressible: DuckDB rebuilds the same bits nibble-wise. */
+  def simHash(tokens: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val d = CorrUtil.md5Digest()
+    var t = 0
+    while (t < tokens.numElements()) {
+      d.reset()
+      val h = d.digest(tokens.getUTF8String(t).getBytes)
+      var hv = 0L
+      var j = 0
+      while (j < 8) { hv = (hv << 8) | (h(j) & 0xffL); j += 1 }
+      var i = 0
+      while (i < 64) {
+        if (((hv >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+}
+
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    SimHashMd5Util.simHash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashMd5Util.simHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
+object SimHashMd5 {
+  def apply(c: Column): Column =
+    ColumnBridge.toColumn(SimHashMd5(ColumnBridge.toExpression(c)))
 }
 
 case class TokenBucketCounts(child: Expression, dim: Int) extends UnaryExpression {

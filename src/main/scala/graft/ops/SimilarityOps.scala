@@ -100,6 +100,23 @@ object SimilarityOps {
     Array.fill(bits, dim)(rnd.nextGaussian())
   }
 
+  /** md5-derived uniform hyperplanes: component (k, i) is the first
+    * 4 hex nibbles of md5("plane_k_i") scaled to [-0.5, 0.5). Two
+    * properties make these the ORACLE-CHECKABLE choice over seeded
+    * Gaussians: DuckDB computes the identical md5, and v/65536 − 0.5
+    * is an exactly-representable double (power-of-two denominator), so
+    * the sign of every projection matches bit-for-bit across engines.
+    * Any symmetric component distribution gives valid sign-LSH. */
+  def hyperplanesMd5(bits: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits, dim) { (k, i) =>
+      md.reset()
+      val h = md.digest(s"plane_${k}_$i".getBytes("UTF-8"))
+      val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff) // first 4 hex nibbles
+      v.toDouble / 65536.0 - 0.5
+    }
+  }
+
   /** IVF (inverted-file) coarse quantization: assign every vector to
     * its nearest of `nCells` centroids (here: the first nCells vectors
     * as deterministic seeds — a real deployment would k-means them).
@@ -343,11 +360,11 @@ object SimilarityOps {
 
   /** Sign-LSH bucketing: 16 hyperplane sign bits → bucket id. Vectors
     * with high cosine land in the same bucket with high probability;
-    * ANN then probes only the query's bucket. Output is (vec_id,
-    * bucket, bucket_size) — rows-only check (driver), semantics
-    * asserted in SimilaritySpec against brute force. */
+    * ANN then probes only the query's bucket. The hyperplanes are
+    * md5-derived (hyperplanesMd5), so the oracle rebuilds the exact
+    * planes and the bucket assignment is hash-checked — not rows-only. */
   def q22AnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val planes = hyperplanes(bits = 16, dim = 64)
+    val planes = hyperplanesMd5(bits = 16, dim = 64)
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val bucket = (0 until planes.length).map { i =>
@@ -360,4 +377,33 @@ object SimilarityOps {
     withBucket.join(broadcast(sizes), "bucket")
       .select(col("vec_id"), col("bucket"), col("bucket_size"))
   }
+
+  /** Rebuilds the md5-derived hyperplanes in SQL and replays the sign
+    * bits with the same sequential-fold dot product. */
+  val q22Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), pc AS (
+      |  SELECT k, i,
+      |    ((strpos('0123456789abcdef', substring(md5('plane_' || k || '_' || i), 1, 1)) - 1) * 4096
+      |     + (strpos('0123456789abcdef', substring(md5('plane_' || k || '_' || i), 2, 1)) - 1) * 256
+      |     + (strpos('0123456789abcdef', substring(md5('plane_' || k || '_' || i), 3, 1)) - 1) * 16
+      |     + strpos('0123456789abcdef', substring(md5('plane_' || k || '_' || i), 4, 1)) - 1
+      |    ) / 65536.0 - 0.5 AS c
+      |  FROM generate_series(0, 15) s(k), generate_series(0, 63) t(i)
+      |), planes AS (
+      |  SELECT k, list(c ORDER BY i) AS p FROM pc GROUP BY k
+      |), bits AS (
+      |  SELECT e.vec_id,
+      |    CASE WHEN list_reduce(list_prepend(0.0,
+      |           list_transform(list_zip(e.v, pl.p), q -> q[1] * q[2])),
+      |           (a, b) -> a + b) >= 0.0
+      |         THEN CAST(1 AS BIGINT) << pl.k ELSE 0 END AS bit
+      |  FROM e, planes pl
+      |), bucketed AS (
+      |  SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)
+      |SELECT vec_id, bucket, bucket_size FROM bucketed
+      |JOIN (SELECT bucket, count(*) AS bucket_size FROM bucketed GROUP BY 1)
+      |USING (bucket)""".stripMargin
 }

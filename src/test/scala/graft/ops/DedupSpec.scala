@@ -92,6 +92,22 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("md5 simhash (q20) of near-identical docs differs in few bits") {
+    val base = "spark shuffles partition data across executors during wide transformations " +
+      "and the optimizer prunes columns predicates and partitions before the scan"
+    val docs = Seq(
+      (1L, base), (2L, base.replace("prunes", "removes")),
+      (3L, "completely different content about cooking recipes and garden furniture " +
+        "with nothing shared at all in vocabulary or structure or intent"))
+      .toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      graft.functions.SimHashMd5(graft.functions.TextFunctions.wsTokens(col("text"))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+    assert(hamming(sh(1L), sh(2L)) <= 8)
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val base = "spark shuffles partition data across executors during wide transformations " +
       "and the optimizer prunes columns predicates and partitions before the scan"
