@@ -65,6 +65,7 @@ object SparkEntry {
     "q46_contamination" -> (Curation.q46Contamination _),
     "q47_repetition" -> (Curation.q47Repetition _),
     "q48_length_profile" -> (Curation.q48LengthProfile _),
+    "q49_hll_registers" -> (Curation.q49HllRegisters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -119,5 +120,6 @@ object SparkEntry {
     "q46_contamination" -> Curation.q46Oracle,
     "q47_repetition" -> Curation.q47Oracle,
     "q48_length_profile" -> Curation.q48Oracle,
+    "q49_hll_registers" -> Curation.q49Oracle,
   )
 }

@@ -182,6 +182,46 @@ object Curation {
         col("median_chars"), col("p90_chars"))
   }
 
+  /** q49: the HLL sketch's REGISTER STATE, exactly — per (event_type,
+    * bucket) the max leading-zero rank over md5-derived 60-bit element
+    * hashes. The q30 estimate can never hash-compare (ln() differs in
+    * the last ulp across libms), but the registers are pure integer
+    * state: max-merge is commutative/associative (the partition-
+    * invariance that makes sketches work on 1000 executors), and both
+    * engines rebuild identical hashes from md5 nibbles. The rank is a
+    * generated integer CASE chain (no floating log2), emitted as the
+    * SAME SQL text to Spark (expr) and DuckDB — one dialect swap,
+    * instr vs strpos. */
+  val HllP = 10 // 2^10 buckets; 50 hash bits feed the rank
+
+  private def hllRegisterSql(posFn: String): String = {
+    // Horner-assembled 60-bit hash from the first 15 md5 nibbles
+    // (accumulator starts as BIGINT — the int positions overflow 32 bits)
+    val nibs = (0 until 15)
+      .map(j => s"($posFn('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${j + 1}, 1)) - 1)")
+    val h = nibs.tail.foldLeft(s"CAST(${nibs.head} AS BIGINT)")(
+      (acc, nib) => s"($acc * 16 + $nib)")
+    val wBits = 60 - HllP
+    // rank = (leading zeros of the low wBits bits) + 1, via integer compares
+    val rank = (1 to wBits)
+      .map(k => s"WHEN w >= ${1L << (wBits - k)} THEN $k")
+      .mkString("CASE ", " ", s" ELSE ${wBits + 1} END") // w = 0 → wBits + 1
+    s"""SELECT event_type, bucket, max(rank) AS max_rank FROM (
+       |  SELECT event_type, h // ${1L << wBits} AS bucket,
+       |    $rank AS rank
+       |  FROM (SELECT event_type, $h AS h, ($h % ${1L << wBits}) AS w
+       |        FROM events) x) y
+       |GROUP BY event_type, bucket""".stripMargin
+  }
+
+  def q49HllRegisters(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(hllRegisterSql("instr").replace(" // ", " div ")
+      .replace("AS VARCHAR", "AS STRING"))
+  }
+
+  val q49Oracle: String = hllRegisterSql("strpos")
+
   val q48Oracle: String =
     """WITH stats AS (
       |  SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars,
