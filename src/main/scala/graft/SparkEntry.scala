@@ -66,6 +66,7 @@ object SparkEntry {
     "q47_repetition" -> (Curation.q47Repetition _),
     "q48_length_profile" -> (Curation.q48LengthProfile _),
     "q49_hll_registers" -> (Curation.q49HllRegisters _),
+    "q50_pii_scrub" -> (Curation.q50PiiScrub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -121,5 +122,6 @@ object SparkEntry {
     "q47_repetition" -> Curation.q47Oracle,
     "q48_length_profile" -> Curation.q48Oracle,
     "q49_hll_registers" -> Curation.q49Oracle,
+    "q50_pii_scrub" -> Curation.q50Oracle,
   )
 }

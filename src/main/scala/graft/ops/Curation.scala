@@ -151,6 +151,43 @@ object Curation {
       |  g.top_grams * 1.0 / g.total_grams AS top_2gram_frac
       |FROM wstats w JOIN gstats g ON w.doc_id = g.doc_id""".stripMargin
 
+  /** q50: PII/URL scrubbing — the safety pass an LLM corpus runs before
+    * training: redact emails, URLs, and long digit runs (phone/account
+    * numbers), emitting the scrubbed text plus per-category redaction
+    * counts (count first, then replace — pure codegen'd regex work on
+    * the scan, no UDFs; the regexes avoid lookarounds and anchors that
+    * diverge between RE2-style engines). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val DigitRunRe = "[0-9]{7,}"
+
+  def q50PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    def hits(re: String) =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"),
+      hits(EmailRe).as("n_emails"),
+      hits(UrlRe).as("n_urls"),
+      hits(DigitRunRe).as("n_digit_runs"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        DigitRunRe, "<NUM>").as("scrubbed_text"))
+  }
+
+  val q50Oracle: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '$DigitRunRe')) AS BIGINT) AS n_digit_runs,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$UrlRe', '<URL>', 'g'),
+       |    '$DigitRunRe', '<NUM>', 'g') AS scrubbed_text
+       |FROM documents""".stripMargin
+
   /** q48: per-source corpus length profile — count/min/max/mean plus
     * NEAREST-RANK percentiles (median, p90). Nearest-rank (value at
     * row_number ceil(p·n) in (n_chars, doc_id) order) is chosen over

@@ -20,6 +20,26 @@ class CurationSpec extends AnyFunSuite {
     assert(a.map(_._3).subsetOf(Set("train", "val", "test")))
   }
 
+  test("PII scrub redacts planted emails, URLs, and digit runs") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "contact bob@example.com or visit https://example.com/x?q=1 ref 12345678"),
+      (2L, "nothing sensitive here at all"))
+      .toDF("doc_id", "text")
+    def hits(re: String) = size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    val scrubbed = docs.select(col("doc_id"),
+      hits(Curation.EmailRe).as("e"), hits(Curation.UrlRe).as("u"),
+      hits(Curation.DigitRunRe).as("d"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        Curation.EmailRe, "<EMAIL>"), Curation.UrlRe, "<URL>"),
+        Curation.DigitRunRe, "<NUM>").as("t"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map { case (id, e, u, d, t) => id -> ((e, u, d, t)) }.toMap
+    assert(scrubbed(1L)._1 == 1 && scrubbed(1L)._2 == 1 && scrubbed(1L)._3 == 1)
+    assert(scrubbed(1L)._4 == "contact <EMAIL> or visit <URL> ref <NUM>")
+    assert(scrubbed(2L) == ((0L, 0L, 0L, "nothing sensitive here at all")))
+  }
+
   test("contamination pairs really share a 5-gram across the split boundary") {
     val pairs = Curation.q46Contamination(spark, TestSpark.sfDir)
       .as[(Long, Long, Long)].collect()
