@@ -17,16 +17,6 @@ object TextFunctions {
   /** Whitespace tokenization (lowercased). */
   def wsTokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
-  /** Word 3-gram shingles (distinct) from a token array; callers must
-    * guard `size(tokens) >= 3`. */
-  def shingles3(tokens: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(tokens) - 2),
-      i => concat_ws(" ",
-        element_at(tokens, i),
-        element_at(tokens, i + lit(1)),
-        element_at(tokens, i + lit(2)))))
-
   /** BPE-ish sub-word token count: letter runs, digit runs, single
     * non-alphanumeric symbols. */
   def bpeTokenCount(c: Column): Column =
