@@ -67,6 +67,7 @@ object SparkEntry {
     "q48_length_profile" -> (Curation.q48LengthProfile _),
     "q49_hll_registers" -> (Curation.q49HllRegisters _),
     "q50_pii_scrub" -> (Curation.q50PiiScrub _),
+    "q51_media_features" -> (MultimodalOps.q51MediaFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -123,5 +124,6 @@ object SparkEntry {
     "q48_length_profile" -> Curation.q48Oracle,
     "q49_hll_registers" -> Curation.q49Oracle,
     "q50_pii_scrub" -> Curation.q50Oracle,
+    "q51_media_features" -> MultimodalOps.q51Oracle,
   )
 }

@@ -77,6 +77,52 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Feature extraction over the decoded payload (the feature-extract
+    * stage of an image/audio pipeline): an 8-bin byte-value histogram
+    * plus the exact mean byte — per-payload work a real deployment
+    * would replace with embedding/model inference, with the same
+    * iterator-per-partition shape. All integer byte math, so the
+    * oracle replays it from codepoints. */
+  final case class MediaFeatures(
+      doc_id: Long, h0: Long, h1: Long, h2: Long, h3: Long,
+      h4: Long, h5: Long, h6: Long, h7: Long, mean_byte: Double)
+
+  def extractFeatures(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    val h = new Array[Long](8)
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      h(b / 32) += 1
+      sum += b
+      i += 1
+    }
+    MediaFeatures(docId, h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7),
+      sum.toDouble / payload.length.toDouble)
+  }
+
+  def q51MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => extractFeatures(id, bytes) })
+      .toDF()
+  }
+
+  val q51Oracle: String = {
+    val bins = (0 until 8).map(b =>
+      s"CAST(len(list_filter(cps, c -> c // 32 = $b)) AS BIGINT) AS h$b")
+      .mkString(",\n      |  ").stripMargin
+    s"""WITH cp AS (
+       |  SELECT doc_id, list_transform(string_split(text, ''), c -> unicode(c)) AS cps
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $bins,
+       |  CAST(list_sum(cps) AS DOUBLE) / CAST(len(cps) AS DOUBLE) AS mean_byte
+       |FROM cp""".stripMargin
+  }
+
   val q26Oracle: String =
     """SELECT doc_id,
       |  CAST(i AS BIGINT) AS frame_idx,
