@@ -68,6 +68,7 @@ object SparkEntry {
     "q49_hll_registers" -> (Curation.q49HllRegisters _),
     "q50_pii_scrub" -> (Curation.q50PiiScrub _),
     "q51_media_features" -> (MultimodalOps.q51MediaFeatures _),
+    "q52_media_resize" -> (MultimodalOps.q52MediaResize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -125,5 +126,6 @@ object SparkEntry {
     "q49_hll_registers" -> Curation.q49Oracle,
     "q50_pii_scrub" -> Curation.q50Oracle,
     "q51_media_features" -> MultimodalOps.q51Oracle,
+    "q52_media_resize" -> MultimodalOps.q52Oracle,
   )
 }

@@ -123,6 +123,66 @@ object MultimodalOps {
        |FROM cp""".stripMargin
   }
 
+  /** Resize: downsample every payload to a fixed-length representation
+    * (16 block means over the bytes — the 1-D analog of image resize,
+    * which is exactly block-averaging). Emitted as 16 scalar columns of
+    * exact integer-ratio doubles; blocks beyond a short payload are
+    * NULL. Same iterator-per-partition shape as the decode. */
+  final case class Resized(
+      doc_id: Long, r0: Option[Double], r1: Option[Double], r2: Option[Double],
+      r3: Option[Double], r4: Option[Double], r5: Option[Double],
+      r6: Option[Double], r7: Option[Double], r8: Option[Double],
+      r9: Option[Double], r10: Option[Double], r11: Option[Double],
+      r12: Option[Double], r13: Option[Double], r14: Option[Double],
+      r15: Option[Double])
+
+  val ResizeTargets = 16
+
+  def resizePayload(docId: Long, payload: Array[Byte]): Resized = {
+    val n = payload.length
+    val blk = (n + ResizeTargets - 1) / ResizeTargets // ceil, ≥1 for n ≥ 1
+    val out = Array.fill[Option[Double]](ResizeTargets)(None)
+    var b = 0
+    while (b < ResizeTargets) {
+      val from = b * blk
+      val until = math.min(n, from + blk)
+      if (n > 0 && from < until) {
+        var sum = 0L
+        var i = from
+        while (i < until) { sum += (payload(i) & 0xff); i += 1 }
+        out(b) = Some(sum.toDouble / (until - from).toDouble)
+      }
+      b += 1
+    }
+    Resized(docId, out(0), out(1), out(2), out(3), out(4), out(5), out(6),
+      out(7), out(8), out(9), out(10), out(11), out(12), out(13), out(14), out(15))
+  }
+
+  def q52MediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => resizePayload(id, bytes) })
+      .toDF()
+  }
+
+  val q52Oracle: String = {
+    val cols = (0 until ResizeTargets).map { b =>
+      s"""CASE WHEN len(cps) > $b * blk THEN
+         |    CAST(list_sum(cps[$b * blk + 1 : least(len(cps), ($b + 1) * blk)]) AS DOUBLE)
+         |    / CAST(least(len(cps), ($b + 1) * blk) - $b * blk AS DOUBLE)
+         |  ELSE NULL END AS r$b""".stripMargin.replace("\n", " ")
+    }.mkString(",\n      |  ").stripMargin
+    s"""WITH cp AS (
+       |  SELECT doc_id, list_transform(string_split(text, ''), c -> unicode(c)) AS cps,
+       |    (length(text) + ${ResizeTargets - 1}) // $ResizeTargets AS blk
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $cols
+       |FROM cp""".stripMargin
+  }
+
   val q26Oracle: String =
     """SELECT doc_id,
       |  CAST(i AS BIGINT) AS frame_idx,
