@@ -69,6 +69,8 @@ object SparkEntry {
     "q50_pii_scrub" -> (Curation.q50PiiScrub _),
     "q51_media_features" -> (MultimodalOps.q51MediaFeatures _),
     "q52_media_resize" -> (MultimodalOps.q52MediaResize _),
+    "q53_grouping_sets" -> (Extended.q53GroupingSets _),
+    "q54_moving_window" -> (Extended.q54MovingWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,5 +129,7 @@ object SparkEntry {
     "q50_pii_scrub" -> Curation.q50Oracle,
     "q51_media_features" -> MultimodalOps.q51Oracle,
     "q52_media_resize" -> MultimodalOps.q52Oracle,
+    "q53_grouping_sets" -> Extended.q53Oracle,
+    "q54_moving_window" -> Extended.q54Oracle,
   )
 }

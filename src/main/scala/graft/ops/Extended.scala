@@ -131,6 +131,71 @@ object Extended {
        |  count(*) AS order_count
        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** GROUPING SETS over (status, priority) — the general form ROLLUP and
+    * CUBE desugar to, with the grouping-bit marker disambiguating
+    * subtotal rows from genuine NULL keys. Exact money sums as in q11. */
+  def q53GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    ord.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("long").as("grp_id"),
+        Exact.sumFixed(col("o_totalprice"), 2).as("total_price"),
+        count(lit(1)).as("order_count"))
+      .select(
+        col("o_orderstatus").as("order_status"),
+        col("o_orderpriority").as("order_priority"),
+        col("grp_id"), col("total_price"), col("order_count"))
+  }
+
+  val q53Oracle: String =
+    s"""SELECT o_orderstatus AS order_status, o_orderpriority AS order_priority,
+       |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS grp_id,
+       |  ${Exact.sumFixedSql("o_totalprice", 2)} AS total_price,
+       |  count(*) AS order_count
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+       |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  /** RANGE-frame moving aggregate + ntile: each order's trailing 7-day
+    * per-customer spend (a true event-time range frame — peers at the
+    * same day all join the frame, so ties are deterministic) and its
+    * global spend quartile. The windowed sum accumulates exact integer
+    * units with one final division, so the moving doubles hash-compare. */
+  def q54MovingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        unix_date(to_date(col("o_orderdate"))).as("d"))
+    val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-6, Window.currentRow)
+    val wTile = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord
+      .withColumn("moving_units",
+        sum(Exact.units(col("o_totalprice"), 2)).over(wRange))
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("customer_id"),
+        (col("moving_units") / lit(100.0)).as("trailing_week_spend"),
+        ntile(4).over(wTile).cast("long").as("spend_quartile"))
+  }
+
+  val q54Oracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d
+      |  FROM orders)
+      |SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+      |  sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+      |    OVER (PARTITION BY o_custkey ORDER BY d
+      |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0
+      |    AS trailing_week_spend,
+      |  CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+      |    AS spend_quartile
+      |FROM base""".stripMargin
+
   /** Scalar + IN subqueries through the spark.sql entry path: customers
     * above the global average balance who bought from a filtered order
     * set. The SAME SQL text runs on Spark (temp-view catalog) and DuckDB
