@@ -71,6 +71,7 @@ object SparkEntry {
     "q52_media_resize" -> (MultimodalOps.q52MediaResize _),
     "q53_grouping_sets" -> (Extended.q53GroupingSets _),
     "q54_moving_window" -> (Extended.q54MovingWindow _),
+    "q55_unpivot" -> (Extended.q55Unpivot _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,5 +132,6 @@ object SparkEntry {
     "q52_media_resize" -> MultimodalOps.q52Oracle,
     "q53_grouping_sets" -> Extended.q53Oracle,
     "q54_moving_window" -> Extended.q54Oracle,
+    "q55_unpivot" -> Extended.q55Oracle,
   )
 }

@@ -196,6 +196,32 @@ object Extended {
       |    AS spend_quartile
       |FROM base""".stripMargin
 
+  /** Unpivot — the inverse of the reference's signature pivot
+    * (Geo_silver_layer_common.py:27-32): melt the wide fact_weather
+    * metrics back to long (metric, value) rows, dropping the NULL
+    * cells the pivot introduced. Wide→long is a narrow per-row
+    * expansion (no shuffle beyond the pivot's own aggregation). */
+  def q55Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Relational.qWeatherPivot(spark, dir)
+    wide.unpivot(
+        Array(col("segment"), col("obs_date")),
+        Array(col("view_avg"), col("click_avg"), col("purchase_avg"), col("signup_avg")),
+        "metric", "avg_value")
+      .filter(col("avg_value").isNotNull)
+  }
+
+  val q55Oracle: String = {
+    val arms = Seq("view_avg", "click_avg", "purchase_avg", "signup_avg")
+      .map(m =>
+        s"""SELECT segment, obs_date, '$m' AS metric, $m AS avg_value
+           |FROM wide WHERE $m IS NOT NULL""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH wide AS (
+       |${Relational.qWeatherPivotOracle}
+       |)
+       |$arms""".stripMargin
+  }
+
   /** Scalar + IN subqueries through the spark.sql entry path: customers
     * above the global average balance who bought from a filtered order
     * set. The SAME SQL text runs on Spark (temp-view catalog) and DuckDB
