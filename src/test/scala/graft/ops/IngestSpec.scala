@@ -39,6 +39,44 @@ class IngestSpec extends AnyFunSuite {
     assert(df.filter(col("q_flag").isNull).count() == 3) // empty CSV field -> null
   }
 
+  test("CSV corrupt-record handling: PERMISSIVE quarantines, DROPMALFORMED skips, FAILFAST throws") {
+    val dir = tmpDir("csv_bad")
+    Files.writeString(java.nio.file.Path.of(dir, "rows.csv"),
+      """1,alpha,10
+        |2,beta,notanumber
+        |3,gamma,30""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("qty", IntegerType), StructField("_corrupt", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir).cache()
+    assert(permissive.count() == 3)
+    assert(permissive.filter(col("_corrupt").isNotNull).count() == 1)
+    assert(permissive.filter(col("id") === 2).head.getAs[Any]("qty") == null)
+
+    // conversion failures are quarantined (above) but only STRUCTURALLY
+    // malformed records (wrong token count) trip DROPMALFORMED/FAILFAST
+    val dir2 = tmpDir("csv_bad2")
+    Files.writeString(java.nio.file.Path.of(dir2, "rows.csv"),
+      """1,alpha,10
+        |2,beta,20,EXTRA,FIELDS
+        |3,gamma,30""".stripMargin)
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").csv(dir2)
+    // CSV column pruning means count() parses no fields and sees all 3 lines;
+    // malformed records are only detected (and dropped) on a full-column read
+    assert(dropped.count() == 3)
+    assert(dropped.select("id", "name", "qty").collect().length == 2)
+
+    val failfast = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "FAILFAST").csv(dir2)
+    assertThrows[org.apache.spark.SparkException](failfast.collect())
+  }
+
   test("text scan + 9-field fixed-width parse (GHCN station-file shape)") {
     val dir = tmpDir("fw_in")
     // spec offsets from FIXTURES.md A.11 (1-indexed): id(1,11) lat(13,8)
