@@ -72,6 +72,7 @@ object SparkEntry {
     "q53_grouping_sets" -> (Extended.q53GroupingSets _),
     "q54_moving_window" -> (Extended.q54MovingWindow _),
     "q55_unpivot" -> (Extended.q55Unpivot _),
+    "q56_ivf_search_trained" -> (SimilarityOps.q56IvfSearchTrained _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,5 +134,6 @@ object SparkEntry {
     "q53_grouping_sets" -> Extended.q53Oracle,
     "q54_moving_window" -> Extended.q54Oracle,
     "q55_unpivot" -> Extended.q55Oracle,
+    "q56_ivf_search_trained" -> SimilarityOps.q56Oracle,
   )
 }

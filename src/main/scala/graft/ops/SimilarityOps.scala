@@ -182,7 +182,13 @@ object SimilarityOps {
 
   def q36IvfSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = embWithNorm(spark, dir)
-    val cents = seedCentroids(emb)
+    ivfSearch(emb, seedCentroids(emb))
+  }
+
+  /** Probe-then-rank against an arbitrary (small, broadcastable)
+    * centroid table — shared by q36 (seed centroids) and q56 (Lloyd's-
+    * trained centroids). */
+  private def ivfSearch(emb: DataFrame, cents: DataFrame): DataFrame = {
     val assigned = ivfAssignments(emb, cents)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -311,34 +317,38 @@ object SimilarityOps {
       .select(col("vec_id"), col("cell_id"), col("cell_size"))
   }
 
-  /** Lloyd's unrolled in DuckDB: assignment + sorted-fold mean per
-    * iteration, byte-identical arithmetic to q37KmeansIvf. */
-  val q37Oracle: String = {
+  private def assignCte(a: String, c: String): String = {
     val dotVC = "list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), " +
       "p -> p[1] * p[2])), (x,y) -> x + y)"
-    def assignCte(a: String, c: String): String =
-      s"""$a AS (
-         |  SELECT vec_id, cell_id FROM (
-         |    SELECT n.vec_id, c.cell_id,
-         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |        $dotVC / (n.nrm * c.cnrm) DESC, c.cell_id ASC) AS rk
-         |    FROM n, $c c) t
-         |  WHERE rk = 1)""".stripMargin
-    def updateCte(c: String, a: String): String =
-      s"""$c AS (
-         |  SELECT cell_id, cv,
-         |    sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)),
-         |      (x,y) -> x + y)) AS cnrm
-         |  FROM (
-         |    SELECT cell_id, list_transform(sv, s -> s / cnt) AS cv FROM (
-         |      SELECT $a.cell_id,
-         |        list_reduce(
-         |          list_prepend([0.0 for i in generate_series(1, 64)],
-         |                       list(n.v ORDER BY n.vec_id)),
-         |          (acc, x) -> list_transform(list_zip(acc, x), p -> p[1] + p[2])) AS sv,
-         |        count(*) AS cnt
-         |      FROM $a JOIN n ON n.vec_id = $a.vec_id
-         |      GROUP BY $a.cell_id) t1) t2)""".stripMargin
+    s"""$a AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT n.vec_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        $dotVC / (n.nrm * c.cnrm) DESC, c.cell_id ASC) AS rk
+       |    FROM n, $c c) t
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  private def updateCte(c: String, a: String): String =
+    s"""$c AS (
+       |  SELECT cell_id, cv,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)),
+       |      (x,y) -> x + y)) AS cnrm
+       |  FROM (
+       |    SELECT cell_id, list_transform(sv, s -> s / cnt) AS cv FROM (
+       |      SELECT $a.cell_id,
+       |        list_reduce(
+       |          list_prepend([0.0 for i in generate_series(1, 64)],
+       |                       list(n.v ORDER BY n.vec_id)),
+       |          (acc, x) -> list_transform(list_zip(acc, x), p -> p[1] + p[2])) AS sv,
+       |        count(*) AS cnt
+       |      FROM $a JOIN n ON n.vec_id = $a.vec_id
+       |      GROUP BY $a.cell_id) t1) t2)""".stripMargin
+
+  /** Shared oracle CTE chain: embeddings → norms → seed cells →
+    * `KmeansIters` unrolled Lloyd's iterations → final assignment
+    * `afin` against the trained centroids `c$KmeansIters`. */
+  private def kmeansOraclePrefix: String = {
     val iters = (0 until KmeansIters).map { t =>
       assignCte(s"a$t", s"c$t") + ",\n" + updateCte(s"c${t + 1}", s"a$t")
     }.mkString(",\n")
@@ -353,10 +363,57 @@ object SimilarityOps {
        |  SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $IvfCells
        |),
        |$iters,
-       |${assignCte("afin", s"c$KmeansIters")}
+       |${assignCte("afin", s"c$KmeansIters")}""".stripMargin
+  }
+
+  /** Lloyd's unrolled in DuckDB: assignment + sorted-fold mean per
+    * iteration, byte-identical arithmetic to q37KmeansIvf. */
+  val q37Oracle: String =
+    s"""$kmeansOraclePrefix
        |SELECT vec_id, cell_id, cell_size FROM afin
        |JOIN (SELECT cell_id, count(*) AS cell_size FROM afin GROUP BY 1) USING (cell_id)""".stripMargin
+
+  /** q56: the full trained-index ANN pipeline — q37's Lloyd's-trained
+    * centroids feeding q36's probe-then-rank search. This is the shape
+    * a production vector index actually runs: train coarse centroids
+    * (on a sample), assign the corpus once (narrow broadcast-map pass,
+    * the only full-data cost), then answer queries by probing
+    * `IvfProbes` of `IvfCells` cells. Deterministic at every step
+    * (sorted-fold training + argmax tiebreaks), so the oracle replays
+    * training AND search bit-exactly. Recall@10 vs q21 brute force is
+    * asserted in SimilaritySpec. */
+  def q56IvfSearchTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir).persist()
+    ivfSearch(emb, kmeansCentroids(emb, KmeansIters))
   }
+
+  val q56Oracle: String =
+    s"""$kmeansOraclePrefix,
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5
+       |), probes AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT q.query_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, c.cv),
+       |            p -> p[1] * p[2])), (x,y) -> x + y) / (q.qnrm * c.cnrm) DESC,
+       |        c.cell_id ASC) AS prk
+       |    FROM q, c$KmeansIters c) t
+       |  WHERE prk <= $IvfProbes
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, n.v),
+       |        p2 -> p2[1] * p2[2])), (x,y) -> x + y) / (q.qnrm * n.nrm) AS cosine
+       |  FROM probes p
+       |  JOIN afin a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+       |  JOIN n ON n.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = p.query_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10""".stripMargin
 
   /** Sign-LSH bucketing: 16 hyperplane sign bits → bucket id. Vectors
     * with high cosine land in the same bucket with high probability;

@@ -36,6 +36,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall@10 $mean < 0.9")
   }
 
+  test("trained-index IVF search (q56) recall@10 vs brute force >= 0.9") {
+    val exact = SimilarityOps.q21KnnCosine(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val trained = SimilarityOps.q56IvfSearchTrained(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(trained.keySet == exact.keySet)
+    val recalls = exact.keys.toSeq.map { q =>
+      exact(q).intersect(trained(q)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean < 0.9 (per-query: $recalls)")
+  }
+
   test("k-means objective (sum of max cosines) is non-decreasing per iteration") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.load(spark, TestSpark.sfDir, "embeddings")
