@@ -73,6 +73,7 @@ object SparkEntry {
     "q54_moving_window" -> (Extended.q54MovingWindow _),
     "q55_unpivot" -> (Extended.q55Unpivot _),
     "q56_ivf_search_trained" -> (SimilarityOps.q56IvfSearchTrained _),
+    "q57_incremental_neardup" -> (DedupOps.q57IncrementalNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,5 +136,6 @@ object SparkEntry {
     "q54_moving_window" -> Extended.q54Oracle,
     "q55_unpivot" -> Extended.q55Oracle,
     "q56_ivf_search_trained" -> SimilarityOps.q56Oracle,
+    "q57_incremental_neardup" -> DedupOps.q57Oracle,
   )
 }

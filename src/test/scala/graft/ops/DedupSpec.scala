@@ -30,6 +30,27 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters.find(_._3 == 2).map(_._2).contains(1L))
   }
 
+  test("incremental near-dup classifies exact_dup, near_dup, and unique batch docs") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "an entirely different corpus document about spark engines"),
+      (12L, "the quick brown fox jumps over the lazy dog today")) // dup of 10 within corpus
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "THE quick   brown fox jumps over the lazy dog today"), // exact (normalized) dup of 10/12
+      (101L, "the quick brown fox jumps over the lazy dog yesterday"), // near-dup of 10
+      (102L, "completely unrelated new content with novel words throughout"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.incrementalNearDup(batch, corpus)
+      .as[(Long, String, Option[Long], Option[Double])].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq((100L, "exact_dup"), (101L, "near_dup"), (102L, "unique")))
+    assert(out(0)._3.contains(10L), "exact match should be the min corpus doc_id")
+    assert(out(0)._4.contains(1.0))
+    assert(out(1)._3.contains(10L) && out(1)._4.exists(j => j >= 0.5 && j < 1.0))
+    assert(out(2)._3.isEmpty && out(2)._4.isEmpty)
+  }
+
   test("q35 LSH-blocked correlation near-dup equals the exhaustive all-pairs result") {
     // real corpus: the LSH candidate stage must not lose a single pair
     // vs brute force (this is the recall-1.0 claim the oracle relies on)
