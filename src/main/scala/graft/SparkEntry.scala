@@ -74,6 +74,7 @@ object SparkEntry {
     "q55_unpivot" -> (Extended.q55Unpivot _),
     "q56_ivf_search_trained" -> (SimilarityOps.q56IvfSearchTrained _),
     "q57_incremental_neardup" -> (DedupOps.q57IncrementalNearDup _),
+    "q58_keywords" -> (TextOps.q58Keywords _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,5 +138,6 @@ object SparkEntry {
     "q55_unpivot" -> Extended.q55Oracle,
     "q56_ivf_search_trained" -> SimilarityOps.q56Oracle,
     "q57_incremental_neardup" -> DedupOps.q57Oracle,
+    "q58_keywords" -> TextOps.q58Oracle,
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{RollingMinHash, TextFunctions => TF}
@@ -156,4 +157,46 @@ object TextOps {
       |                c -> CAST(unicode(c) AS BIGINT)), (a,b) -> (a*31+b) % 1000000007)
       |  END AS rolling_fp
       |FROM t""".stripMargin
+
+  /** q58: per-document keyword extraction — the top-3 most DISTINCTIVE
+    * terms, ranked by term frequency desc, then document frequency asc
+    * (rarer across the corpus = more distinctive), then term. The
+    * integer-only ranking (no idf logarithm) is deliberate: it yields
+    * the same ordering as tf·idf for fixed tf, and integers make the
+    * oracle bit-exact where a float idf would diverge in last ulps
+    * across libms.
+    *
+    * Scale shape: one (doc_id, term) count with map-side combine; the
+    * document-frequency table FALLS OUT of the tf table (already one
+    * row per doc×term) as a vocabulary-sized agg that broadcasts back;
+    * the only other shuffle is the per-doc top-k window. The corpus
+    * text is scanned exactly once. */
+  def q58Keywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(TF.wsTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
+  val q58Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id, rank, term, tf, df FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+      |  FROM tf JOIN df USING (term)) t
+      |WHERE rank <= 3""".stripMargin
 }
