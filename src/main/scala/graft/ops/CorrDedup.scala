@@ -120,15 +120,20 @@ object CorrDedup {
       col("p").as("p1"), col("ss").as("ss1"))
     val b = scal.select(col("doc_id").as("doc_id_2"), col("v").as("v2"),
       col("p").as("p2"), col("ss").as("ss2"))
+    // broadcast the per-doc vectors instead of shuffling 2 KB of
+    // array per candidate pair — candidates stay in place and the
+    // verify is a map-side hash probe + one codegen'd dot product.
+    // At corpus scales where the vector table outgrows a broadcast,
+    // set graft.dedup.broadcastVerifyArrays=false: two hash joins on
+    // the doc ids; the candidate set is already the small side by then.
+    val bc: DataFrame => DataFrame =
+      if (scal.sparkSession.conf
+            .getOption("graft.dedup.broadcastVerifyArrays").forall(_.toBoolean))
+        broadcast
+      else identity
     cand
-      // broadcast the per-doc vectors instead of shuffling 2 KB of
-      // array per candidate pair — candidates stay in place and the
-      // verify is a map-side hash probe + one codegen'd dot product.
-      // (At corpus scales where the vector table outgrows a broadcast,
-      // swap to a bucketed join on doc_id; the candidate set is already
-      // the small side by then.)
-      .join(broadcast(a), "doc_id_1")
-      .join(broadcast(b), "doc_id_2")
+      .join(bc(a), "doc_id_1")
+      .join(bc(b), "doc_id_2")
       .select(col("doc_id_1"), col("doc_id_2"),
         ((DotProduct(col("v1"), col("v2")) -
           (col("p1") + col("p2")) / lit(nd) + lit(qn2)) /

@@ -30,6 +30,17 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters.find(_._3 == 2).map(_._2).contains(1L))
   }
 
+  test("shuffled (non-broadcast) verify join returns the same pairs as the broadcast plan") {
+    val broadcastPairs = DedupOps.q18NgramJaccard(spark, TestSpark.sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    spark.conf.set("graft.dedup.broadcastVerifyArrays", "false")
+    try {
+      val shuffledPairs = DedupOps.q18NgramJaccard(spark, TestSpark.sfDir)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(shuffledPairs == broadcastPairs)
+    } finally spark.conf.unset("graft.dedup.broadcastVerifyArrays")
+  }
+
   test("incremental near-dup classifies exact_dup, near_dup, and unique batch docs") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),

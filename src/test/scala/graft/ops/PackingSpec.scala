@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two-phase distributed prefix sum equals a driver-side sequential cumsum") {
+    val rows = Packing.q59SequencePack(spark, TestSpark.sfDir)
+      .select("doc_id", "n_tok", "seq_id", "offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    rows.foreach { case (id, n, seqId, off) =>
+      assert(seqId == cum / Packing.PackCapacity, s"doc $id seq_id")
+      assert(off == cum % Packing.PackCapacity, s"doc $id offset")
+      cum += n
+    }
+  }
+
+  test("packing marks exactly the docs whose span crosses a capacity boundary") {
+    val rows = Packing.q59SequencePack(spark, TestSpark.sfDir)
+      .select("n_tok", "offset", "spans_boundary")
+      .as[(Long, Long, Boolean)].collect()
+    rows.foreach { case (n, off, spans) =>
+      assert(spans == (off + n > Packing.PackCapacity))
+    }
+    assert(rows.exists(_._3), "test corpus should produce at least one boundary-spanning doc")
+  }
+
+  test("overlapped chunking covers every token with the configured stride") {
+    val doc = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // drive the same op body on a synthetic doc via the documents schema
+    val w = graft.functions.TextFunctions.wsTokens(col("text"))
+    val out = doc
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+        explode(sequence(lit(1), size(col("w")), lit(Packing.ChunkStride))).as("s"))
+      .select(col("s"),
+        least(col("n_tok") - col("s") + 1, lit(Packing.ChunkSize.toLong)).as("len"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1, 49, 97))
+    assert(out.map(_._2).toSeq == Seq(64L, 52L, 4L))
+    // consecutive chunks overlap by ChunkSize - ChunkStride tokens
+    assert(Packing.ChunkSize - Packing.ChunkStride == 16)
+    // coverage: chunk i spans [s, s+len-1]; next chunk starts inside it
+    out.sliding(2).foreach { case Array((s1, l1), (s2, _)) =>
+      assert(s2 <= s1 + l1.toInt, "gap between consecutive chunks")
+    }
+  }
+}
