@@ -51,6 +51,49 @@ class EquivalenceSpec extends AnyFunSuite {
     assert(batch.nonEmpty && batch == streaming)
   }
 
+  test("batch SCD-1 apply equals the streaming current-state operator on the same change feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // inserts, updates, a pre-image (never applies), a delete, and an
+    // out-of-order older version arriving in a LATER micro-batch (must
+    // not regress the state)
+    val b1 = Seq(
+      Scd1.Change(1L, 1L, "a1", "insert"),
+      Scd1.Change(2L, 1L, "b1", "insert"),
+      Scd1.Change(3L, 1L, "c1", "insert"),
+      Scd1.Change(1L, 2L, "a1-pre", "update_preimage"),
+      Scd1.Change(1L, 2L, "a2", "update_postimage"))
+    val b2 = Seq(
+      Scd1.Change(2L, 3L, "b2", "update_postimage"),
+      Scd1.Change(3L, 4L, "c-del", "delete"),
+      Scd1.Change(1L, 1L, "a-stale", "update_postimage")) // stale replay
+
+    val batchResult = Streams.scd1Apply(
+      (b1 ++ b2).toDF()
+        .select(col("key"), col("version").as("_commit_version"),
+          col("change_type").as("_change_type"), col("payload")),
+      keyCols = Seq("key"))
+      .select(col("key"), col("_commit_version"), col("payload"))
+      .as[(Long, Long, String)].collect().toSet
+
+    val ev = MemoryStream[Scd1.Change]
+    val out = Scd1.currentState(spark, ev.toDS())
+    val q = out.writeStream.format("memory").queryName("equiv_scd1")
+      .outputMode("update").start()
+    ev.addData(b1: _*); q.processAllAvailable()
+    ev.addData(b2: _*); q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    // final state per key = the emission with the highest version
+    // (versions are monotone per key across emissions)
+    val streaming = spark.table("equiv_scd1").as[Scd1.CurrentRow].collect()
+      .groupBy(_.key).values.map(_.maxBy(_.version))
+      .filter(!_.deleted)
+      .map(r => (r.key, r.version, r.payload)).toSet
+
+    assert(batchResult == Set((1L, 2L, "a2"), (2L, 3L, "b2")))
+    assert(streaming == batchResult)
+  }
+
   test("batch interval left join equals the streaming interval join after watermark flush") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
