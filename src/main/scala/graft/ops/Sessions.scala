@@ -83,4 +83,113 @@ object Sessions {
       |SELECT token, count(*) AS total_count, count(DISTINCT doc_id) AS doc_freq
       |FROM tok GROUP BY token
       |ORDER BY total_count DESC, token ASC LIMIT 100""".stripMargin
+
+  /** q61: ordered funnel analysis — how far each user progresses
+    * through view → click → purchase with earliest-first matching
+    * (first view, first STRICTLY-later click, first strictly-later
+    * purchase). One shuffle: events collapse to a per-user sorted
+    * array, then a single codegen'd `aggregate` fold replays the
+    * user's history — the same sequential-fold trick that makes q37's
+    * training oracle-checkable. Greedy earliest-first matching equals
+    * the three-step min selection the SQL oracle runs, so the check is
+    * bit-exact including the stage timestamps. The irrelevant
+    * event_type rows are filtered BEFORE the shuffle (and the filter
+    * reaches the parquet scan), so only funnel events move.
+    * Per-user state is one array — the sessionization-class skew
+    * assumption; `SkewJoin` salting applies if a key runs hot. */
+  def q61Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type").as("et")).as("e"))
+    val nullTs = lit(null).cast("timestamp")
+    val init = struct(lit(0).as("stage"), nullTs.as("t_view"),
+      nullTs.as("t_click"), nullTs.as("t_purchase"))
+    def step(st: Column, e: Column): Column = {
+      val ts = e.getField("ts")
+      val et = e.getField("et")
+      when(st.getField("stage") === 0 && et === "view",
+        struct(lit(1).as("stage"), ts.as("t_view"),
+          st.getField("t_click").as("t_click"),
+          st.getField("t_purchase").as("t_purchase")))
+        .when(st.getField("stage") === 1 && et === "click" &&
+            ts > st.getField("t_view"),
+          struct(lit(2).as("stage"), st.getField("t_view").as("t_view"),
+            ts.as("t_click"), st.getField("t_purchase").as("t_purchase")))
+        .when(st.getField("stage") === 2 && et === "purchase" &&
+            ts > st.getField("t_click"),
+          struct(lit(3).as("stage"), st.getField("t_view").as("t_view"),
+            st.getField("t_click").as("t_click"), ts.as("t_purchase")))
+        .otherwise(st)
+    }
+    ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"), aggregate(col("es"), init, step _).as("f"))
+      .select(col("user_id"),
+        col("f.stage").cast("long").as("funnel_stage"),
+        col("f.t_view"), col("f.t_click"), col("f.t_purchase"))
+  }
+
+  /** Three-step min selection — provably the same greedy matching the
+    * fold computes. */
+  val q61Oracle: String =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')
+      |), v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+      |            WHEN c.t_click IS NOT NULL THEN 2
+      |            WHEN v.t_view IS NOT NULL THEN 1
+      |            ELSE 0 END AS BIGINT) AS funnel_stage,
+      |  v.t_view, c.t_click, p.t_purchase
+      |FROM u
+      |LEFT JOIN v ON v.user_id = u.user_id
+      |LEFT JOIN c ON c.user_id = u.user_id
+      |LEFT JOIN p ON p.user_id = u.user_id""".stripMargin
+
+  /** q62: weekly retention cohorts — users grouped by first-seen week,
+    * counted per (cohort week, weeks-since-cohort) activity cell; the
+    * classic growth-analytics triangle. Plan: first-seen agg (one
+    * shuffle on user), the per-user cohort broadcast back onto the
+    * event stream (cohort table is user-cardinality — broadcast at
+    * dim scale, hash join beyond), distinct activity cells, then a
+    * cell-count agg over cohort×offset (tiny). All date math is
+    * Monday-truncated integer day arithmetic — exact in both engines. */
+  def q62Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  val q62Oracle: String =
+    """WITH w AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+      |), f AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1
+      |), cells AS (
+      |  SELECT DISTINCT w.user_id, f.cohort_week,
+      |    CAST(date_diff('day', f.cohort_week, w.week) // 7 AS BIGINT) AS week_offset
+      |  FROM w JOIN f ON f.user_id = w.user_id)
+      |SELECT cohort_week, week_offset, count(*) AS active_users
+      |FROM cells GROUP BY 1, 2""".stripMargin
 }

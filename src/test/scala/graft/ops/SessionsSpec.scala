@@ -1,0 +1,46 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class SessionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("funnel fold matches greedy earliest-first stage progression") {
+    // user 1: full funnel, with a decoy click BEFORE the first view
+    // (must not count) and a purchase before the click (must not count)
+    // user 2: view then purchase but never a click -> stalls at stage 1
+    // user 3: click/purchase only -> stage 0
+    val rows = Seq(
+      (1L, 1L, ts(0), "click"), (2L, 1L, ts(1), "purchase"),
+      (3L, 1L, ts(2), "view"), (4L, 1L, ts(3), "click"), (5L, 1L, ts(4), "purchase"),
+      (6L, 2L, ts(0), "view"), (7L, 2L, ts(1), "purchase"),
+      (8L, 3L, ts(0), "click"), (9L, 3L, ts(1), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Sessions.q61Funnel(spark, dir)
+      .as[(Long, Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+      .collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, 3L), (2L, 1L), (3L, 0L)))
+    assert(out(0)._3.contains(ts(2)) && out(0)._4.contains(ts(3)) && out(0)._5.contains(ts(4)))
+    assert(out(1)._3.contains(ts(0)) && out(1)._4.isEmpty && out(1)._5.isEmpty)
+    assert(out(2)._3.isEmpty && out(2)._4.isEmpty && out(2)._5.isEmpty)
+  }
+
+  test("retention cohorts: every user appears in week_offset 0 of their own cohort") {
+    val cells = Sessions.q62Retention(spark, TestSpark.sfDir)
+      .as[(java.sql.Date, Long, Long)].collect()
+    val week0 = cells.filter(_._2 == 0L).map(_._3).sum
+    val users = graft.Tables.load(spark, TestSpark.sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(week0 == users, "every user is active in their cohort's week 0")
+    assert(cells.forall(_._2 >= 0))
+  }
+}
