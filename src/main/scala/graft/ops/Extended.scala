@@ -280,4 +280,82 @@ object Extended {
        | AND l.l_shipdate >= o.o_orderdate
        | AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
        |GROUP BY o.o_orderstatus""".stripMargin
+
+  /** q63: fuzzy entity matching — each supplier's closest customer
+    * name by Levenshtein edit distance, BLOCKED on the nation key so
+    * the candidate join is per-block instead of global cross (the same
+    * blocking discipline as the dedup family: a fuzzy join without a
+    * blocking key cannot scale). Edit distance is integer and both
+    * engines implement the standard DP, so the argmin (distance asc,
+    * custkey asc) is bit-exact. */
+  def q63FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val w = Window.partitionBy(col("s_suppkey"))
+      .orderBy(col("edit_distance").asc, col("c_custkey").asc)
+    sup.join(cust, col("s_nationkey") === col("c_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("c_custkey"),
+        levenshtein(col("s_name"), col("c_name")).cast("long").as("edit_distance"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("s_suppkey"), col("s_name"),
+        col("c_custkey").as("best_match"), col("edit_distance"))
+  }
+
+  val q63Oracle: String =
+    """SELECT s_suppkey, s_name, best_match, edit_distance FROM (
+      |  SELECT s.s_suppkey, s.s_name, c.c_custkey AS best_match,
+      |    CAST(levenshtein(s.s_name, c.c_name) AS BIGINT) AS edit_distance,
+      |    row_number() OVER (PARTITION BY s.s_suppkey
+      |                       ORDER BY levenshtein(s.s_name, c.c_name) ASC,
+      |                                c.c_custkey ASC) AS rk
+      |  FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey) t
+      |WHERE rk = 1""".stripMargin
+
+  /** q65: time-series resampling with gap fill — hourly event counts
+    * and exact value sums per event type, densified so every
+    * (type, hour) cell in the observed range exists, zeros where no
+    * events landed (the densification every downstream window/ML
+    * consumer needs before it can assume regular spacing). The hour
+    * grid is generated from the global min/max (one tiny agg), crossed
+    * with the distinct types, and left-joined against the aggregated
+    * cells — grid and cells are both bucket-cardinality, so the join
+    * is broadcast-sized no matter how large the raw event stream. */
+  def q65Resample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("value"))
+    val agg = ev.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"), Exact.sumFixed(col("value"), 2).as("v"))
+    val hours = ev.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+        .as("hour"))
+    val grid = hours.crossJoin(ev.select(col("event_type")).distinct())
+    grid.join(agg, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("v"), lit(0.0)).as("value_sum"))
+  }
+
+  val q65Oracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events
+       |), agg AS (
+       |  SELECT event_type, hour, count(*) AS n,
+       |    ${Exact.sumFixedSql("value", 2)} AS v
+       |  FROM ev GROUP BY 1, 2
+       |), hours AS (
+       |  SELECT unnest(generate_series(min(hour), max(hour),
+       |                                INTERVAL 1 HOUR)) AS hour
+       |  FROM ev
+       |), grid AS (
+       |  SELECT t.event_type, h.hour
+       |  FROM hours h, (SELECT DISTINCT event_type FROM ev) t)
+       |SELECT g.event_type, g.hour,
+       |  coalesce(a.n, 0) AS n_events,
+       |  coalesce(a.v, CAST(0.0 AS DOUBLE)) AS value_sum
+       |FROM grid g LEFT JOIN agg a
+       |  ON a.event_type = g.event_type AND a.hour = g.hour""".stripMargin
 }
