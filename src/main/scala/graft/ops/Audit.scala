@@ -47,19 +47,20 @@ object Audit {
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("orders_orphan_customers"))
 
-    val frames: Seq[(String, DataFrame)] = Seq(
-      "lineitem_discount_gt_8pct" -> liChecks,
-      "lineitem_nonpositive_qty" -> liChecks,
-      "lineitem_nonpositive_price" -> liChecks,
-      "customer_negative_balance" -> custChecks,
-      "orders_nonpositive_total" -> orderChecks,
-      "orders_pk_duplicates" -> dupPk,
-      "lineitem_orphan_orders" -> liOrphan,
-      "orders_orphan_customers" -> custOrphan)
-    frames.map { case (name, f) =>
-      f.select(lit(name).as("check_name"),
-        col(name).cast("long").as("violations"))
-    }.reduce(_ unionAll _)
+    // melt each rule-group frame ONCE (explode over its columns), so a
+    // table's rules really do share a single scan in the physical plan
+    // — selecting each rule column separately would re-run the agg per
+    // rule
+    def melt(f: DataFrame): DataFrame = {
+      val names = f.columns.toSeq
+      f.select(explode(array(names.map(n =>
+        struct(lit(n).as("check_name"), col(n).cast("long").as("violations"))): _*))
+        .as("kv"))
+        .select(col("kv.check_name"), col("kv.violations"))
+    }
+    Seq(liChecks, custChecks, orderChecks, dupPk, liOrphan, custOrphan)
+      .map(melt)
+      .reduce(_ unionAll _)
       .withColumn("passed", col("violations") === 0L)
   }
 

@@ -160,6 +160,51 @@ object Extended {
        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
        |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin
 
+  /** q66: CUBE over (returnflag, linestatus) — all four grouping
+    * combinations in one pass, completing the rollup (q11) / grouping
+    * sets (q53) / cube trio. Same one-shuffle expand-aggregate plan
+    * class as q53; the grouping-bit id disambiguates real NULLs from
+    * subtotal rows. */
+  def q66Cube(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("grp_id"),
+        count(lit(1)).as("line_count"),
+        Exact.sumFixed(col("l_extendedprice"), 2).as("total_price"))
+      .select(col("l_returnflag").as("return_flag"),
+        col("l_linestatus").as("line_status"),
+        col("grp_id"), col("line_count"), col("total_price"))
+  }
+
+  val q66Oracle: String =
+    s"""SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+       |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grp_id,
+       |  count(*) AS line_count,
+       |  ${Exact.sumFixedSql("l_extendedprice", 2)} AS total_price
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** q67: correlated EXISTS / NOT EXISTS through the spark.sql path —
+    * the same SQL text runs on Spark's temp-view catalog and DuckDB.
+    * Catalyst rewrites EXISTS to a left-semi and NOT EXISTS to a
+    * left-anti join (the decorrelation every serious engine must do —
+    * a per-row subquery execution would be quadratic). */
+  val q67Sql: String =
+    """SELECT n_nationkey AS nation_key, n_name AS nation_name,
+      |  EXISTS (SELECT 1 FROM supplier s
+      |          WHERE s.s_nationkey = n.n_nationkey) AS has_supplier,
+      |  NOT EXISTS (SELECT 1 FROM customer c
+      |              WHERE c.c_nationkey = n.n_nationkey
+      |                AND c.c_acctbal < 0) AS all_balances_nonneg
+      |FROM nation n""".stripMargin
+
+  def q67ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(q67Sql)
+  }
+
   /** RANGE-frame moving aggregate + ntile: each order's trailing 7-day
     * per-customer spend (a true event-time range frame — peers at the
     * same day all join the frame, so ties are deterministic) and its

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioning invariance: the operators whose algorithms are
+  * ORDER-SENSITIVE (prefix sums, sequential folds, iterative
+  * contractions) must still produce identical bits when the input
+  * split sizes and shuffle fan-out change — that's the property that
+  * lets the sf0.1 local result stand in for a 1000-executor run.
+  * Perturbing `files.maxPartitionBytes` (scan splits) and
+  * `shuffle.partitions` (every exchange) exercises both boundaries.
+  */
+class InvarianceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def collectSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def withPerturbedPartitioning[A](body: => A): A = {
+    val conf = spark.conf
+    val oldShuffle = conf.get("spark.sql.shuffle.partitions")
+    val oldMax = conf.getOption("spark.sql.files.maxPartitionBytes")
+    val oldCost = conf.getOption("spark.sql.files.openCostInBytes")
+    conf.set("spark.sql.shuffle.partitions", "7")
+    conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    conf.set("spark.sql.files.openCostInBytes", "0")
+    try body
+    finally {
+      conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      oldMax.fold(conf.unset("spark.sql.files.maxPartitionBytes"))(
+        v => conf.set("spark.sql.files.maxPartitionBytes", v))
+      oldCost.fold(conf.unset("spark.sql.files.openCostInBytes"))(
+        v => conf.set("spark.sql.files.openCostInBytes", v))
+    }
+  }
+
+  private val cases: Seq[(String, () => DataFrame)] = Seq(
+    ("q59 sequence packing (two-phase prefix sum)",
+      () => Packing.q59SequencePack(spark, TestSpark.sfDir)),
+    ("q61 funnel (per-user sorted fold)",
+      () => Sessions.q61Funnel(spark, TestSpark.sfDir)),
+    ("q37 k-means (sorted-fold centroid updates)",
+      () => SimilarityOps.q37KmeansIvf(spark, TestSpark.sfDir)),
+    ("q33 connected components (star contraction)",
+      () => DedupOps.q33DedupClusters(spark, TestSpark.sfDir)),
+    ("q1 exact fixed-point aggregation",
+      () => Relational.q1Agg(spark, TestSpark.sfDir)))
+
+  for ((name, mk) <- cases) {
+    test(s"$name is bit-identical under perturbed partitioning") {
+      val base = collectSet(mk())
+      val perturbed = withPerturbedPartitioning(collectSet(mk()))
+      assert(base.nonEmpty && perturbed == base)
+    }
+  }
+}
