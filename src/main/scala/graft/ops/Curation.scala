@@ -300,4 +300,72 @@ object Curation {
       |FROM sh a JOIN sh b ON a.shingle = b.shingle
       |WHERE a.split = 'test' AND b.split = 'train'
       |GROUP BY 1, 2""".stripMargin
+
+  /** q68: weighted data mixing — the per-source up/down-sampling step
+    * that turns a deduped corpus into the training MIXTURE (wiki-like
+    * sources repeated, web crawl thinned). Rate r emits ⌊r⌋ full
+    * epochs of every doc plus one extra epoch for the hash-selected
+    * r−⌊r⌋ fraction. Selection compares the first 4 md5 nibbles of
+    * ("mix_" + doc_id) against an INTEGER threshold ⌊frac·65536⌋ —
+    * both engines compute the identical md5, so membership (not just
+    * the rate) is reproducible across engines, runs, and cluster
+    * layouts, and a corpus refresh re-selects the same docs.
+    * Pure projection + explode: no shuffle at any scale. */
+  val MixtureRates: Seq[(Seq[String], Int, Int)] = Seq(
+    // (sources, full epochs ⌊r⌋, 16-bit fractional threshold)
+    (Seq("src0", "src1", "src2", "src3", "src4"), 2, 0),          // r = 2.0
+    (Seq("src5", "src6", "src7", "src8", "src9"), 1, 0),          // r = 1.0
+    ((10 to 19).map(i => s"src$i"), 0, 16384))                    // r = 0.25
+
+  def q68MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val v = MixBits(col("doc_id")) // first 4 md5 nibbles of "mix_<id>"
+    val fullEpochs = MixtureRates.tail.foldLeft(
+      when(col("source").isin(MixtureRates.head._1: _*), MixtureRates.head._2)) {
+      case (acc, (srcs, k, _)) => acc.when(col("source").isin(srcs: _*), k)
+    }
+    val thresh = MixtureRates.tail.foldLeft(
+      when(col("source").isin(MixtureRates.head._1: _*), MixtureRates.head._3)) {
+      case (acc, (srcs, _, t)) => acc.when(col("source").isin(srcs: _*), t)
+    }
+    docs
+      .select(col("doc_id"), col("source"),
+        (fullEpochs + when(v < thresh, 1).otherwise(0)).as("copies"))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("copies").cast("long") - 1L)).as("epoch"))
+  }
+
+  /** md5-nibble integer in [0, 65536) over "mix_<doc_id>". */
+  private def MixBits(id: Column): Column = {
+    val h = md5(concat(lit("mix_"), id.cast("string")))
+    (0 until 4).map { i =>
+      (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1) *
+        lit(1 << (4 * (3 - i)))
+    }.reduce(_ + _)
+  }
+
+  val q68Oracle: String = {
+    def inList(srcs: Seq[String]) = srcs.map(s => s"'$s'").mkString(", ")
+    val caseK = MixtureRates.map { case (srcs, k, _) =>
+      s"WHEN source IN (${inList(srcs)}) THEN $k" }.mkString(" ")
+    val caseT = MixtureRates.map { case (srcs, _, t) =>
+      s"WHEN source IN (${inList(srcs)}) THEN $t" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    (strpos('0123456789abcdef', substring(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+       |    + (strpos('0123456789abcdef', substring(md5('mix_' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+       |    + (strpos('0123456789abcdef', substring(md5('mix_' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+       |    + strpos('0123456789abcdef', substring(md5('mix_' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1 AS v,
+       |    CASE $caseK END AS k,
+       |    CASE $caseT END AS t
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source,
+       |    k + CASE WHEN v < t THEN 1 ELSE 0 END AS copies
+       |  FROM d)
+       |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+       |FROM c, LATERAL (SELECT unnest(generate_series(0, copies - 1)) AS e) g
+       |WHERE copies > 0""".stripMargin
+  }
 }

@@ -205,6 +205,68 @@ object Extended {
     spark.sql(q67Sql)
   }
 
+  /** q69: interpolated percentiles (PERCENTILE_CONT semantics) of
+    * order totals per status — complements q48's nearest-rank profile
+    * with the interpolating variant analysts actually ask for. Built
+    * from order statistics directly (rank rows per group, pick the
+    * ⌊t⌋/⌈t⌉ neighbors of target t = p·(n−1), interpolate) rather than
+    * the built-in `percentile`, because the two engines' built-ins
+    * differ in interpolation formula by ulps; writing ONE formula over
+    * exact integer price units — lo + (hi−lo)·g, one final /100 — is
+    * what makes the doubles hash-identical. Plan: one ranking window
+    * per group + two (status, rank) equi-joins against the 4-row-per-
+    * group target table. */
+  val PercentilePs = Seq(0.25, 0.5, 0.75, 0.9)
+
+  def q69PercentileCont(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        Exact.units(col("o_totalprice"), 2).as("u"))
+    val w = Window.partitionBy(col("status")).orderBy(col("u").asc)
+    val ranked = ord.withColumn("rn", row_number().over(w).cast("long") - 1)
+    val targets = ranked.groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .select(col("status"), col("n"),
+        explode(array(PercentilePs.map(lit): _*)).as("p"))
+      .withColumn("t", col("p") * (col("n") - 1))
+      .select(col("status"), col("p"),
+        floor(col("t")).cast("long").as("lo"),
+        ceil(col("t")).cast("long").as("hi"),
+        (col("t") - floor(col("t"))).as("g"))
+    targets
+      .join(ranked.select(col("status"), col("rn").as("lo"), col("u").as("lu")),
+        Seq("status", "lo"))
+      .join(ranked.select(col("status"), col("rn").as("hi"), col("u").as("hu")),
+        Seq("status", "hi"))
+      .select(col("status"), col("p"),
+        ((col("lu") + (col("hu") - col("lu")) * col("g")) / 100.0)
+          .as("pct_value"))
+  }
+
+  val q69Oracle: String = {
+    val ps = PercentilePs.map(p => s"${p}e0").mkString(", ")
+    s"""WITH o AS (
+       |  SELECT o_orderstatus AS status,
+       |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS u
+       |  FROM orders
+       |), ranked AS (
+       |  SELECT status, u,
+       |    row_number() OVER (PARTITION BY status ORDER BY u ASC) - 1 AS rn
+       |  FROM o
+       |), t AS (
+       |  SELECT status, p, p * (n - 1) AS t
+       |  FROM (SELECT status, count(*) AS n FROM o GROUP BY 1) n,
+       |       (SELECT unnest([$ps]) AS p) ps
+       |), b AS (
+       |  SELECT status, p, CAST(floor(t) AS BIGINT) AS lo,
+       |    CAST(ceil(t) AS BIGINT) AS hi, t - floor(t) AS g
+       |  FROM t)
+       |SELECT b.status, b.p,
+       |  (l.u + (h.u - l.u) * b.g) / 100.0 AS pct_value
+       |FROM b
+       |JOIN ranked l ON l.status = b.status AND l.rn = b.lo
+       |JOIN ranked h ON h.status = b.status AND h.rn = b.hi""".stripMargin
+  }
+
   /** RANGE-frame moving aggregate + ntile: each order's trailing 7-day
     * per-customer spend (a true event-time range frame — peers at the
     * same day all join the frame, so ties are deterministic) and its
