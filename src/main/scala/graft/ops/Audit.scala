@@ -64,6 +64,96 @@ object Audit {
       .withColumn("passed", col("violations") === 0L)
   }
 
+  /** Interpolated per-group median of `valCol` (any numeric), via the
+    * same order-statistics pattern as q69: rank per group, pick the
+    * ⌊(n−1)/2⌋ and ⌈(n−1)/2⌉ neighbors, average — (lo + hi) / 2.0 is
+    * one shared expression, so both engines produce the same bits. */
+  private def medianOf(df: DataFrame, grp: String, valCol: String,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(grp)).orderBy(col(valCol).asc)
+    val wAll = Window.partitionBy(col(grp))
+    // rank and group-count share one partitioning (one sort/shuffle),
+    // the two middle ranks filter down to ≤2 rows per group, and
+    // (min + max) / 2.0 IS (lo + hi) / 2.0 since ranks are sorted —
+    // one pass over the input instead of a count-agg + two rank joins
+    // (which re-ran the whole upstream lineage per join)
+    df.select(col(grp), col(valCol))
+      .withColumn("_rn", row_number().over(w).cast("long") - 1)
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .filter(col("_rn") === floor((col("_n") - 1) / 2.0).cast("long") ||
+        col("_rn") === ceil((col("_n") - 1) / 2.0).cast("long"))
+      .groupBy(col(grp))
+      .agg(((min(col(valCol)) + max(col(valCol))) / 2.0).as(out))
+  }
+
+  /** q70: robust outlier detection — per event type, the median and
+    * median-absolute-deviation of `value`, and the count of events
+    * outside median ± 5·MAD. MAD-based flags survive the outliers
+    * themselves (a mean/stddev rule is dragged by the very anomalies
+    * it is meant to catch). All order statistics run over exact
+    * integer value units with dyadic interpolation, so the doubles —
+    * and therefore the outlier COMPARISON at the threshold boundary —
+    * are bit-identical across engines. The 5·MAD rational threshold is
+    * deliberate (the usual 1.4826 normal-consistency constant is not
+    * exactly representable; a data-quality gate only needs a stable,
+    * documented cutoff). Two ranking windows + two broadcast joins. */
+  def q70OutlierStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), Exact.units(col("value"), 2).as("u"))
+    val med = medianOf(ev, "event_type", "u", "mu")
+    val withDev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("u") - col("mu")))
+    val mad = medianOf(withDev, "event_type", "dev", "mad")
+    withDev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        (min(col("mu")) / 100.0).as("median_value"),
+        (min(col("mad")) / 100.0).as("mad_value"),
+        coalesce(sum(when(col("dev") > col("mad") * 5.0, 1L).otherwise(0L)),
+          lit(0L)).as("n_outliers"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val q70Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS u FROM events
+      |), n1 AS (
+      |  SELECT event_type, count(*) AS n FROM e GROUP BY 1
+      |), r1 AS (
+      |  SELECT event_type, u,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY u ASC) - 1 AS rn
+      |  FROM e
+      |), m1 AS (
+      |  SELECT n1.event_type, (l.u + h.u) / 2.0 AS mu
+      |  FROM n1
+      |  JOIN r1 l ON l.event_type = n1.event_type
+      |    AND l.rn = CAST(floor((n1.n - 1) / 2.0) AS BIGINT)
+      |  JOIN r1 h ON h.event_type = n1.event_type
+      |    AND h.rn = CAST(ceil((n1.n - 1) / 2.0) AS BIGINT)
+      |), d AS (
+      |  SELECT e.event_type, e.u, m1.mu, abs(e.u - m1.mu) AS dev
+      |  FROM e JOIN m1 ON m1.event_type = e.event_type
+      |), r2 AS (
+      |  SELECT event_type, dev,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY dev ASC) - 1 AS rn
+      |  FROM d
+      |), m2 AS (
+      |  SELECT n1.event_type, (l.dev + h.dev) / 2.0 AS mad
+      |  FROM n1
+      |  JOIN r2 l ON l.event_type = n1.event_type
+      |    AND l.rn = CAST(floor((n1.n - 1) / 2.0) AS BIGINT)
+      |  JOIN r2 h ON h.event_type = n1.event_type
+      |    AND h.rn = CAST(ceil((n1.n - 1) / 2.0) AS BIGINT))
+      |SELECT d.event_type,
+      |  min(d.mu) / 100.0 AS median_value,
+      |  min(m2.mad) / 100.0 AS mad_value,
+      |  CAST(sum(CASE WHEN d.dev > m2.mad * 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  count(*) AS n_events
+      |FROM d JOIN m2 ON m2.event_type = d.event_type
+      |GROUP BY 1""".stripMargin
+
   val q64Oracle: String =
     """WITH checks AS (
       |  SELECT 'lineitem_discount_gt_8pct' AS check_name,

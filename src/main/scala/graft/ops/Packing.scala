@@ -35,8 +35,14 @@ object Packing {
     * change the result — the oracle is a plain single-stream cumsum. */
   def q59SequencePack(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      size(TF.wsTokens(col("text"))).cast("long").as("n_tok"))
+    sequencePack(docs.select(col("doc_id"),
+      size(TF.wsTokens(col("text"))).cast("long").as("n_tok")))
+  }
+
+  /** Core packing over any (doc_id, n_tok) frame — exposed so the
+    * property suite can drive it with generated token counts. */
+  def sequencePack(toks: DataFrame): DataFrame = {
+    val spark = toks.sparkSession
     val n = toks.count() // footer-count job, sizes the blocks
     val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val blockSize = math.max(1L, math.ceil(n.toDouble / (4.0 * parallelism)).toLong)

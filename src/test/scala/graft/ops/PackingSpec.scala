@@ -30,6 +30,26 @@ class PackingSpec extends AnyFunSuite {
     assert(rows.exists(_._3), "test corpus should produce at least one boundary-spanning doc")
   }
 
+  test("sequencePack equals sequential scanLeft on randomized sparse inputs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      // sparse, shuffled doc_ids with gaps; token counts incl. zeros
+      val ids = rnd.shuffle((0 until 3000).toList).take(200)
+        .map(_.toLong * (trial + 1)).sorted
+      val toks = ids.map(id => (id, rnd.nextInt(5000).toLong))
+      val out = Packing.sequencePack(
+          rnd.shuffle(toks).toDF("doc_id", "n_tok"))
+        .select("doc_id", "seq_id", "offset")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      var cum = 0L
+      val expected = toks.map { case (id, n) =>
+        val r = (id, cum / Packing.PackCapacity, cum % Packing.PackCapacity)
+        cum += n; r
+      }
+      assert(out.toSeq == expected, s"trial $trial")
+    }
+  }
+
   test("overlapped chunking covers every token with the configured stride") {
     val doc = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")
