@@ -127,10 +127,7 @@ object CorrDedup {
     // set graft.dedup.broadcastVerifyArrays=false: two hash joins on
     // the doc ids; the candidate set is already the small side by then.
     val bc: DataFrame => DataFrame =
-      if (scal.sparkSession.conf
-            .getOption("graft.dedup.broadcastVerifyArrays").forall(_.toBoolean))
-        broadcast
-      else identity
+      if (DedupOps.useBroadcastVerify(scal.sparkSession)) broadcast else identity
     cand
       .join(bc(a), "doc_id_1")
       .join(bc(b), "doc_id_2")

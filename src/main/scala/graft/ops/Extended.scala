@@ -224,19 +224,26 @@ object Extended {
         Exact.units(col("o_totalprice"), 2).as("u"))
     val w = Window.partitionBy(col("status")).orderBy(col("u").asc)
     val ranked = ord.withColumn("rn", row_number().over(w).cast("long") - 1)
-    val targets = ranked.groupBy(col("status")).agg(count(lit(1)).as("n"))
-      .select(col("status"), col("n"),
+    // targets come from a cheap scan-side count agg (NOT from ranked),
+    // and join the ranked rows ONCE with (rn = lo OR rn = hi) as a
+    // residual — rank-equi-joining ranked per bound would instantiate
+    // the whole window subtree once per join (see Audit.medianOf)
+    val targets = ord.groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .select(col("status").as("t_status"), col("n"),
         explode(array(PercentilePs.map(lit): _*)).as("p"))
       .withColumn("t", col("p") * (col("n") - 1))
-      .select(col("status"), col("p"),
+      .select(col("t_status"), col("p"),
         floor(col("t")).cast("long").as("lo"),
         ceil(col("t")).cast("long").as("hi"),
         (col("t") - floor(col("t"))).as("g"))
-    targets
-      .join(ranked.select(col("status"), col("rn").as("lo"), col("u").as("lu")),
-        Seq("status", "lo"))
-      .join(ranked.select(col("status"), col("rn").as("hi"), col("u").as("hu")),
-        Seq("status", "hi"))
+    ranked
+      .join(broadcast(targets),
+        col("status") === col("t_status") &&
+          (col("rn") === col("lo") || col("rn") === col("hi")))
+      .groupBy(col("status"), col("p"), col("g"))
+      // ranks are value-sorted, so min/max of the ≤2 matched rows ARE
+      // the lo/hi order statistics; single-row case has g = 0
+      .agg(min(col("u")).as("lu"), max(col("u")).as("hu"))
       .select(col("status"), col("p"),
         ((col("lu") + (col("hu") - col("lu")) * col("g")) / 100.0)
           .as("pct_value"))

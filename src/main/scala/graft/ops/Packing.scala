@@ -27,8 +27,8 @@ object Packing {
     * would funnel the corpus through ONE task, so the cumsum runs as a
     * two-phase distributed prefix sum instead:
     *   1. block-local cumsum, hash-partitioned on block = doc_id /
-    *      blockSize (blockSize sized from the corpus count so block
-    *      count stays a few × shuffle parallelism);
+    *      blockSize (blockSize sized from the doc_id range so block
+    *      count stays a few × shuffle parallelism at any id density);
     *   2. block totals (one row per block — thousands, not billions)
     *      prefix-summed on one task and broadcast back as offsets.
     * Integer addition is exact and commutative, so blocking does not
@@ -43,9 +43,18 @@ object Packing {
     * property suite can drive it with generated token counts. */
   def sequencePack(toks: DataFrame): DataFrame = {
     val spark = toks.sparkSession
-    val n = toks.count() // footer-count job, sizes the blocks
+    // size blocks from the doc_id RANGE, not the row count: block =
+    // doc_id / blockSize, so a count-derived size under sparse ids
+    // (snowflake-style, gaps) would put ~every doc in its own block
+    // and collapse phase 2 into the single-task global window this
+    // design exists to avoid. Range-derived sizing keeps block count
+    // ≈ 4× parallelism for ANY id density; ids clustered within the
+    // range just make some blocks empty (harmless).
+    val bounds = toks.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val span = if (bounds.isNullAt(0)) 1L
+      else bounds.getLong(1) - bounds.getLong(0) + 1
     val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val blockSize = math.max(1L, math.ceil(n.toDouble / (4.0 * parallelism)).toLong)
+    val blockSize = math.max(1L, math.ceil(span.toDouble / (4.0 * parallelism)).toLong)
     val blocked = toks.withColumn("block",
       floor(col("doc_id") / lit(blockSize)).cast("long"))
     val wIn = Window.partitionBy(col("block")).orderBy(col("doc_id"))

@@ -15,8 +15,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class InvarianceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def collectSet(df: DataFrame): Set[String] =
-    df.collect().map(_.toString).toSet
+  // sorted Seq, not Set: a perturbation that duplicates or drops one
+  // of two identical rows must fail the comparison
+  private def collectSet(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
 
   private def withPerturbedPartitioning[A](body: => A): A = {
     val conf = spark.conf
