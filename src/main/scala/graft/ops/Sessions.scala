@@ -16,9 +16,12 @@ object Sessions {
     * sessions, then one aggregation per (user, session). Two window
     * passes over the same (user, ts) partitioning — Catalyst reuses the
     * single sort+shuffle, so the whole operator costs one exchange. */
-  def sessionizeBatch(ev: DataFrame, gapMs: Long): DataFrame = {
+  /** Events annotated with their per-user gap-rule session number —
+    * the shared first stage of sessionization (q31) and session-level
+    * co-occurrence mining (q71). */
+  def assignSessions(ev: DataFrame, gapMs: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    val marked = ev
+    ev
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -26,6 +29,10 @@ object Sessions {
           .otherwise(0))
       .withColumn("session_no",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  def sessionizeBatch(ev: DataFrame, gapMs: Long): DataFrame = {
+    val marked = assignSessions(ev, gapMs)
     marked.groupBy(col("user_id"), col("session_no"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -180,6 +187,80 @@ object Sessions {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("active_users"))
   }
+
+  /** q71: session-level association mining — for every pair of event
+    * types, how many gap-rule sessions contain both, with the derived
+    * confidence (P(b|a)) and lift (observed / expected co-occurrence).
+    * The classic market-basket pass, run on q31's session definition.
+    * All supports are integers; confidence and lift are single
+    * divisions of exact integers, so both engines produce identical
+    * doubles. Plan: one sessionize window shuffle (shared sort with
+    * q31), distinct (session, type) item sets, a self-join keyed on
+    * the session id — bounded by items-per-session, never corpus² —
+    * and a broadcast of the tiny per-type support table. */
+  def q71Association(spark: SparkSession, dir: String): DataFrame = {
+    val items = assignSessions(
+        Tables.load(spark, dir, "events"), gapMs = 30 * 60 * 1000L)
+      .select(col("user_id"), col("session_no"), col("event_type"))
+      .distinct()
+    val nSessions = items.select(col("user_id"), col("session_no"))
+      .distinct().count()
+    val singles = items.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("support"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_no") === col("b.session_no") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("support_ab"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"),
+        col("support").as("support_a"))), "type_a")
+      .join(broadcast(singles.select(col("event_type").as("type_b"),
+        col("support").as("support_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("support_ab"),
+        col("support_a"), col("support_b"),
+        (col("support_ab") / col("support_a")).as("confidence"),
+        (col("support_ab") * lit(nSessions) /
+          (col("support_a") * col("support_b"))).as("lift"))
+  }
+
+  val q71Oracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), items AS (
+      |  SELECT DISTINCT user_id, session_no, event_type FROM (
+      |    SELECT user_id, event_type,
+      |      sum(new_session) OVER (PARTITION BY user_id
+      |                             ORDER BY ts ASC, event_id ASC
+      |                             ROWS UNBOUNDED PRECEDING) AS session_no
+      |    FROM marked) t
+      |), n AS (
+      |  SELECT count(*) AS n_sessions FROM
+      |    (SELECT DISTINCT user_id, session_no FROM items) s
+      |), singles AS (
+      |  SELECT event_type, count(*) AS support FROM items GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS support_ab
+      |  FROM items a JOIN items b
+      |    ON a.user_id = b.user_id AND a.session_no = b.session_no
+      |   AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, support_ab, sa.support AS support_a,
+      |  sb.support AS support_b,
+      |  support_ab / sa.support AS confidence,
+      |  support_ab * n.n_sessions / (sa.support * sb.support) AS lift
+      |FROM pairs
+      |JOIN singles sa ON sa.event_type = type_a
+      |JOIN singles sb ON sb.event_type = type_b
+      |CROSS JOIN n""".stripMargin
 
   val q62Oracle: String =
     """WITH w AS (
