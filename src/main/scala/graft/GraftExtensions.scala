@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import graft.functions.{DotProduct, HashedShingles, MinHashSig, RollingMinHash, SimHash64, TokenBucketCounts}
+import graft.functions.{DotProduct, HashedShingles, MinHashSig, RollingMinHash, SimHash64, SimHashMd5, TokenBucketCounts}
 
 /** Registers the engine's custom expressions as SQL functions, both via
   * the SparkSessionExtensions injection point
@@ -36,6 +36,7 @@ object GraftExtensions {
     "minhash_sig" -> (args =>
       MinHashSig(args(0), intArg(args(1), "minhash_sig k"))),
     "simhash64" -> (args => SimHash64(args(0))),
+    "simhash_md5" -> (args => SimHashMd5(args(0))),
     "hashed_shingles" -> (args =>
       HashedShingles(args(0), intArg(args(1), "hashed_shingles k"))),
     "token_bucket_counts" -> (args =>

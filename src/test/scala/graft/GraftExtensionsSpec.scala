@@ -18,11 +18,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val row = spark.sql(
       """SELECT dot_product(a, b) AS dp,
         |       simhash64(split(s, ' ')) AS sh,
+        |       simhash_md5(split(s, ' ')) AS shm,
         |       size(minhash_sig(transform(a, x -> CAST(x AS BIGINT)), 8)) AS mk,
         |       rolling_min_hash(s, 4) AS rh
         |FROM ext_t""".stripMargin).head
     assert(row.getAs[Double]("dp") == 32.0)
     assert(row.getAs[Long]("sh") != 0L)
+    assert(row.getAs[Long]("shm") != 0L)
     assert(row.getAs[Int]("mk") == 8)
     assert(row.getAs[Long]("rh") > 0L)
   }
