@@ -154,6 +154,73 @@ object Audit {
       |FROM d JOIN m2 ON m2.event_type = d.event_type
       |GROUP BY 1""".stripMargin
 
+  /** q72: Pearson correlation matrix over lineitem's fixed-point
+    * numeric columns — the statistical profiling pass a data catalog
+    * runs per table. Naive corr() is order-dependent (sums of double
+    * products drift by partition order) and the two engines' built-ins
+    * differ anyway, so every moment (Σx, Σxy, Σx², n) accumulates as
+    * EXACT Decimal(38,0) over scaled integer units — associative, any
+    * shuffle order — and only then converts to double for ONE shared
+    * closed-form formula; both engines round the exact integers to the
+    * same nearest doubles, so r is bit-identical. One scan computes
+    * all 14 moments; the matrix itself is a 6-row projection. */
+  private val CorrCols = Seq(
+    "q" -> "l_quantity", "p" -> "l_extendedprice",
+    "d" -> "l_discount", "t" -> "l_tax")
+
+  def q72CorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val li = Tables.load(spark, dir, "lineitem").select(
+      CorrCols.map { case (a, c) => Exact.units(col(c), 2).as(a) }: _*)
+    // moments stay DECIMAL through n·Σxy − ΣxΣy: a double-space
+    // subtract-of-products differs across engines in last ulps
+    // (contraction/ordering); only the three final terms become
+    // doubles, and sqrt/ * / / are IEEE correctly-rounded on both
+    val moments =
+      Seq(count(lit(1)).cast(dec).as("n")) ++
+        CorrCols.map { case (a, _) =>
+          sum(col(a).cast(dec)).as(s"s_$a") } ++
+        (for ((a, _) <- CorrCols; (b, _) <- CorrCols if a <= b)
+          yield sum((col(a).cast(dec) * col(b).cast(dec))).as(s"s_$a$b"))
+    val aggRow = li.agg(moments.head, moments.tail: _*)
+    def rFor(a: String, b: String) = {
+      val (n, sa, sb) = (col("n"), col(s"s_$a"), col(s"s_$b"))
+      val (saa, sbb) = (col(s"s_$a$a"), col(s"s_$b$b"))
+      val sab = col(s"s_$a$b")
+      (n * sab - sa * sb).cast("double") /
+        (sqrt((n * saa - sa * sa).cast("double")) *
+          sqrt((n * sbb - sb * sb).cast("double")))
+    }
+    val pairs = for ((a, ca) <- CorrCols; (b, cb) <- CorrCols if a < b)
+      yield struct(lit(ca).as("col_a"), lit(cb).as("col_b"),
+        rFor(a, b).as("pearson_r"))
+    aggRow
+      .select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.col_a"), col("kv.col_b"), col("kv.pearson_r"))
+  }
+
+  val q72Oracle: String = {
+    val moments =
+      Seq("count(*) AS n") ++
+        CorrCols.map { case (a, c) =>
+          s"sum(CAST(round($c * 100.0) AS BIGINT)) AS s_$a" } ++
+        (for ((a, ca) <- CorrCols; (b, cb) <- CorrCols if a <= b)
+          yield s"sum(CAST(round($ca * 100.0) AS BIGINT) * " +
+            s"CAST(round($cb * 100.0) AS BIGINT)) AS s_$a$b")
+    val rows = (for ((a, ca) <- CorrCols; (b, cb) <- CorrCols if a < b)
+      yield s"""SELECT '$ca' AS col_a, '$cb' AS col_b,
+               |  CAST(n * s_$a$b - s_$a * s_$b AS DOUBLE) /
+               |  (sqrt(CAST(n * s_$a$a - s_$a * s_$a AS DOUBLE)) *
+               |   sqrt(CAST(n * s_$b$b - s_$b * s_$b AS DOUBLE)))
+               |  AS pearson_r FROM m""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT ${moments.mkString(",\n    ")}
+       |  FROM lineitem)
+       |$rows""".stripMargin
+  }
+
   val q64Oracle: String =
     """WITH checks AS (
       |  SELECT 'lineitem_discount_gt_8pct' AS check_name,
