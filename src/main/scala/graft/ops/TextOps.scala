@@ -185,6 +185,52 @@ object TextOps {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** q73: bigram language-model table — adjacent-token pair counts
+    * with the conditional probability P(w2|w1) = c(w1,w2)/c(w1·), the
+    * training pass of a count-based LM (the scorer KenLM-style quality
+    * filtering builds). Prefix counts derive FROM the bigram table
+    * (one groupBy of an already-aggregated frame, broadcast back);
+    * probabilities are single divisions of exact integer counts. Top
+    * 50 by count with full lexicographic tiebreak keeps the output
+    * deterministic. One scan, one (w1,w2) shuffle with map-side
+    * combine, vocabulary²-bounded state. */
+  def q73BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bi = docs
+      .select(TF.wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1))).as("b"))
+      .select(col("b.0").as("w1"), col("b.1").as("w2"))
+    val pairCounts = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    val prefixCounts = pairCounts.groupBy(col("w1"))
+      .agg(sum(col("pair_count")).as("prefix_count"))
+    pairCounts.join(broadcast(prefixCounts), "w1")
+      .select(col("w1"), col("w2"), col("pair_count"), col("prefix_count"),
+        (col("pair_count") / col("prefix_count")).as("cond_prob"))
+      .orderBy(col("pair_count").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
+  }
+
+  val q73Oracle: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+      |), bi AS (
+      |  SELECT w[i] AS w1, w[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+      |  WHERE len(w) >= 2
+      |), c AS (
+      |  SELECT w1, w2, count(*) AS pair_count FROM bi GROUP BY 1, 2
+      |), p AS (
+      |  SELECT w1, CAST(sum(pair_count) AS BIGINT) AS prefix_count
+      |  FROM c GROUP BY 1)
+      |SELECT c.w1, c.w2, c.pair_count, p.prefix_count,
+      |  c.pair_count / p.prefix_count AS cond_prob
+      |FROM c JOIN p USING (w1)
+      |ORDER BY c.pair_count DESC, c.w1 ASC, c.w2 ASC LIMIT 50""".stripMargin
+
   val q58Oracle: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
