@@ -231,6 +231,42 @@ object TextOps {
       |FROM c JOIN p USING (w1)
       |ORDER BY c.pair_count DESC, c.w1 ASC, c.w2 ASC LIMIT 50""".stripMargin
 
+  /** q74: inverted-index build — the search-index pass over the
+    * corpus: per term, the document frequency and the posting list
+    * (doc_id:tf entries, doc_id-ascending), for the top-100 terms by
+    * df. Postings serialize as a canonical string so the oracle
+    * compare is dialect-free (arrays of structs compare awkwardly
+    * across engines; strings hash cleanly). Plan: one (doc, term)
+    * count with map-side combine, then one term-shuffle that
+    * assembles each posting list — exactly the two stages a
+    * distributed index build runs; per-term state is bounded by the
+    * posting list, the classic search-engine sharding unit. */
+  def q74InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(TF.wsTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          transform(sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+            s => concat(s.getField("doc_id"), lit(":"), s.getField("tf"))))
+          .as("postings"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(100)
+  }
+
+  val q74Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+      |SELECT term, count(*) AS df,
+      |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id ASC) AS postings
+      |FROM tf GROUP BY term
+      |ORDER BY df DESC, term ASC LIMIT 100""".stripMargin
+
   val q58Oracle: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
