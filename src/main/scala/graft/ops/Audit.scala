@@ -65,22 +65,18 @@ object Audit {
   }
 
   /** Interpolated per-group median of `valCol` (any numeric), via the
-    * same order-statistics pattern as q69: rank per group, pick the
-    * ⌊(n−1)/2⌋ and ⌈(n−1)/2⌉ neighbors, average — (lo + hi) / 2.0 is
-    * one shared expression, so both engines produce the same bits. */
+    * same order-statistics pattern as q69: rank per group (the
+    * two-phase distributed [[Rank.groupRank]] — event_type has ~5
+    * values, so a plain per-group window would sort a fifth of the
+    * table in ONE task), pick the ⌊(n−1)/2⌋ and ⌈(n−1)/2⌉ neighbors,
+    * average — (lo + hi) / 2.0 is one shared expression, so both
+    * engines produce the same bits. The two middle ranks filter down
+    * to ≤2 rows per group, and (min + max) / 2.0 IS (lo + hi) / 2.0
+    * since ranks are value-sorted. */
   private def medianOf(df: DataFrame, grp: String, valCol: String,
       out: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(grp)).orderBy(col(valCol).asc)
-    val wAll = Window.partitionBy(col(grp))
-    // rank and group-count share one partitioning (one sort/shuffle),
-    // the two middle ranks filter down to ≤2 rows per group, and
-    // (min + max) / 2.0 IS (lo + hi) / 2.0 since ranks are sorted —
-    // one pass over the input instead of a count-agg + two rank joins
-    // (which re-ran the whole upstream lineage per join)
-    df.select(col(grp), col(valCol))
-      .withColumn("_rn", row_number().over(w).cast("long") - 1)
-      .withColumn("_n", count(lit(1)).over(wAll))
+    Rank.groupRank(df.select(col(grp), col(valCol)),
+        Seq(grp), valCol, Nil, "_rn", "_n")
       .filter(col("_rn") === floor((col("_n") - 1) / 2.0).cast("long") ||
         col("_rn") === ceil((col("_n") - 1) / 2.0).cast("long"))
       .groupBy(col(grp))
@@ -97,7 +93,8 @@ object Audit {
     * are bit-identical across engines. The 5·MAD rational threshold is
     * deliberate (the usual 1.4826 normal-consistency constant is not
     * exactly representable; a data-quality gate only needs a stable,
-    * documented cutoff). Two ranking windows + two broadcast joins. */
+    * documented cutoff). Two distributed rank passes + two broadcast
+    * joins of the 5-row median frames. */
   def q70OutlierStats(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_type"), Exact.units(col("value"), 2).as("u"))

@@ -193,7 +193,11 @@ object Curation {
     * row_number ceil(p·n) in (n_chars, doc_id) order) is chosen over
     * interpolated percentiles deliberately: it is pure integer
     * indexing, so any two engines agree bitwise, and at corpus scale
-    * it is one sort-shuffle per stratum instead of a global sort.
+    * it is one bucketed rank pass per stratum instead of a global
+    * sort: ranks come from the two-phase distributed [[Rank.groupRank]]
+    * (~20 sources, so a plain per-source window would sort each
+    * source's full slice in ONE task — the group count n comes back
+    * from the same pass for free).
     * Mean is the exact integer sum with one final double division. */
   def q48LengthProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
@@ -202,14 +206,12 @@ object Curation {
       min(col("n_chars")).as("min_chars"),
       max(col("n_chars")).as("max_chars"),
       sum(col("n_chars")).as("sum_chars"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars").asc, col("doc_id").asc)
-    val ranked = docs
-      .select(col("source"), col("n_chars"), col("doc_id"))
-      .withColumn("rk", row_number().over(w).cast("long"))
+    val ranked = Rank.groupRank(
+      docs.select(col("source"), col("n_chars"), col("doc_id")),
+      Seq("source"), "n_chars", Seq("doc_id"), "_rk0", "_n")
     def atRank(p: Double, name: String) =
-      ranked.join(stats.select(col("source"), col("n_docs")), "source")
-        .filter(col("rk") === ceil(col("n_docs") * p).cast("long"))
+      ranked
+        .filter(col("_rk0") + 1L === ceil(col("_n") * p).cast("long"))
         .select(col("source"), col("n_chars").as(name))
     stats
       .join(atRank(0.5, "median_chars"), "source")

@@ -213,17 +213,18 @@ object Extended {
     * the built-in `percentile`, because the two engines' built-ins
     * differ in interpolation formula by ulps; writing ONE formula over
     * exact integer price units — lo + (hi−lo)·g, one final /100 — is
-    * what makes the doubles hash-identical. Plan: one ranking window
-    * per group + two (status, rank) equi-joins against the 4-row-per-
-    * group target table. */
+    * what makes the doubles hash-identical. Plan: ranks come from the
+    * two-phase distributed [[Rank.groupRank]] (status has ~3 values, so
+    * a plain per-status window would sort a third of the table in ONE
+    * task), then one join against the 4-row-per-group target table. */
   val PercentilePs = Seq(0.25, 0.5, 0.75, 0.9)
 
   def q69PercentileCont(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(spark, dir, "orders")
       .select(col("o_orderstatus").as("status"),
         Exact.units(col("o_totalprice"), 2).as("u"))
-    val w = Window.partitionBy(col("status")).orderBy(col("u").asc)
-    val ranked = ord.withColumn("rn", row_number().over(w).cast("long") - 1)
+    val ranked = Rank.groupRank(ord, Seq("status"), "u", Nil, "rn", "_n")
+      .drop("_n")
     // targets come from a cheap scan-side count agg (NOT from ranked),
     // and join the ranked rows ONCE with (rn = lo OR rn = hi) as a
     // residual — rank-equi-joining ranked per bound would instantiate
@@ -278,22 +279,38 @@ object Extended {
     * per-customer spend (a true event-time range frame — peers at the
     * same day all join the frame, so ties are deterministic) and its
     * global spend quartile. The windowed sum accumulates exact integer
-    * units with one final division, so the moving doubles hash-compare. */
+    * units with one final division, so the moving doubles hash-compare.
+    *
+    * The quartile is NOT `ntile(4)` over an unpartitioned window (that
+    * funnels every order through one task): the global 0-based rank r
+    * under (price DESC, orderkey ASC) comes from the distributed
+    * [[Rank.groupRank]] (negated exact units = DESC), and ntile's exact
+    * tile arithmetic — the first n%4 tiles hold ⌈n/4⌉ rows, the rest
+    * ⌊n/4⌋ — is then a per-row expression, bit-identical to the
+    * oracle's built-in ntile. */
   def q54MovingWindow(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         unix_date(to_date(col("o_orderdate"))).as("d"))
+      .withColumn("_negu", -Exact.units(col("o_totalprice"), 2))
+    val ranked = Rank.groupRank(ord, Nil, "_negu", Seq("o_orderkey"),
+      "_r", "_n")
     val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
       .rangeBetween(-6, Window.currentRow)
-    val wTile = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    ord
+    ranked
       .withColumn("moving_units",
         sum(Exact.units(col("o_totalprice"), 2)).over(wRange))
       .select(
         col("o_orderkey").as("order_id"),
         col("o_custkey").as("customer_id"),
         (col("moving_units") / lit(100.0)).as("trailing_week_spend"),
-        ntile(4).over(wTile).cast("long").as("spend_quartile"))
+        // q = _n DIV 4, rm = _n % 4; tiles [1, rm] take q+1 rows. The
+        // ELSE divisor q is only 0 when n < 4, where r < rm·(q+1) = n
+        // always holds — CaseWhen is lazy, so the branch never runs
+        expr("""CASE WHEN _r < (_n % 4) * (_n DIV 4 + 1)
+                THEN _r DIV (_n DIV 4 + 1) + 1
+                ELSE (_n % 4) + (_r - (_n % 4) * (_n DIV 4 + 1)) DIV (_n DIV 4) + 1
+                END""").as("spend_quartile"))
   }
 
   val q54Oracle: String =

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase distributed group rank — the shared primitive behind every
+  * order-statistics query (q54 quartiles, q69 percentiles, q70 median /
+  * MAD, q48 nearest-rank profile).
+  *
+  * A plain `row_number() OVER (PARTITION BY g ORDER BY v)` sorts each
+  * group's FULL row set in one task, so a low-cardinality group column
+  * (order status ~3 values, event type ~5) funnels the whole table
+  * through a handful of tasks — correct at test scale, a stall at
+  * 100 TB. This primitive keeps the exact same rank semantics with no
+  * group-sized sort anywhere, generalizing the prefix-sum plan of
+  * [[Packing.sequencePack]] to arbitrary orderable values:
+  *
+  *   1. bucket each row by an order-preserving quantization of the
+  *      value within its group's [min, max] range (≤ [[Buckets]]
+  *      buckets; weakly monotone, so ties never straddle a boundary);
+  *   2. count rows per (group, bucket) — an aggregate of at most
+  *      |groups|·Buckets rows — and prefix-sum those counts into a
+  *      per-bucket rank offset;
+  *   3. rank locally within each (group, bucket) slice and add the
+  *      bucket offset: offset + local row_number − 1 IS the global
+  *      0-based rank, because every row in an earlier bucket sorts
+  *      strictly before every row in a later one.
+  *
+  * The per-(group, bucket) sort in phase 3 touches ~1/Buckets of a
+  * group per task, and phase 2's window runs over bucket COUNTS, not
+  * rows. Value skew degrades gracefully: rows with one identical value
+  * share a bucket (a tie-heavy column caps the win at the tie mass),
+  * and a single-valued group degenerates to one bucket — the plain
+  * window plan, never worse.
+  *
+  * Contract: `valueCol` is numeric and non-null; ordering is
+  * (valueCol ASC, tieCols ASC) — pass a negated value for DESC.
+  * Ranks for rows tied on the full ordering are assigned arbitrarily
+  * within the tie (row_number semantics): deterministic per sorted
+  * position, so any value-at-rank lookup is stable. Group cardinality
+  * must be broadcast-sized (the offsets table is |groups|·Buckets
+  * rows); at millions of groups a plain partitioned window stops being
+  * a bottleneck and should be used instead.
+  */
+object Rank {
+
+  /** Bucket fan-out per group. 256 buckets × 32-partition shuffle
+    * spreads phase 3 well past any realistic core count while keeping
+    * the offsets table aggregate-sized. */
+  val Buckets = 256
+
+  /** Appends to `df`: `outRank` — the 0-based rank of the row within
+    * its group under (valueCol ASC, tieCols ASC) — and `outN`, the
+    * group's row count (both long). `grpCols` empty = one global group. */
+  def groupRank(df: DataFrame, grpCols: Seq[String], valueCol: String,
+      tieCols: Seq[String], outRank: String, outN: String): DataFrame = {
+    val grp = grpCols.map(col)
+    val v = col(valueCol)
+
+    val statAggs = Seq(min(v).as("_vmin"), max(v).as("_vmax"))
+    val stats =
+      if (grpCols.nonEmpty) df.groupBy(grp: _*).agg(statAggs.head, statAggs(1))
+      else df.agg(statAggs.head, statAggs(1))
+    val withStats =
+      if (grpCols.nonEmpty) df.join(broadcast(stats), grpCols)
+      else df.crossJoin(broadcast(stats))
+
+    // order-preserving quantization: (v − vmin)·B / (vmax − vmin) in
+    // double space. IEEE ±/× / ÷ by a positive value are weakly
+    // monotone and the expression is a pure function of the value, so
+    // bucket boundaries are identical under any partitioning — only
+    // monotonicity matters, not precision (a long→double cast past
+    // 2^53 still quantizes order-consistently)
+    val span = (col("_vmax") - col("_vmin")).cast("double")
+    val bucketed = withStats
+      .withColumn("_bkt",
+        when(col("_vmax") === col("_vmin"), lit(0L))
+          .otherwise(least(
+            floor((v - col("_vmin")).cast("double") * Buckets / span)
+              .cast("long"),
+            lit(Buckets - 1L))))
+      .drop("_vmin", "_vmax")
+
+    val counts = bucketed.groupBy((grp :+ col("_bkt")): _*)
+      .agg(count(lit(1)).as("_bcnt"))
+    val offsets =
+      if (grpCols.nonEmpty) {
+        // windows over the COUNTS table: ≤ Buckets rows per group
+        val wOff = Window.partitionBy(grp: _*).orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy(grp: _*)
+        counts
+          .withColumn("_boff", coalesce(sum(col("_bcnt")).over(wOff), lit(0L)))
+          .withColumn(outN, sum(col("_bcnt")).over(wTot))
+          .select((grp :+ col("_bkt") :+ col("_boff") :+ col(outN)): _*)
+      } else {
+        // global rank: the counts table is ≤ Buckets rows — a
+        // CONSTANT-bounded statistics aggregate (same class as the
+        // 256-element collects in CorrDedup), prefix-summed on the
+        // driver rather than through an unpartitioned window
+        val rows = counts.select(col("_bkt"), col("_bcnt"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val n = rows.map(_._2).sum
+        var acc = 0L
+        val off = rows.toSeq.map { case (b, c) =>
+          val o = acc; acc += c; (b, o, n)
+        }
+        val spark = df.sparkSession
+        import spark.implicits._
+        off.toDF("_bkt", "_boff", outN)
+      }
+
+    val wLocal = Window.partitionBy((grp :+ col("_bkt")): _*)
+      .orderBy((v.asc +: tieCols.map(col(_).asc)): _*)
+    bucketed.join(broadcast(offsets), grpCols :+ "_bkt")
+      .withColumn(outRank,
+        col("_boff") + row_number().over(wLocal).cast("long") - 1L)
+      .drop("_bkt", "_boff")
+  }
+}

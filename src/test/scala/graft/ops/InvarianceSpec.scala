@@ -48,7 +48,13 @@ class InvarianceSpec extends AnyFunSuite {
     ("q33 connected components (star contraction)",
       () => DedupOps.q33DedupClusters(spark, TestSpark.sfDir)),
     ("q1 exact fixed-point aggregation",
-      () => Relational.q1Agg(spark, TestSpark.sfDir)))
+      () => Relational.q1Agg(spark, TestSpark.sfDir)),
+    ("q54 distributed global ntile (two-phase rank)",
+      () => Extended.q54MovingWindow(spark, TestSpark.sfDir)),
+    ("q69 distributed per-group percentile rank",
+      () => Extended.q69PercentileCont(spark, TestSpark.sfDir)),
+    ("q48 distributed nearest-rank length profile",
+      () => Curation.q48LengthProfile(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.ops.Rank.groupRank must equal the plain (single-task) window
+  * rank on every data shape that stresses its bucketing: dense values,
+  * heavy ties, a single-valued group, negative ranges, doubles, a
+  * global (no-group) rank, and unbalanced groups. The plain window is
+  * the semantic spec; the primitive exists only to change the PLAN.
+  */
+class RankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def referenceRank(df: DataFrame, grpCols: Seq[String],
+      valueCol: String, tieCols: Seq[String]): DataFrame = {
+    val w = (if (grpCols.nonEmpty) Window.partitionBy(grpCols.map(col): _*)
+             else Window.partitionBy())
+      .orderBy((col(valueCol).asc +: tieCols.map(col(_).asc)): _*)
+    val wAll = if (grpCols.nonEmpty) Window.partitionBy(grpCols.map(col): _*)
+               else Window.partitionBy()
+    df.withColumn("rk", row_number().over(w).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(wAll))
+  }
+
+  private def assertMatches(df: DataFrame, grpCols: Seq[String],
+      valueCol: String, tieCols: Seq[String]): Unit = {
+    val got = Rank.groupRank(df, grpCols, valueCol, tieCols, "rk", "n")
+      .select((grpCols ++ Seq(valueCol) ++ tieCols ++ Seq("rk", "n")).map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    val want = referenceRank(df, grpCols, valueCol, tieCols)
+      .select((grpCols ++ Seq(valueCol) ++ tieCols ++ Seq("rk", "n")).map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("unique long values per group, unbalanced groups") {
+    // group g0: 1000 rows, g1: 3 rows, g2: 1 row
+    val df = ((0 until 1000).map(i => ("g0", (i * 37 % 1000).toLong * 13 - 500, i.toLong)) ++
+      Seq(("g1", 5L, 0L), ("g1", -5L, 1L), ("g1", 0L, 2L)) ++
+      Seq(("g2", 42L, 0L))).toDF("g", "v", "id")
+    assertMatches(df, Seq("g"), "v", Seq("id"))
+  }
+
+  test("heavy ties resolved by tiebreak column") {
+    // only 4 distinct values over 800 rows — tie mass shares buckets
+    val df = (0 until 800).map(i => ("g" + i % 2, (i % 4).toLong, i.toLong))
+      .toDF("g", "v", "id")
+    assertMatches(df, Seq("g"), "v", Seq("id"))
+  }
+
+  test("single-valued group degenerates to one bucket, still correct") {
+    val df = ((0 until 100).map(i => ("flat", 7L, i.toLong)) ++
+      (0 until 100).map(i => ("vary", i.toLong, i.toLong)))
+      .toDF("g", "v", "id")
+    assertMatches(df, Seq("g"), "v", Seq("id"))
+  }
+
+  test("double values (median/MAD deviation shape)") {
+    val df = (0 until 500)
+      .map(i => ("e" + i % 5, math.abs(i * 97 % 250 - 125) + 0.5, i.toLong))
+      .toDF("g", "v", "id")
+    assertMatches(df, Seq("g"), "v", Seq("id"))
+  }
+
+  test("global rank (no group) equals unpartitioned window") {
+    val df = (0 until 1000).map(i => ((i * 613 % 1000).toLong - 77, i.toLong))
+      .toDF("v", "id")
+    assertMatches(df, Nil, "v", Seq("id"))
+  }
+
+  test("value-at-rank is stable under ties even without a tiebreak") {
+    // ranks among equal values are arbitrary, but the VALUE at any
+    // given rank index is determined by sorted order — the property
+    // q69/q70 rely on
+    val df = (0 until 400).map(i => ("g" + i % 3, (i % 10).toLong))
+      .toDF("g", "v")
+    val ranked = Rank.groupRank(df, Seq("g"), "v", Nil, "rk", "n")
+      .select(col("g"), col("rk"), col("v"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = referenceRank(df, Seq("g"), "v", Nil)
+      .select(col("g"), col("rk"), col("v"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(ranked == want)
+  }
+
+  test("plan contains no unpartitioned window and no group-only window") {
+    val df = (0 until 100).map(i => ("g" + i % 3, i.toLong, i.toLong))
+      .toDF("g", "v", "id")
+    val plan = Rank.groupRank(df, Seq("g"), "v", Seq("id"), "rk", "n")
+      .queryExecution.executedPlan.toString
+    // every window over row data must be partitioned by (g, _bkt) —
+    // a window partitioned by g alone would be the single-task sort
+    // this primitive replaces (the counts-table windows are also
+    // g-partitioned but run over ≤ Buckets rows per group; they are
+    // distinguishable here because groupRank's row-data windows list
+    // _bkt in their partition spec)
+    val specs = "windowspecdefinition\\(([^,]*, [^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    assert(specs.exists(_.contains("_bkt")),
+      s"expected a (group, _bkt)-partitioned local rank window, got: $specs")
+  }
+}
