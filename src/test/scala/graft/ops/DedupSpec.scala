@@ -41,6 +41,42 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.broadcastVerifyArrays")
   }
 
+  test("q76 member join carries no static broadcast hint (corpus-scale side)") {
+    // the near-dup member set grows with the duplicate count, so q76
+    // must leave the join strategy to AQE (runtime size) rather than
+    // pin a broadcast that becomes corpus-sized on a dup-heavy corpus
+    val plan = DedupOps.q76DedupReport(spark, TestSpark.sfDir)
+      .queryExecution.optimizedPlan.toString
+    val leftOuterJoins = plan.linesIterator.filter(_.contains("Join LeftOuter")).toSeq
+    assert(leftOuterJoins.nonEmpty)
+    assert(leftOuterJoins.forall(!_.contains("strategy=broadcast")),
+      s"q76's member join is hint-broadcast: ${leftOuterJoins.mkString("; ")}")
+  }
+
+  test("degree orientation bounds a hub's out-degree even when the hub has the smallest id") {
+    // star: hub 0 — the SMALLEST id — connected to 50 leaves. Id-only
+    // orientation points all 50 edges OUT of the hub, so the 2-path
+    // join materializes 50·49 pairs for a triangle-free graph; degree
+    // orientation points every edge leaf→hub (deg 1 ≺ deg 50), giving
+    // max out-degree 1 and an empty 2-path set.
+    val star = (1L to 50L).map(l => (0L, l)).toDF("u", "v")
+    val degree = star.select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val outDeg = DedupOps.orientByDegree(star, degree)
+      .groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .agg(max(col("od"))).as[Long].head()
+    assert(outDeg == 1L)
+    val counts = DedupOps.triangleCounts(star).as[(Long, Long, Long)].collect()
+    assert(counts.length == 51 && counts.forall(_._3 == 0L))
+  }
+
+  test("triangle counts on K4 are orientation-independent: every node in 3 triangles") {
+    val k4 = (for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)).toDF("u", "v")
+    val counts = DedupOps.triangleCounts(k4).as[(Long, Long, Long)].collect()
+    assert(counts.length == 4)
+    assert(counts.forall { case (_, deg, tri) => deg == 3L && tri == 3L })
+  }
+
   test("incremental near-dup classifies exact_dup, near_dup, and unique batch docs") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
