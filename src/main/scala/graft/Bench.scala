@@ -41,12 +41,21 @@ object Bench {
       }
       val times = Vector.fill(3)(run())
       val all = if (times.max > 3 * times.min) times :+ run() else times
+      // incremental line per query: numbers survive even if a bounded
+      // log capture truncates the one big summary line
+      println(s"""{"q":"$name","sec":${all.min}}""")
       name -> all.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // ...and to a file: the summary must not depend on log capture at all
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd sketch kernels for the dedup pipeline. Both replace wide
   * stacks of interpreted higher-order-function lambdas (32 transforms
@@ -70,6 +71,35 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 object MinHashSig {
   def apply(c: Column, k: Int): Column =
     ColumnBridge.toColumn(MinHashSig(ColumnBridge.toExpression(c), k))
+}
+
+/** Banded early-exit Levenshtein: the exact edit distance when it is
+  * <= threshold, and -1 otherwise. The threshold is a per-ROW column
+  * (Spark's own `levenshtein(l, r, k)` requires a foldable threshold),
+  * which is what a prune-against-a-per-key-upper-bound plan needs: the
+  * kernel only fills the |a|×(2k+1) diagonal band instead of the full
+  * |a|×|b| DP matrix and abandons a row pair as soon as the band's
+  * minimum exceeds k. Delegates to UTF8String.levenshteinDistance's
+  * thresholded implementation so semantics match the SQL builtin.
+  */
+case class LevenshteinWithin(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any, k: Any): Any =
+    a.asInstanceOf[UTF8String]
+      .levenshteinDistance(b.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, k) => s"$a.levenshteinDistance($b, $k)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): LevenshteinWithin =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object LevenshteinWithin {
+  def apply(a: Column, b: Column, k: Column): Column =
+    ColumnBridge.toColumn(LevenshteinWithin(ColumnBridge.toExpression(a),
+      ColumnBridge.toExpression(b), ColumnBridge.toExpression(k)))
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {

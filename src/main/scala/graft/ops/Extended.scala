@@ -418,17 +418,46 @@ object Extended {
     * blocking discipline as the dedup family: a fuzzy join without a
     * blocking key cannot scale). Edit distance is integer and both
     * engines implement the standard DP, so the argmin (distance asc,
-    * custkey asc) is bit-exact. */
+    * custkey asc) is bit-exact.
+    *
+    * The within-block pair set still grows quadratically, so the DP is
+    * guarded by a lossless two-phase prune:
+    *  1. ANCHOR upper bound — each supplier computes one full distance
+    *     to a deterministic per-nation anchor (the min-custkey
+    *     customer, a |nations|-row broadcast): ub_s. The true best
+    *     distance is <= ub_s because the anchor is itself a candidate.
+    *  2. Candidates first pass the |len(s)-len(c)| <= ub_s filter
+    *     (length difference lower-bounds edit distance — free prune
+    *     before ANY DP work; vacuous on fixed-width TPC-H names, load-
+    *     bearing on real variable-length corpora), then run the BANDED
+    *     early-exit kernel [[graft.functions.LevenshteinWithin]] with
+    *     per-row threshold ub_s: O(len·ub) band instead of the full
+    *     matrix, -1 (dropped) when distance > ub_s. Every dropped pair
+    *     has distance strictly above ub_s >= best, so it can affect
+    *     neither the argmin nor the custkey tie-break, and the anchor
+    *     pair always survives — the ranking window now sees only the
+    *     survivors instead of the whole block. */
   def q63FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
     val sup = Tables.load(spark, dir, "supplier")
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
     val cust = Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val anchors = cust
+      .groupBy(col("c_nationkey").as("a_nationkey"))
+      .agg(min(struct(col("c_custkey"), col("c_name"))).as("a"))
+      .select(col("a_nationkey"), col("a.c_name").as("anchor_name"))
+    val supUb = sup
+      .join(broadcast(anchors), col("s_nationkey") === col("a_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        levenshtein(col("s_name"), col("anchor_name")).as("ub"))
     val w = Window.partitionBy(col("s_suppkey"))
       .orderBy(col("edit_distance").asc, col("c_custkey").asc)
-    sup.join(cust, col("s_nationkey") === col("c_nationkey"))
+    supUb.join(cust, col("s_nationkey") === col("c_nationkey"))
+      .filter(abs(length(col("s_name")) - length(col("c_name"))) <= col("ub"))
       .select(col("s_suppkey"), col("s_name"), col("c_custkey"),
-        levenshtein(col("s_name"), col("c_name")).cast("long").as("edit_distance"))
+        graft.functions.LevenshteinWithin(col("s_name"), col("c_name"), col("ub"))
+          .cast("long").as("edit_distance"))
+      .filter(col("edit_distance") >= 0L)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("s_suppkey"), col("s_name"),

@@ -81,11 +81,19 @@ object MultimodalOps {
     * stage of an image/audio pipeline): an 8-bin byte-value histogram
     * plus the exact mean byte — per-payload work a real deployment
     * would replace with embedding/model inference, with the same
-    * iterator-per-partition shape. All integer byte math, so the
-    * oracle replays it from codepoints. */
+    * iterator-per-partition shape.
+    *
+    * ORACLE INVARIANT (q51, and q52 below): Spark computes over the
+    * payload's UTF-8 BYTES while the DuckDB oracle rebuilds per-CHAR
+    * codepoints — the two agree only because `documents.text` is
+    * ASCII (byte == codepoint, byte length == char length; same
+    * invariant q23/q26 state). A non-ASCII corpus needs an
+    * octet-level oracle (encode()/octet_length), not a char-level
+    * one. An empty payload yields mean_byte = NULL (not 0/0 = NaN),
+    * matching SQL's NULL-on-empty aggregate semantics. */
   final case class MediaFeatures(
       doc_id: Long, h0: Long, h1: Long, h2: Long, h3: Long,
-      h4: Long, h5: Long, h6: Long, h7: Long, mean_byte: Double)
+      h4: Long, h5: Long, h6: Long, h7: Long, mean_byte: Option[Double])
 
   def extractFeatures(docId: Long, payload: Array[Byte]): MediaFeatures = {
     val h = new Array[Long](8)
@@ -97,8 +105,9 @@ object MultimodalOps {
       sum += b
       i += 1
     }
-    MediaFeatures(docId, h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7),
-      sum.toDouble / payload.length.toDouble)
+    val mean = if (payload.length == 0) None
+      else Some(sum.toDouble / payload.length.toDouble)
+    MediaFeatures(docId, h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7), mean)
   }
 
   def q51MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -127,7 +136,9 @@ object MultimodalOps {
     * (16 block means over the bytes — the 1-D analog of image resize,
     * which is exactly block-averaging). Emitted as 16 scalar columns of
     * exact integer-ratio doubles; blocks beyond a short payload are
-    * NULL. Same iterator-per-partition shape as the decode. */
+    * NULL (an empty payload is all-NULL — no 0/0 division). Same
+    * iterator-per-partition shape as the decode; same ASCII oracle
+    * invariant as q51 above. */
   final case class Resized(
       doc_id: Long, r0: Option[Double], r1: Option[Double], r2: Option[Double],
       r3: Option[Double], r4: Option[Double], r5: Option[Double],

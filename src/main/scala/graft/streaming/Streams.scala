@@ -17,6 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object Streams {
 
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Switch streaming state to the RocksDB provider (what the
+    * reference's managed runtime runs under its stateful operators,
+    * SURVEY.md §4.3). The default HDFS-backed provider holds every
+    * state row on the executor HEAP — fine at test scale, a 100 TB
+    * stream's join/session state must spill to native storage instead.
+    * Session-wide conf, read at streaming-query START: set it before
+    * `.start()`; running queries keep their provider. Returns the
+    * previous value so callers can restore it. */
+  def useRocksDbStateStore(spark: org.apache.spark.sql.SparkSession): Option[String] = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDbProvider)
+    prev
+  }
+
   /** `withWatermark` wrapper (silver_layer_person.py:15 et al.). */
   def watermarked(df: DataFrame, eventCol: String, delay: String = "5 minutes"): DataFrame =
     df.withWatermark(eventCol, delay)
@@ -58,10 +76,20 @@ object Streams {
     * regress the row); a key whose latest change is a delete is
     * suppressed entirely. One hash-shuffle on the key — the same plan
     * class as the exact-dedup digest groupBy, safe at any corpus size.
+    *
+    * Determinism contract: within one (key, version) a change feed may
+    * carry at most one change per `_change_type` (what Delta CDF emits
+    * per commit). Equal versions resolve by change-type rank —
+    * delete > update_postimage > insert — the same rule
+    * [[Scd1.currentState]] applies, so batch and streaming agree even
+    * on feeds that compact an insert and its same-commit delete.
     * Streaming form: [[Scd1.currentState]]. */
   def scd1Apply(changes: DataFrame, keyCols: Seq[String],
       versionCol: String = "_commit_version"): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    val rank = when(col("_change_type") === "delete", 2)
+      .when(col("_change_type") === "update_postimage", 1).otherwise(0)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, rank.desc)
     changes
       .filter(col("_change_type") =!= "update_preimage")
       .withColumn("_rk", row_number().over(w))

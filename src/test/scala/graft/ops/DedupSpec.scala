@@ -41,6 +41,34 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.broadcastVerifyArrays")
   }
 
+  test("q57 LSH candidate stage finds every above-threshold batch-corpus pair (blocked ≡ exhaustive)") {
+    // q57's bit-exact oracle rests on the LSH stage missing nothing the
+    // exhaustive join finds. That is NOT a thresholds-alone guarantee —
+    // a pair at exactly J = 0.5 has a ~60% deterministic miss chance
+    // with 8 bands × 4 rows — so assert it on the real corpus, the same
+    // way DedupSpec pins q35's blocked ≡ exhaustive equivalence.
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+    val isNew = col("source").isin(DedupOps.NewBatchSources: _*)
+    val newArr = DedupOps.shingleArrayDf(
+      docs.filter(isNew).select(col("doc_id"), col("text")))
+    val oldArr = DedupOps.shingleArrayDf(
+      docs.filter(!isNew).select(col("doc_id"), col("text")))
+    val allCand = newArr.select(col("doc_id").as("doc_id_1"))
+      .crossJoin(oldArr.select(col("doc_id").as("doc_id_2")))
+    val exhaustive = DedupOps.jaccardVerifyBetween(allCand, newArr, oldArr)
+      .as[(Long, Long, Double)].collect().toSet
+    val nb = DedupOps.lshBands(DedupOps.minhashSignatures(newArr))
+      .select(col("doc_id").as("doc_id_1"), col("band"), col("bucket"))
+    val ob = DedupOps.lshBands(DedupOps.minhashSignatures(oldArr))
+      .select(col("doc_id").as("doc_id_2"), col("band"), col("bucket"))
+    val cand = nb.join(ob, Seq("band", "bucket"))
+      .select(col("doc_id_1"), col("doc_id_2")).distinct()
+    val blocked = DedupOps.jaccardVerifyBetween(cand, newArr, oldArr)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exhaustive.nonEmpty, "corpus should contain planted batch-vs-corpus near-dups")
+    assert(blocked == exhaustive)
+  }
+
   test("q76 member join carries no static broadcast hint (corpus-scale side)") {
     // the near-dup member set grows with the duplicate count, so q76
     // must leave the join strategy to AQE (runtime size) rather than

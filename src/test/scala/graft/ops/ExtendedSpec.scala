@@ -23,6 +23,61 @@ class ExtendedSpec extends AnyFunSuite {
         s"status $s p=$p manual=${manual((s, p))} builtin=$v")
   }
 
+  test("LevenshteinWithin is exact at and below the threshold, -1 above it") {
+    val rows = Seq(
+      ("kitten", "sitting", 3), // true distance 3 == threshold → exact
+      ("kitten", "sitting", 2), // 3 > 2 → -1
+      ("kitten", "sitting", 10),
+      ("abc", "abc", 0),
+      ("", "abc", 3),
+      ("", "abc", 2),
+      ("Supplier#000000001", "Customer#000000001", 5))
+      .toDF("a", "b", "k")
+      .select(col("a"), col("b"), col("k"),
+        graft.functions.LevenshteinWithin(col("a"), col("b"), col("k")).as("d"),
+        levenshtein(col("a"), col("b")).as("full"))
+      .as[(String, String, Int, Int, Int)].collect()
+    assert(rows.length == 7)
+    for ((a, b, k, d, full) <- rows) {
+      if (full <= k) assert(d == full, s"($a,$b,$k): banded $d != full $full")
+      else assert(d == -1, s"($a,$b,$k): expected -1, got $d (full $full)")
+    }
+  }
+
+  test("q63 anchor-pruned fuzzy match equals the exhaustive per-block argmin") {
+    import org.apache.spark.sql.expressions.Window
+    val sup = graft.Tables.load(spark, TestSpark.sfDir, "supplier")
+    val cust = graft.Tables.load(spark, TestSpark.sfDir, "customer")
+    val w = Window.partitionBy(col("s_suppkey"))
+      .orderBy(col("edit_distance").asc, col("c_custkey").asc)
+    val exhaustive = sup.join(cust, col("s_nationkey") === col("c_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("c_custkey"),
+        levenshtein(col("s_name"), col("c_name")).cast("long").as("edit_distance"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("s_suppkey"), col("s_name"),
+        col("c_custkey").as("best_match"), col("edit_distance"))
+      .as[(Long, String, Long, Long)].collect().sorted
+    val pruned = Extended.q63FuzzyMatch(spark, TestSpark.sfDir)
+      .as[(Long, String, Long, Long)].collect().sorted
+    assert(pruned.nonEmpty && (pruned sameElements exhaustive))
+    // the prune is load-bearing: count survivors entering the ranking
+    // window vs the full block pair count
+    val allPairs = sup.join(cust, col("s_nationkey") === col("c_nationkey")).count()
+    val anchors = cust.groupBy(col("c_nationkey").as("a_nationkey"))
+      .agg(min(struct(col("c_custkey"), col("c_name"))).as("a"))
+      .select(col("a_nationkey"), col("a.c_name").as("anchor_name"))
+    val survivors = sup.join(broadcast(anchors), col("s_nationkey") === col("a_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        levenshtein(col("s_name"), col("anchor_name")).as("ub"))
+      .join(cust, col("s_nationkey") === col("c_nationkey"))
+      .filter(graft.functions.LevenshteinWithin(
+        col("s_name"), col("c_name"), col("ub")) >= 0)
+      .count()
+    info(s"q63 prune: $survivors of $allPairs block pairs reach the ranking window")
+    assert(survivors * 3 <= allPairs * 2,
+      s"expected the banded prune to drop at least a third of the pairs: $survivors / $allPairs")
+  }
+
   test("mixture sampling emits floor(r) epochs for every doc plus a hash-selected fraction") {
     val out = Curation.q68MixtureSample(spark, TestSpark.sfDir)
       .groupBy("source").agg(countDistinct("doc_id").as("docs"),

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB state argument as a measured invariant (SURVEY.md §3.2):
+  * a watermarked stream-stream interval join must hold state bounded
+  * by the watermark band — rows older than
+  * `watermark − band − delay` are EVICTED, so state is a sliding
+  * window over the stream, not the stream. A soak drives event time
+  * forward far past the band each round and asserts the state-store
+  * row count plateaus instead of accumulating: if eviction were
+  * broken (e.g. a missing watermark or a band Spark can't derive a
+  * state value watermark from), state would grow linearly with input
+  * and no cluster size survives that at 100 TB.
+  */
+class StateBoundSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp = {
+    val h = 10 + minute / 60
+    Timestamp.valueOf(f"2024-01-01 $h%02d:${minute % 60}%02d:00")
+  }
+
+  test("interval-join state rows plateau at the watermark band under an advancing soak") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Int, Int, Timestamp)]  // (id, key, l_time)
+    val right = MemoryStream[(Int, String, Timestamp)] // (key, tag, r_time)
+    val l = Streams.watermarked(
+      left.toDF().toDF("id", "key_fk", "l_time"), "l_time", "5 minutes")
+    val r = Streams.watermarked(
+      right.toDF().toDF("key", "tag", "r_time"), "r_time", "5 minutes")
+    val joined = Streams.intervalJoinLeft(l, r,
+      col("key_fk") === col("key"),
+      leftTime = "l_time", rightTime = "r_time",
+      lower = "2 minutes", upper = "2 minutes")
+    val q = joined.writeStream.format("memory").queryName("soak_out")
+      .outputMode("append").start()
+    try {
+      val rounds = 8
+      val perBatch = 100
+      val stateSizes = (0 until rounds).map { round =>
+        // each round lives 20 min after the previous: far outside the
+        // ±2 min band + 5 min delay, so prior rounds' state is evictable
+        val base = round * 20
+        left.addData((0 until perBatch).map(i => (round * perBatch + i, i, ts(base))): _*)
+        right.addData((0 until perBatch).map(i => (i, s"r$round", ts(base + 1))): _*)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.head.numRowsTotal
+      }
+      // every in-band pair joined (rows emitted throughout the soak)
+      assert(spark.table("soak_out").count() >= (rounds - 1).toLong * perBatch)
+      // state plateaus: the high-water mark over the soak stays within
+      // a small multiple of ONE round's rows (both sides + the
+      // not-yet-evicted previous round), nowhere near the cumulative
+      // input (rounds × perBatch × 2 rows)
+      val peak = stateSizes.max
+      val cumulative = rounds.toLong * perBatch * 2
+      assert(peak <= 6L * perBatch,
+        s"state never evicted: peak $peak rows vs per-round ${2 * perBatch} " +
+          s"(sizes ${stateSizes.mkString(",")})")
+      assert(peak < cumulative / 2,
+        s"state tracks cumulative input ($peak of $cumulative)")
+      // and the final size after the last advance is also banded
+      assert(stateSizes.last <= 6L * perBatch)
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
+  }
+}

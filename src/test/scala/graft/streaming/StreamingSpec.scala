@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import graft.TestSpark
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -222,6 +224,84 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(_.key).view.mapValues(_.maxBy(_.version)).toMap
     assert(s2(1L).deleted && s2(1L).version == 3L)
     assert(s2(2L) == Scd1.CurrentRow(2L, 1L, "B-v1", deleted = false))
+  }
+
+  test("SCD-1 emits nothing for a batch carrying only pre-images of an unseen key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ch = MemoryStream[Scd1.Change]
+    val out = Scd1.currentState(spark, ch.toDS())
+    val q = out.writeStream.format("memory").queryName("scd1_pre_out")
+      .outputMode("update").start()
+    ch.addData(
+      Scd1.Change(7L, 1L, "ghost-pre", "update_preimage"), // unseen key: no output, no state
+      Scd1.Change(8L, 1L, "real", "insert"))
+    q.processAllAvailable()
+    val s1 = spark.table("scd1_pre_out").as[Scd1.CurrentRow].collect()
+    assert(s1.map(_.key).toSet == Set(8L), s"fabricated row for key 7: ${s1.toSeq}")
+    // the key later genuinely inserts — state starts clean
+    ch.addData(Scd1.Change(7L, 2L, "now-real", "insert"))
+    runToCompletion(q)
+    val s2 = spark.table("scd1_pre_out").as[Scd1.CurrentRow].collect()
+      .groupBy(_.key).view.mapValues(_.maxBy(_.version)).toMap
+    assert(s2(7L) == Scd1.CurrentRow(7L, 2L, "now-real", deleted = false))
+  }
+
+  test("SCD-1 batch and streaming agree on a feed compacting several change types into one version") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // key 1: insert+delete at v1 → delete outranks → suppressed/tombstone
+    // key 2: insert+postimage at v1 → postimage outranks
+    val feed = Seq(
+      Scd1.Change(1L, 1L, "A", "insert"),
+      Scd1.Change(1L, 1L, null, "delete"),
+      Scd1.Change(2L, 1L, "B-ins", "insert"),
+      Scd1.Change(2L, 1L, "B-post", "update_postimage"))
+    val batchDf = feed.toDF()
+      .withColumnRenamed("version", "_commit_version")
+      .withColumnRenamed("change_type", "_change_type")
+    val batch = Streams.scd1Apply(batchDf, Seq("key"))
+      .select(col("key"), col("_commit_version").as("version"), col("payload"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(batch == Set((2L, 1L, "B-post")))
+    val ch = MemoryStream[Scd1.Change]
+    val q = Scd1.currentState(spark, ch.toDS()).writeStream.format("memory")
+      .queryName("scd1_rank_out").outputMode("update").start()
+    ch.addData(feed: _*)
+    runToCompletion(q)
+    val stream = spark.table("scd1_rank_out").as[Scd1.CurrentRow].collect()
+      .groupBy(_.key).view.mapValues(_.maxBy(_.version)).toMap
+    assert(stream(1L).deleted && stream(1L).version == 1L)
+    assert(stream(2L) == Scd1.CurrentRow(2L, 1L, "B-post", deleted = false))
+  }
+
+  test("stateful streaming runs on the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = Streams.useRocksDbStateStore(spark)
+    try {
+      val ev = MemoryStream[(Long, Timestamp)]
+      val deduped = ev.toDF().toDF("event_id", "ts")
+        .withWatermark("ts", "5 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = deduped.writeStream.format("memory").queryName("rocksdb_out")
+        .outputMode("append").start()
+      ev.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(2)))
+      q.processAllAvailable()
+      val metrics = q.lastProgress.stateOperators.head.customMetrics
+      assert(metrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+        s"state metrics carry no rocksdb counters: ${metrics.keySet}")
+      ev.addData((3L, ts(3)))
+      runToCompletion(q)
+      val ids = spark.table("rocksdb_out").as[(Long, Timestamp)].collect()
+        .map(_._1).toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("CDF-modeled stream: deletes and pre-images dropped, inner join over post-images (dim_customer shape)") {
