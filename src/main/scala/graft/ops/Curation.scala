@@ -23,7 +23,14 @@ object Curation {
     * `SampleQuota` hash-smallest docs of each stratum, so growing the
     * corpus only ever ADDS strata members deterministically — resample
     * stability, the property curation pipelines need for incremental
-    * corpus refreshes. One window shuffle on (source, split). */
+    * corpus refreshes.
+    *
+    * Ranks run through the two-phase [[Rank.groupRank]] (bucketed on
+    * the hash's first 15 nibbles as a long — a weakly monotone
+    * function of the hex string's lexicographic order, with the full
+    * hash + doc_id as tiebreak), because (source, split) is ~60 groups:
+    * a plain partitioned window would sort corpus/60 rows in single
+    * tasks — the q48/q69/q70 scale flaw this family already fixed. */
   val SampleQuota = 25
 
   def q45StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
@@ -32,11 +39,12 @@ object Curation {
     val split = when(substring(h, 1, 1).between("0", "b"), "train")
       .when(substring(h, 1, 1).isin("c", "d"), "val")
       .otherwise("test")
-    val w = Window.partitionBy(col("source"), col("split"))
-      .orderBy(col("h").asc, col("doc_id").asc)
-    docs
+    val tagged = docs
       .select(col("doc_id"), col("source"), h.as("h"), split.as("split"))
-      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .withColumn("_hv", conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
+    Rank.groupRank(tagged, Seq("source", "split"), "_hv",
+        Seq("h", "doc_id"), "_r", "_n")
+      .withColumn("sample_rank", col("_r") + 1L)
       .filter(col("sample_rank") <= SampleQuota)
       .select(col("doc_id"), col("source"), col("split"), col("sample_rank"))
   }

@@ -127,4 +127,44 @@ object Packing {
        |  CAST(least(len(w) - s + 1, $ChunkSize) AS BIGINT) AS chunk_len,
        |  md5(array_to_string(list_slice(w, s, s + ${ChunkSize - 1}), ' ')) AS chunk_md5
        |FROM t, LATERAL (SELECT unnest(generate_series(1, len(w), $ChunkStride)) AS s) g""".stripMargin
+
+  val NumShards = 8
+
+  /** q78: token-balanced shard assignment — distributing a corpus over
+    * training-data shards so every shard carries a near-equal token
+    * budget (what a dataloader wants; naive doc-count sharding skews
+    * token counts badly on heavy-tailed corpora). Longest-processing-
+    * time order: rank docs by (tokens DESC, doc_id), deal rank r to a
+    * shard in boustrophedon (snake) order — pass r/N alternates
+    * direction so the "big doc" end of each pass rotates. The global
+    * rank runs through [[Rank.groupRank]]'s driver-side bucket prefix
+    * sum — NO corpus-sized global window task anywhere (the same
+    * discipline as q59's packing positions). */
+  def q78ShardAssign(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("_neg", -col("n_tokens"))
+    // snake via one integer mod (r mod 2N folds back past N) — no
+    // true-division double in the path
+    val fold = col("_r") % lit(2L * NumShards)
+    Rank.groupRank(toks, Seq.empty, "_neg", Seq("doc_id"), "_r", "_cnt")
+      .withColumn("shard_id",
+        when(fold < NumShards, fold).otherwise(lit(2L * NumShards - 1) - fold))
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+  }
+
+  val q78Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, n_tokens,
+       |    row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1 AS r
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  CAST(CASE WHEN r % ${2 * NumShards} < $NumShards THEN r % ${2 * NumShards}
+       |       ELSE ${2 * NumShards - 1} - r % ${2 * NumShards} END AS BIGINT) AS shard_id
+       |FROM r""".stripMargin
 }

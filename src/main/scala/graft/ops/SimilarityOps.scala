@@ -435,6 +435,45 @@ object SimilarityOps {
       .select(col("vec_id"), col("bucket"), col("bucket_size"))
   }
 
+  /** q77: int8 embedding quantization — the compression pass a vector
+    * store runs before indexing (4× smaller than float32, distance
+    * ~preserved). Per vector: scale = max |x|, q_i = floor(x_i / scale
+    * · 127 + 0.5); emitted as the (sum, min, max) summary of the
+    * quantized codes plus the scale, which pins every q_i's arithmetic
+    * while keeping the compare aggregate-width. One codegen'd array
+    * pass ([[graft.functions.Int8Quantize]]), no shuffle — the plan is
+    * a pure projection at any corpus size. Floor-based rounding, not
+    * round(): round-half semantics differ across engines, floor of
+    * exact-rounded double arithmetic does not. */
+  def q77EmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Int8Quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q.q_sum").as("q_sum"),
+        col("q.q_min").as("q_min"), col("q.q_max").as("q_max"),
+        col("q.scale").as("scale"))
+  }
+
+  val q77Oracle: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    coalesce(list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id, scale,
+      |    CASE WHEN scale = 0 THEN []
+      |      ELSE list_transform(embedding,
+      |        x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS BIGINT))
+      |    END AS qs
+      |  FROM s)
+      |SELECT vec_id,
+      |  CAST(coalesce(list_sum(qs), 0) AS BIGINT) AS q_sum,
+      |  CAST(coalesce(list_min(qs), 0) AS BIGINT) AS q_min,
+      |  CAST(coalesce(list_max(qs), 0) AS BIGINT) AS q_max,
+      |  CAST(scale AS DOUBLE) AS scale
+      |FROM q""".stripMargin
+
   /** Rebuilds the md5-derived hyperplanes in SQL and replays the sign
     * bits with the same sequential-fold dot product. */
   val q22Oracle: String =

@@ -54,7 +54,11 @@ class InvarianceSpec extends AnyFunSuite {
     ("q69 distributed per-group percentile rank",
       () => Extended.q69PercentileCont(spark, TestSpark.sfDir)),
     ("q48 distributed nearest-rank length profile",
-      () => Curation.q48LengthProfile(spark, TestSpark.sfDir)))
+      () => Curation.q48LengthProfile(spark, TestSpark.sfDir)),
+    ("q45 stratified sample (two-phase hash rank)",
+      () => Curation.q45StratifiedSample(spark, TestSpark.sfDir)),
+    ("q78 shard assignment (global two-phase rank)",
+      () => Packing.q78ShardAssign(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {

@@ -50,6 +50,27 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("shard assignment is a permutation-complete, token-balanced partition") {
+    val out = Packing.q78ShardAssign(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long)].collect()
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents").count()
+    assert(out.length.toLong == docs, "every doc assigned exactly once")
+    assert(out.map(_._3).toSet == (0L until Packing.NumShards).toSet,
+      "all shards populated")
+    // snake-LPT balance: per-shard token budgets within a few percent
+    val totals = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).values.toSeq
+    val (mx, mn) = (totals.max, totals.min)
+    assert(mx - mn <= math.max(8L, totals.sum / Packing.NumShards / 20),
+      s"shard token budgets skewed: min=$mn max=$mx")
+    // deterministic: snake fold of the (tokens desc, doc_id) rank
+    val byRank = out.sortBy(r => (-r._2, r._1)).zipWithIndex
+    byRank.foreach { case ((_, _, shard), r) =>
+      val fold = r % (2 * Packing.NumShards)
+      val want = if (fold < Packing.NumShards) fold else 2 * Packing.NumShards - 1 - fold
+      assert(shard == want.toLong, s"rank $r got shard $shard want $want")
+    }
+  }
+
   test("overlapped chunking covers every token with the configured stride") {
     val doc = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")

@@ -7,6 +7,35 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("int8 quantization kernel: codes bounded, extremes hit ±127, degenerate vectors zero") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f)),   // extremes: +127, −127; 0.5→64
+      (2L, Seq(0.0f, 0.0f)),          // all-zero → zeros, scale 0
+      (3L, Seq.empty[Float]),         // empty → zeros, scale 0
+      (4L, Seq(-2.0f)),               // single negative: q=−127, scale 2
+      (5L, Seq(3.5f, 3.5f)))          // constant: both 127
+      .toDF("vec_id", "embedding")
+    val out = rows
+      .select(col("vec_id"), graft.functions.Int8Quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q.q_sum"), col("q.q_min"), col("q.q_max"), col("q.scale"))
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 64L, -127L, 127L, 1.0)))
+    assert(out(2L) == ((2L, 0L, 0L, 0L, 0.0)))
+    assert(out(3L) == ((3L, 0L, 0L, 0L, 0.0)))
+    assert(out(4L) == ((4L, -127L, -127L, -127L, 2.0)))
+    assert(out(5L) == ((5L, 254L, 127L, 127L, 3.5)))
+    // real corpus: every vector's codes stay in the int8 envelope
+    val env = SimilarityOps.q77EmbedQuantize(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(env.nonEmpty)
+    env.foreach { case (id, _, mn, mx, scale) =>
+      assert(mn >= -127L && mx <= 127L && scale >= 0.0, s"vec $id out of envelope")
+      assert(mx == 127L || mn == -127L || scale == 0.0,
+        s"vec $id: symmetric quantization must saturate one end")
+    }
+  }
+
   test("brute-force KNN ranks are complete and cosine-descending per query") {
     val rows = SimilarityOps.q21KnnCosine(spark, TestSpark.sfDir)
       .as[(Long, Long, Long, Double)].collect()
