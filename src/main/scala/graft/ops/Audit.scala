@@ -242,4 +242,101 @@ object Audit {
       |SELECT check_name, CAST(violations AS BIGINT) AS violations,
       |  violations = 0 AS passed
       |FROM checks""".stripMargin
+
+  /** q82: histogram-sketch quantiles — the SCALE-PATH complement to
+    * q69's exact order statistics. q69's exact path must move every
+    * group's values through a rank computation; this one never sorts
+    * data at all: pass 1 computes per-group (min, max, n), pass 2 bins
+    * every value into 64 equi-width buckets (a map-side-combinable
+    * count aggregation — the only exchange carries ≤ 64 rows per group
+    * per partition), and the quantile is read off the cumulative
+    * histogram with linear interpolation inside the landing bin.
+    * Fixed 64-cell state per group at any corpus size — the same
+    * sketch-vs-exact trade as q80-vs-exact counts.
+    *
+    * Determinism: binning and interpolation are pure double arithmetic
+    * with one association order, written identically in both engines
+    * (width = (mx−mn)/64; est = mn + width·(bin + frac)); bin counts
+    * and cumulative sums are integers. The only window runs over the
+    * ≤ 64-row-per-group HISTOGRAM, not the data. */
+  val HistBins = 64
+
+  def q82HistQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
+        count(lit(1)).as("n"))
+    val width = (col("mx") - col("mn")) / lit(HistBins)
+    val hist = ev.join(broadcast(stats), "event_type")
+      .select(col("event_type"),
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(HistBins - 1),
+            floor((col("value") - col("mn")) / width).cast("int")))
+          .as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // cumulative counts over the ≤64-row histogram (aggregate-sized)
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val targets = stats.select(col("event_type"), col("mn"), col("mx"), col("n"),
+      explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      .withColumn("target", col("p") * col("n"))
+    val landed = cum.join(targets, "event_type")
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("event_type"), col("p"), col("mn"), col("mx"), col("n"),
+        col("target"))
+      .agg(min(struct(col("bin"), col("cum"), col("cnt"))).as("lb"))
+    landed.select(col("event_type"), col("p"),
+      (col("mn") + ((col("mx") - col("mn")) / lit(HistBins)) *
+        (col("lb.bin").cast("double") +
+          (col("target") - (col("lb.cum") - col("lb.cnt")).cast("double")) /
+            col("lb.cnt").cast("double"))).as("est_value"),
+      col("n"))
+  }
+
+  val q82Oracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, value FROM events
+       |), stats AS (
+       |  SELECT event_type, min(value) AS mn, max(value) AS mx,
+       |    count(*) AS n
+       |  FROM ev GROUP BY 1
+       |), hist AS (
+       |  SELECT event_type, bin, count(*) AS cnt FROM (
+       |    SELECT ev.event_type,
+       |      CASE WHEN s.mx = s.mn THEN 0
+       |        ELSE least(${HistBins - 1}, CAST(floor((ev.value - s.mn) /
+       |          ((s.mx - s.mn) / $HistBins)) AS INT)) END AS bin
+       |    FROM ev JOIN stats s USING (event_type)) t
+       |  GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT event_type, bin, cnt,
+       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+       |                   ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM hist
+       |), targets AS (
+       |  SELECT event_type, mn, mx, n, p, p * n AS target
+       |  -- DuckDB literal 0.5 is DECIMAL; cast so p*n is the same
+       |  -- double product Spark computes
+       |  FROM stats,
+       |    (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p) ps
+       |), landed AS (
+       |  SELECT event_type, p, mn, mx, n, target,
+       |    min(bin) AS bin
+       |  FROM cum JOIN targets USING (event_type)
+       |  WHERE cum >= target
+       |  GROUP BY 1, 2, 3, 4, 5, 6
+       |)
+       |SELECT l.event_type, l.p,
+       |  l.mn + ((l.mx - l.mn) / $HistBins) *
+       |    (CAST(l.bin AS DOUBLE) +
+       |     (l.target - CAST(c.cum - c.cnt AS DOUBLE)) / CAST(c.cnt AS DOUBLE))
+       |  AS est_value,
+       |  l.n
+       |FROM landed l
+       |JOIN cum c ON c.event_type = l.event_type AND c.bin = l.bin""".stripMargin
 }

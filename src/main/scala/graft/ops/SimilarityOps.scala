@@ -502,4 +502,50 @@ object SimilarityOps {
       |SELECT vec_id, bucket, bucket_size FROM bucketed
       |JOIN (SELECT bucket, count(*) AS bucket_size FROM bucketed GROUP BY 1)
       |USING (bucket)""".stripMargin
+
+  /** q79: SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    * arXiv:2303.09540) — cluster the embedding space with the q37
+    * Lloyd's centroids, then look for near-duplicate pairs ONLY inside
+    * each cluster. The all-pairs O(N²) cosine scan becomes Σ|cell|²,
+    * bounded by choosing k ∝ N / target-cell-size; cross-cell pairs are
+    * deliberately out of contract (the approximation the paper makes),
+    * and the oracle replays the SAME cell-bounded semantics, so the
+    * check is bit-exact, not recall-fuzzy. Measured recall vs the q25
+    * exact pair set is asserted in SketchesSpec.
+    *
+    * Plan shape at 100 TB: centroid training on the corpus (production:
+    * a sample), one broadcast-map assignment pass, then a shuffle on
+    * cell_id where each task does its own cell's pair scan — no
+    * corpus-wide quadratic stage, no broadcast of anything data-sized. */
+  def q79SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir).persist()
+    val assigned = ivfAssignments(emb, kmeansCentroids(emb, KmeansIters))
+    // corpus-size × corpus-size equi-join on vec_id: co-partitioned
+    // shuffle join (NOT broadcast — assignment is data-sized at scale)
+    val mem = emb.join(assigned, "vec_id")
+    val left = mem.select(col("cell_id"), col("vec_id").as("vec_id_1"),
+      col("v").as("va"), col("nrm").as("na"))
+    val right = mem.select(col("cell_id"), col("vec_id").as("vec_id_2"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    left.join(right, Seq("cell_id"))
+      .filter(col("vec_id_1") < col("vec_id_2"))
+      .select(col("cell_id"), col("vec_id_1"), col("vec_id_2"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= DedupOps.CosineThreshold)
+  }
+
+  /** Replays training via the shared unrolled-CTE prefix, then the
+    * within-cell pair scan with the same fold cosine and threshold. */
+  val q79Oracle: String =
+    s"""$kmeansOraclePrefix
+       |SELECT a1.cell_id, a1.vec_id AS vec_id_1, a2.vec_id AS vec_id_2,
+       |  list_reduce(list_prepend(0.0, list_transform(list_zip(n1.v, n2.v),
+       |      p -> p[1] * p[2])), (x,y) -> x + y) / (n1.nrm * n2.nrm) AS cosine
+       |FROM afin a1
+       |JOIN afin a2 ON a1.cell_id = a2.cell_id AND a1.vec_id < a2.vec_id
+       |JOIN n n1 ON n1.vec_id = a1.vec_id
+       |JOIN n n2 ON n2.vec_id = a2.vec_id
+       |WHERE list_reduce(list_prepend(0.0, list_transform(list_zip(n1.v, n2.v),
+       |      p -> p[1] * p[2])), (x,y) -> x + y) / (n1.nrm * n2.nrm)
+       |  >= ${DedupOps.CosineThreshold}""".stripMargin
 }

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Fixed-size probabilistic sketches next to the HLL family (q30/q49):
+  * a count-min sketch for heavy-hitter frequency estimation (q80) and
+  * a Bloom-filter semi-join prune (q81).
+  *
+  * Both sketches are built from md5-derived hash positions (the same
+  * Horner-nibble trick as `Curation.hllRegisterSql`), so DuckDB can
+  * rebuild the identical sketch and the oracle compare is bit-exact —
+  * not rows-only. The same SQL text is fed to Spark (`expr`, `instr`)
+  * and DuckDB (`strpos`); only the position-function name differs.
+  *
+  * Scale shape: a sketch is the O(1)-state answer to a corpus-scale
+  * question. The CMS is a single map-side-combinable aggregation into
+  * depth×width cells (here 4×256 = 1 KiB of state on a 100 TB corpus);
+  * the Bloom filter is 4096 bits built from the small key set and
+  * applied as a broadcast-free scan predicate — rows that fail it never
+  * reach the exchange, which is exactly what Spark's own runtime
+  * bloom-filter join does, made deterministic and oracle-checkable.
+  * Reference analog: the curation-pipeline membership/frequency checks
+  * (aw_silver_layer_sales dedup guards); re-expressed as sketches
+  * because at 100 TB the exact structures don't fit.
+  */
+object Sketches {
+
+  /** `posFn('0123456789abcdef', nibble) - 1` — one hex nibble of
+    * md5(`arg`) as an integer 0..15. 1-based position in both engines
+    * (Spark `instr`, DuckDB `strpos`). */
+  private def nib(posFn: String, arg: String, j: Int): String =
+    s"($posFn('0123456789abcdef', substring(md5($arg), $j, 1)) - 1)"
+
+  // ---------------------------------------------------------------- CMS
+
+  val CmsDepth = 4 // independent hash rows
+  val CmsWidth = 256 // buckets per row (2 md5 nibbles, mod-free)
+
+  /** Bucket of `key` in CMS row `j`: the first two nibbles of
+    * md5("cms<j>_" || key) → 0..255. Width 256 = exactly two nibbles,
+    * so there is no modulo and no bias. */
+  private def cmsBucketSql(j: Int, key: String, posFn: String): String = {
+    val arg = s"concat('cms${j}_', $key)"
+    s"(${nib(posFn, arg, 1)} * 16 + ${nib(posFn, arg, 2)})"
+  }
+
+  /** q80: count-min-sketch heavy hitters over the corpus token stream.
+    * Build the 4×256 sketch in ONE partially-aggregated pass (each cell
+    * is a count — commutative, so map-side combine does almost all the
+    * work and the exchange carries ≤ depth×width rows per partition),
+    * then estimate every distinct token's frequency as the min over its
+    * 4 row-buckets. The exact per-token count rides along as the
+    * yardstick column — the CMS ≥ exact overestimate guarantee is
+    * asserted in SketchesSpec and visible in the output.
+    *
+    * At 100 TB the sketch build is the only full-data pass and its
+    * state is 1 KiB regardless of corpus size; the exact-count column
+    * is the demonstration baseline (a real deployment queries the
+    * sketch directly for candidate keys). */
+  def q80HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("tok"))
+    val buckets = array((0 until CmsDepth).map(j =>
+      expr(cmsBucketSql(j, "tok", "instr"))): _*)
+    val occ = toks.select(col("tok"), posexplode(buckets).as(Seq("j", "bucket")))
+    // the sketch: ≤ 1024 cells whatever the corpus size
+    val sketch = occ.groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_cnt"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+    exact
+      .select(col("tok"), col("exact_cnt"), posexplode(buckets).as(Seq("j", "bucket")))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("bucket_cnt")).as("est_cnt"))
+      .select(col("tok"), col("exact_cnt"), col("est_cnt"))
+  }
+
+  val q80Oracle: String = {
+    val bucket = {
+      // j is a column here (unnest), not a literal — same md5 input text
+      val arg = "concat('cms', CAST(j AS VARCHAR), '_', tok)"
+      s"(${nib("strpos", arg, 1)} * 16 + ${nib("strpos", arg, 2)})"
+    }
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents
+       |), occ AS (
+       |  SELECT tok, j, $bucket AS bucket
+       |  FROM toks, (SELECT unnest([0, 1, 2, 3]) AS j) js
+       |), sketch AS (
+       |  SELECT j, bucket, count(*) AS bucket_cnt FROM occ GROUP BY 1, 2
+       |), ex AS (
+       |  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY 1
+       |), tb AS (
+       |  SELECT DISTINCT tok, j, bucket FROM occ
+       |)
+       |SELECT tok, exact_cnt, min(bucket_cnt) AS est_cnt
+       |FROM tb JOIN sketch USING (j, bucket) JOIN ex USING (tok)
+       |GROUP BY tok, exact_cnt""".stripMargin
+  }
+
+  // -------------------------------------------------------------- Bloom
+
+  val BloomBits = 4096 // 64 longs; 3 nibbles index it exactly
+  val BloomHashes = 3
+  /** Flagged = users whose exact purchase total (in integer cents — the
+    * `Exact` pattern: a double sum could flip membership at the
+    * threshold between partitionings/engines, an integer sum cannot)
+    * exceeds this. */
+  val SpendThresholdCents = 90000L
+
+  /** Bit position of `key` for Bloom hash `i`: the first three nibbles
+    * of md5("bf<i>_" || key) → 0..4095 — BloomBits is 16³ so the three
+    * nibbles index the filter with no modulo. */
+  private def bloomPosSql(i: Int, key: String, posFn: String): String = {
+    val arg = s"concat('bf${i}_', $key)"
+    s"((${nib(posFn, arg, 1)} * 16 + ${nib(posFn, arg, 2)}) * 16 + ${nib(posFn, arg, 3)})"
+  }
+
+  /** The flagged key set: big spenders by exact integer-cent total. */
+  private def flaggedUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100.0) AS BIGINT)")).as("spend_cents"))
+      .filter(col("spend_cents") > SpendThresholdCents)
+      .select(col("user_id"))
+
+  /** The 64-word bit array for a key DataFrame — a distributed build
+    * (explode k positions, OR per word) collapsed to a fixed 512-byte
+    * driver-side array. The collect is sketch-sized (≤ 64 rows), not
+    * data-sized — the same budget as CorrDedup's 256-cell statistics. */
+  def bloomBits(keys: DataFrame, keyExpr: String): Array[Long] = {
+    val posArr = array((0 until BloomHashes).map(i =>
+      expr(bloomPosSql(i, keyExpr, "instr"))): _*)
+    val words = keys
+      .select(explode(posArr).as("p"))
+      .select(expr("p div 64").as("word"), expr("shiftleft(1L, p % 64)").as("mask"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+    val bits = new Array[Long](BloomBits / 64)
+    // SQL `div` yields BIGINT whatever its operands
+    words.foreach(r => bits(r.getAs[Long]("word").toInt) = r.getAs[Long]("bits"))
+    bits
+  }
+
+  /** SQL predicate: all `BloomHashes` bits of `key` set in `bits`. */
+  def bloomHitSql(bits: Array[Long], keyExpr: String): String = {
+    val arr = bits.mkString("array(", "L, ", "L)")
+    (0 until BloomHashes).map { i =>
+      val p = bloomPosSql(i, keyExpr, "instr")
+      // SQL div yields BIGINT; element_at wants an INT index
+      s"((element_at($arr, CAST(($p div 64) + 1 AS INT)) & shiftleft(1L, $p % 64)) <> 0)"
+    }.mkString("(", " AND ", ")")
+  }
+
+  /** q81: Bloom-pruned semi-join — click activity of the flagged big
+    * spenders. The click scan is filtered by the 4096-bit Bloom
+    * predicate BEFORE the exchange, so at 100 TB only the (tiny)
+    * bloom-positive fraction of the fact table shuffles; the exact
+    * left_semi join then kills the false positives, which is why the
+    * result is exact and the oracle is a plain semi-join. This is
+    * Spark's own runtime bloom-filter pushdown made explicit,
+    * deterministic, and engine-portable. The two driver-side actions
+    * (flagged-set aggregation + 64-row bit collect) are sketch-sized,
+    * independent of corpus scale. */
+  def q81BloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = flaggedUsers(spark, dir).persist()
+    val bits = bloomBits(flagged, "CAST(user_id AS STRING)")
+    val clicks = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .filter(expr(bloomHitSql(bits, "CAST(user_id AS STRING)")))
+    clicks
+      .join(flagged, Seq("user_id"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(expr("CAST(round(value * 100.0) AS BIGINT)")).as("click_cents"))
+  }
+
+  val q81Oracle: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |  GROUP BY user_id
+       |  HAVING sum(CAST(round(value * 100.0) AS BIGINT)) > $SpendThresholdCents
+       |)
+       |SELECT user_id, count(*) AS n_clicks,
+       |  sum(CAST(round(value * 100.0) AS BIGINT)) AS click_cents
+       |FROM events
+       |WHERE event_type = 'click'
+       |  AND user_id IN (SELECT user_id FROM flagged)
+       |GROUP BY user_id""".stripMargin
+}

@@ -281,4 +281,117 @@ object TextOps {
       |                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
       |  FROM tf JOIN df USING (term)) t
       |WHERE rank <= 3""".stripMargin
+
+  /** q83: BPE merge training (Sennrich et al. 2016, arXiv:1508.07909)
+    * — the tokenizer-trainer shape: ONE corpus pass aggregates to the
+    * (word, count) table, then every merge round runs on that compact
+    * aggregate, never on the corpus again. Per round: adjacent-symbol
+    * pair counts weighted by word frequency (a map-side-combinable
+    * sum), argmax by (count desc, pair asc) — a 1-row aggregate-sized
+    * collect, same budget as the k-means centroid loop — then the
+    * merge applied as a left-to-right non-overlapping fold over each
+    * word's symbol sequence (a narrow projection; `aggregate` over the
+    * split array — after a merge the fused symbol no longer equals the
+    * left part, which is exactly the non-overlap rule). Output is the
+    * trained merge table.
+    *
+    * Determinism: integer counts, binary-string tie-breaks, and the
+    * same fold algorithm spelled in DuckDB `list_reduce` — the oracle
+    * unrolls all rounds as CTEs and must reproduce every merge
+    * decision bit-for-bit, or the pair counts downstream diverge. */
+  val BpeMerges = 6
+
+  /** Train `rounds` merges from a (word, cnt) table. Stops early if
+    * the pair space exhausts (every word fused to one symbol) — the
+    * oracle's empty-CTE cascade produces the same short merge table. */
+  def bpeTrain(wc: DataFrame, rounds: Int): DataFrame = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    var cur = wc.select(
+      expr("concat_ws(' ', transform(sequence(1, length(word)), i -> substring(word, i, 1)))").as("seq"),
+      col("cnt")).persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val best = cur
+        .filter(size(split(col("seq"), " ")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(split(seq, ' ')) - 1), i -> " +
+            "struct(element_at(split(seq, ' '), i) AS lhs, " +
+            "element_at(split(seq, ' '), i + 1) AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, l, rr, c))
+        def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+        val fold =
+          s"""CASE WHEN size(split(seq, ' ')) < 2 THEN seq ELSE
+             |aggregate(slice(split(seq, ' '), 2, size(split(seq, ' ')) - 1),
+             |  element_at(split(seq, ' '), 1),
+             |  (acc, x) -> CASE WHEN endswith(concat(' ', acc), ' ${esc(l)}') AND x = '${esc(rr)}'
+             |              THEN concat(acc, x) ELSE concat(acc, ' ', x) END) END""".stripMargin
+        val next = cur.select(expr(fold).as("seq"), col("cnt")).persist()
+        next.count() // pin this round before releasing the previous one
+        cur.unpersist(false)
+        cur = next
+      }
+    }
+    cur.unpersist(false)
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  def q83BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(
+      Tables.load(spark, dir, "documents")
+        .select(explode(TF.wsTokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt")),
+      BpeMerges)
+
+  /** All `BpeMerges` rounds unrolled: pair counts → argmax → fold
+    * application, with the same non-overlap fold in `list_reduce`. */
+  val q83Oracle: String = {
+    def pairsFrom(w: String): String =
+      s"""SELECT split_part(pr, chr(9), 1) AS lhs, split_part(pr, chr(9), 2) AS rhs,
+         |    sum(cnt) AS c FROM (
+         |    SELECT cnt,
+         |      unnest([s[i] || chr(9) || s[i+1] for i in generate_series(1, len(s) - 1)]) AS pr
+         |    FROM (SELECT string_split(seq, ' ') AS s, cnt FROM $w) t
+         |    WHERE len(s) >= 2) t2
+         |  GROUP BY 1, 2""".stripMargin
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""p$r AS (
+         |  ${pairsFrom(s"w${r - 1}")}
+         |), b$r AS (
+         |  SELECT lhs, rhs, c, $r AS merge_rank FROM p$r
+         |  ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1
+         |), w$r AS (
+         |  SELECT CASE WHEN len(s) < 2 THEN seq ELSE
+         |    list_reduce(s, (acc, x) ->
+         |      CASE WHEN ends_with(' ' || acc, ' ' || b.lhs) AND x = b.rhs
+         |           THEN acc || x ELSE acc || ' ' || x END) END AS seq, cnt
+         |  FROM (SELECT seq, string_split(seq, ' ') AS s, cnt FROM w${r - 1}) t, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wc AS (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |    FROM documents) t
+       |  WHERE len(word) > 0 GROUP BY 1
+       |), w0 AS (
+       |  -- array_to_string, NOT concat_ws: DuckDB concat_ws stringifies a
+       |  -- LIST argument ("['a', 'b']") instead of joining its elements
+       |  SELECT array_to_string(
+       |    [substring(word, i, 1) for i in generate_series(1, len(word))],
+       |    ' ') AS seq, cnt
+       |  FROM wc
+       |),
+       |$rounds
+       |SELECT merge_rank, lhs, rhs, CAST(c AS BIGINT) AS pair_count
+       |FROM (${(1 to BpeMerges).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")}) u""".stripMargin
+  }
 }
