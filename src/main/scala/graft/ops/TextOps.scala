@@ -282,6 +282,73 @@ object TextOps {
       |  FROM tf JOIN df USING (term)) t
       |WHERE rank <= 3""".stripMargin
 
+  /** q85: model-based document scoring — score EVERY document against
+    * a bigram LM trained on the train split only (q45's md5 split), the
+    * perplexity-filter shape of CCNet/Gopher quality pipelines. Per
+    * doc: bigram count, count of bigrams unseen in the train LM, and
+    * the worst (minimum) seen conditional probability. No logs — log()
+    * differs in last ulps across libms (the q30 lesson); min over
+    * identical IEEE divisions c12/c1 is bit-stable, and the unseen
+    * count is pure integers, so the whole score row hash-compares.
+    *
+    * Scale shape: LM build is two hash aggregations over the train
+    * split; scoring is one equi-join of doc bigrams against the LM on
+    * the bigram key (shuffle bounded by corpus token count) + a per-doc
+    * aggregation. Nothing corpus-sized is broadcast or sorted. Docs
+    * with < 2 tokens carry no bigrams and are out of contract (stated:
+    * every corpus doc has ≥ 2 tokens). */
+  def q85LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val isTrain = substring(md5(col("doc_id").cast("string")), 1, 1)
+      .between("0", "b")
+    val toks = docs
+      .select(col("doc_id"), isTrain.as("is_train"), TF.wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = toks.select(col("doc_id"), col("is_train"),
+      explode(expr("transform(sequence(1, size(w) - 1), i -> " +
+        "struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("is_train"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = bigrams.filter(col("is_train"))
+    val lm = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(lm.join(uni, "w1"), Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        min(col("c12").cast("double") / col("c1").cast("double")).as("worst_p"))
+  }
+
+  val q85Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b'
+      |      AS is_train,
+      |    string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents
+      |), big AS (
+      |  SELECT doc_id, is_train,
+      |    split_part(pr, chr(9), 1) AS w1, split_part(pr, chr(9), 2) AS w2
+      |  FROM (
+      |    SELECT doc_id, is_train,
+      |      unnest([w[i] || chr(9) || w[i+1]
+      |              for i in generate_series(1, len(w) - 1)]) AS pr
+      |    FROM toks WHERE len(w) >= 2) t
+      |), lm AS (
+      |  SELECT w1, w2, count(*) AS c12 FROM big WHERE is_train GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT w1, count(*) AS c1 FROM big WHERE is_train GROUP BY 1
+      |)
+      |SELECT b.doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN l.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unseen,
+      |  min(CAST(l.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS worst_p
+      |FROM big b
+      |LEFT JOIN lm l ON l.w1 = b.w1 AND l.w2 = b.w2
+      |LEFT JOIN uni u ON u.w1 = b.w1
+      |GROUP BY 1""".stripMargin
+
   /** q83: BPE merge training (Sennrich et al. 2016, arXiv:1508.07909)
     * — the tokenizer-trainer shape: ONE corpus pass aggregates to the
     * (word, count) table, then every merge round runs on that compact

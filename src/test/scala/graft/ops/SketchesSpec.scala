@@ -37,7 +37,9 @@ class SketchesSpec extends AnyFunSuite {
     val keys = (0L until 50L).toDF("user_id")
     val bits = Sketches.bloomBits(keys, "CAST(user_id AS STRING)")
     val probe = (0L until 5000L).toDF("user_id")
-      .withColumn("hit", expr(Sketches.bloomHitSql(bits, "CAST(user_id AS STRING)")))
+      .withColumn("h", expr(Sketches.bloomHexSql("CAST(user_id AS STRING)")))
+      .withColumn("hit", expr(Sketches.bloomHitSql(bits, "h")))
+      .select("user_id", "hit")
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     (0L until 50L).foreach(k => assert(probe(k), s"member $k missed — false negative"))
     val fps = (50L until 5000L).count(probe(_))
