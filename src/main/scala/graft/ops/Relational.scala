@@ -81,6 +81,88 @@ object Relational {
         col("SIGNUP").as("signup_avg"))
   }
 
+  /** q90: star-schema rollup — the canonical warehouse read: fact
+    * (lineitem) → orders → customer, with the small dimension chain
+    * nation→region broadcast so the fact side never shuffles for the
+    * lookup. The two fact-fact joins (lineitem⨝orders on orderkey,
+    * ⨝customer on custkey) shuffle on their keys — unavoidable and
+    * linear; the dim lookups ride along free. Revenue is summed as
+    * integer cent·basis-point units (price_cents × (100 − disc_pct)) —
+    * exact per-row products, associative integer accumulation in
+    * Decimal(38,0), bit-identical under any partitioning (the Exact
+    * discipline, kept inline because the product of two scaled columns
+    * isn't a single fixed-point column).
+    *
+    * At 100 TB: two key-partitioned shuffles of the fact tables plus
+    * two broadcasts of O(100)-row dims — the plan a cost-based
+    * warehouse picks for this query. AQE would additionally coalesce
+    * post-shuffle partitions; nothing here fights it. */
+  def q90StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") =!= "R")
+      .select(col("l_orderkey"),
+        (Exact.units(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.units(col("l_discount"), 2)))
+          .cast("decimal(38,0)").as("rev_u"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.load(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"), col("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev_u")).cast("long").as("revenue_u"))
+  }
+
+  val q90Oracle: String =
+    """SELECT r_name, n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100.0) AS BIGINT))) AS BIGINT)
+      |    AS revenue_u
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE l_returnflag <> 'R'
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q91: skew-salted join, oracle-checked — [[SkewJoin.saltedEquiJoin]]
+    * (the technique ScaleTechniquesSpec proves plan-shape for) run as a
+    * registered query whose DuckDB oracle is the UNSALTED join+rollup:
+    * the external engine independently confirms that salting is
+    * invisible in the result. The salted plan splits every hot key
+    * across 8 sub-partitions (big side salted by row hash, small side
+    * replicated 8×), bounding the largest join task at 1/8 of the
+    * hottest key — the manual fallback when AQE skew-split can't kick
+    * in (e.g. a hot key inside one huge row group). Rolled up by
+    * supplier with exact integer quantities. */
+  def q91SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_quantity"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    SkewJoin.saltedEquiJoin(li, sup, "l_suppkey", salts = 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Exact.units(col("l_quantity"), 0)).cast("long").as("qty_sum"))
+  }
+
+  val q91Oracle: String =
+    """SELECT s_name, count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1""".stripMargin
+
   val qWeatherPivotOracle: String =
     s"""WITH daily AS (
        |  SELECT c_mktsegment AS segment, CAST(ts AS DATE) AS obs_date,

@@ -273,4 +273,41 @@ object Sessions {
       |  FROM w JOIN f ON f.user_id = w.user_id)
       |SELECT cohort_week, week_offset, count(*) AS active_users
       |FROM cells GROUP BY 1, 2""".stripMargin
+
+  /** q89: sliding event-time windows — `window(ts, 1 hour, 15 min)`,
+    * the overlapping-window aggregation Structured Streaming uses for
+    * rolling dashboards, run here in batch so the oracle can check the
+    * window-assignment semantics exactly: each event lands in
+    * duration/slide = 4 epoch-aligned windows. Spark expands the
+    * windows with a generator BEFORE the hash aggregate, so the plan
+    * is explode(4×) → partial agg → one shuffle on (window, type) —
+    * per-event constant fan-out, no per-key state, exactly how the
+    * streaming twin accumulates. Value sums are integer cents
+    * ([[Exact]]); window bounds are µs timestamps on both sides.
+    *
+    * Oracle: reconstructs Spark's assignment rule — window starts are
+    * the 4 slide-aligned µs marks at or before ts — with epoch_us
+    * integer arithmetic, and aggregates identically. */
+  def q89SlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Exact.units(col("value"), 2)).cast("long").as("value_cents"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("value_cents"))
+  }
+
+  val q89Oracle: String =
+    """WITH assigned AS (
+      |  SELECT
+      |    make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000)
+      |      AS win_start,
+      |    event_type, value
+      |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+      |)
+      |SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM assigned GROUP BY 1, 2, 3""".stripMargin
 }

@@ -461,4 +461,85 @@ object TextOps {
        |SELECT merge_rank, lhs, rhs, CAST(c AS BIGINT) AS pair_count
        |FROM (${(1 to BpeMerges).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")}) u""".stripMargin
   }
+
+  /** q88: sparse TF-IDF pair similarity — the bag-of-words sibling of
+    * the MinHash (q19) and embedding (q79) near-dup detectors: find
+    * document pairs whose term-frequency vectors have cosine ≥ 0.4,
+    * computed EXACTLY via an inverted-index self-join instead of an
+    * all-pairs product. Candidates are generated only through shared
+    * DISCRIMINATIVE terms — the standard posting-list prune: a term
+    * appearing in df documents contributes at most df·(df−1)/2
+    * candidate pairs, so capping df bounds the join, and the dropped
+    * high-df terms are stopword-like mass that both vectors share
+    * anyway. The cap is RELATIVE — df ≤ corpus_docs/10, a one-row
+    * broadcast — because an absolute cap silently degenerates as the
+    * corpus grows (everything rare at 50 docs, nothing rare at 10⁹).
+    * The prune is part of the operator contract (the vectors
+    * themselves are restricted to rare terms, both sides).
+    *
+    * All arithmetic stays in integer space — tf counts, integer dot
+    * products and squared norms, and the cosine threshold applied as
+    * dot²·25 ≥ 4·‖a‖²·‖b‖² in Decimal(38,0) — so the oracle
+    * hash-compares bit-exactly (the q72 lesson: never subtract or
+    * divide doubles an engine might round differently).
+    *
+    * Scale shape: two hash aggregations (tf, df), one term-keyed
+    * shuffle for the posting join with candidates bounded by the df
+    * cap, one pair-keyed aggregation. Nothing corpus-sized broadcasts;
+    * at 100 TB each stage partitions on its key. */
+  def q88TfidfSimilar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cap = docs.select((count(lit(1)) / 10).cast("long").as("df_cap"))
+    val tf = docs
+      .select(col("doc_id"), explode(TF.wsTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val rare = tf
+      .join(dfTab.crossJoin(broadcast(cap)).filter(col("df") <= col("df_cap"))
+        .select("term"), "term")
+    val norms = rare.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("norm2"))
+    val dots = rare.as("a")
+      .join(rare.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    val dec = "decimal(38,0)"
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm2").as("norm2_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm2").as("norm2_b")), "doc_b")
+      .filter(col("dot").cast(dec) * col("dot") * 25 >=
+        col("norm2_a").cast(dec) * col("norm2_b") * 4)
+      .select(col("doc_a"), col("doc_b"), col("dot").cast("long").as("dot"),
+        col("norm2_a").cast("long").as("norm2_a"),
+        col("norm2_b").cast("long").as("norm2_b"))
+  }
+
+  val q88Oracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), rare AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf
+       |  FROM tf JOIN df USING (term)
+       |  WHERE df.df <= (SELECT count(*) // 10 FROM documents)
+       |), norms AS (
+       |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2
+       |  FROM rare GROUP BY 1
+       |), dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+       |  FROM rare a JOIN rare b
+       |    ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, dot, na.norm2 AS norm2_a, nb.norm2 AS norm2_b
+       |FROM dots
+       |JOIN norms na ON doc_a = na.doc_id
+       |JOIN norms nb ON doc_b = nb.doc_id
+       |WHERE CAST(dot AS HUGEINT) * dot * 25 >=
+       |      CAST(na.norm2 AS HUGEINT) * nb.norm2 * 4""".stripMargin
 }

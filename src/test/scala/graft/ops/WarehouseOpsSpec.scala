@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q88–q92: warehouse/layout operators added in round 4. Correctness
+  * is oracle-checked by the driver; these specs pin the properties the
+  * oracle can't see — plan shapes, invariants, and equivalence to
+  * independent Spark-side recomputations.
+  */
+class WarehouseOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("q88 pairs match a brute-force cosine over the rare-term vectors") {
+    val out = TextOps.q88TfidfSimilar(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: build rare-term tf vectors per doc, all-pairs cosine
+    val docs = Tables.load(spark, dir, "documents")
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("doc_id", "term").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val dfMap = tf.groupBy(_._2).map { case (t, rs) => t -> rs.length }
+    val cap = nDocs / 10
+    val vecs = tf.filter(r => dfMap(r._2) <= cap)
+      .groupBy(_._1).map { case (d, rs) =>
+        d -> rs.map(r => r._2 -> r._3).toMap }
+    val ids = vecs.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = vecs(ids(i)); b = vecs(ids(j))
+      dot = a.keySet.intersect(b.keySet).toSeq.map(t => a(t) * b(t)).sum
+      na = a.values.map(v => v * v).sum; nb = b.values.map(v => v * v).sum
+      if dot * dot * 25 >= na * nb * 4
+    } yield (ids(i), ids(j))).toSet
+    assert(out == expect)
+    assert(out.forall { case (a, b) => a < b })
+  }
+
+  test("q89 assigns every event to exactly duration/slide = 4 windows") {
+    val nEvents = Tables.load(spark, dir, "events").count()
+    val out = Sessions.q89SlidingWindow(spark, dir)
+    assert(out.agg(sum("n_events")).head.getLong(0) == 4 * nEvents)
+    // every window spans exactly one hour, starts 15-minute aligned
+    val bad = out.filter(
+      unix_timestamp(col("win_end")) - unix_timestamp(col("win_start")) =!= 3600 ||
+        unix_timestamp(col("win_start")) % 900 =!= 0).count()
+    assert(bad == 0)
+  }
+
+  test("q90 plan broadcasts the dim chain and shuffles the fact joins") {
+    val plan = Relational.q90StarJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected nation+region broadcast:\n$plan")
+  }
+
+  test("q91 salted rollup equals the unsalted rollup") {
+    val salted = Relational.q91SaltedJoin(spark, dir)
+    val li = Tables.load(spark, dir, "lineitem")
+    val sup = Tables.load(spark, dir, "supplier")
+    val plain = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Exact.units(col("l_quantity"), 0)).cast("long").as("qty_sum"))
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("q92 z-tiles bound both dimension extents at 8 (aligned 8x8 tiles)") {
+    val out = Layout.q92ZorderLayout(spark, dir)
+    val bad = out.filter(
+      col("bx_max") - col("bx_min") >= 8 || col("by_max") - col("by_min") >= 8 ||
+        col("extent_area") > 64).count()
+    assert(bad == 0)
+    // interleave matches a bit-twiddling reference implementation
+    def zRef(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val probe = spark.range(1000).selectExpr(
+      "id % 256 AS bx", "(id * 37) % 256 AS yb")
+    val got = probe
+      .selectExpr("bx", "yb", s"${Layout.zInterleaveSql("bx", "yb", "div")} AS z")
+      .collect()
+    got.foreach(r => assert(r.getLong(2) == zRef(r.getLong(0), r.getLong(1))))
+  }
+}
