@@ -368,6 +368,21 @@ object TextOps {
     * decision bit-for-bit, or the pair counts downstream diverge. */
   val BpeMerges = 6
 
+  /** Left-to-right non-overlapping application of ONE merge (lhs, rhs)
+    * to a space-joined symbol column `seq` — the shared fold of
+    * training (each round's rewrite) and encoding (q93): `aggregate`
+    * over the split array, appending either fused or spaced. After a
+    * fusion the accumulated last symbol is `lhs ∥ rhs` ≠ `lhs`, which
+    * is exactly the non-overlap rule ("aaa" + (a,a) → "aa a"). */
+  private def mergeFoldSql(lhs: String, rhs: String): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    s"""CASE WHEN size(split(seq, ' ')) < 2 THEN seq ELSE
+       |aggregate(slice(split(seq, ' '), 2, size(split(seq, ' ')) - 1),
+       |  element_at(split(seq, ' '), 1),
+       |  (acc, x) -> CASE WHEN endswith(concat(' ', acc), ' ${esc(lhs)}') AND x = '${esc(rhs)}'
+       |              THEN concat(acc, x) ELSE concat(acc, ' ', x) END) END""".stripMargin
+  }
+
   /** Train `rounds` merges from a (word, cnt) table. Stops early if
     * the pair space exhausts (every word fused to one symbol) — the
     * oracle's empty-CTE cascade produces the same short merge table. */
@@ -395,14 +410,7 @@ object TextOps {
         val (l, rr, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, l, rr, c))
-        def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-        val fold =
-          s"""CASE WHEN size(split(seq, ' ')) < 2 THEN seq ELSE
-             |aggregate(slice(split(seq, ' '), 2, size(split(seq, ' ')) - 1),
-             |  element_at(split(seq, ' '), 1),
-             |  (acc, x) -> CASE WHEN endswith(concat(' ', acc), ' ${esc(l)}') AND x = '${esc(rr)}'
-             |              THEN concat(acc, x) ELSE concat(acc, ' ', x) END) END""".stripMargin
-        val next = cur.select(expr(fold).as("seq"), col("cnt")).persist()
+        val next = cur.select(expr(mergeFoldSql(l, rr)).as("seq"), col("cnt")).persist()
         next.count() // pin this round before releasing the previous one
         cur.unpersist(false)
         cur = next
@@ -542,4 +550,85 @@ object TextOps {
        |JOIN norms nb ON doc_b = nb.doc_id
        |WHERE CAST(dot AS HUGEINT) * dot * 25 >=
        |      CAST(na.norm2 AS HUGEINT) * nb.norm2 * 4""".stripMargin
+
+  /** q93: BPE encode — the apply half of the tokenizer pair (q83
+    * trains the merge table; this tokenizes with it). Output is the
+    * vocabulary's encoding table: per distinct corpus word, its token
+    * sequence after all trained merges (rank order), token count, and
+    * corpus frequency — corpus token totals are then
+    * Σ n_tokens·cnt, and encoding the corpus itself is a broadcast
+    * join of this table against the word stream (the vocabulary is
+    * always orders of magnitude smaller than the corpus it encodes).
+    *
+    * Plan: training reruns q83's aggregate-sized rounds; the trained
+    * merges (≤ [[BpeMerges]] rows) come to the driver — the same
+    * 1-row-per-round collect budget q83 already spends — and encoding
+    * is [[BpeMerges]] chained narrow fold projections over the (word,
+    * cnt) aggregate. Nothing corpus-sized shuffles or broadcasts.
+    *
+    * Oracle: q83's unrolled CTE cascade, with the original word
+    * carried through every round so w_last maps word → final
+    * tokenization — the merge decisions AND the fold semantics must
+    * both reproduce bit-for-bit for any row to hash-match. Contract:
+    * the corpus supports the full [[BpeMerges]] budget (BpeSpec
+    * asserts it) — on a pair-exhausted corpus the oracle's empty
+    * argmax CTE would empty the cascade while the engine keeps the
+    * shorter valid encoding. */
+  def q93BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.load(spark, dir, "documents")
+      .select(explode(TF.wsTokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val merges = bpeTrain(wc, BpeMerges)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    var cur = wc.select(col("word"),
+      expr("concat_ws(' ', transform(sequence(1, length(word)), i -> substring(word, i, 1)))").as("seq"),
+      col("cnt"))
+    merges.foreach { case (l, r) =>
+      cur = cur.select(col("word"), expr(mergeFoldSql(l, r)).as("seq"), col("cnt"))
+    }
+    cur.select(col("word"), col("seq").as("tokens"),
+      size(split(col("seq"), " ")).cast("long").as("n_tokens"), col("cnt"))
+  }
+
+  val q93Oracle: String = {
+    def pairsFrom(w: String): String =
+      s"""SELECT split_part(pr, chr(9), 1) AS lhs, split_part(pr, chr(9), 2) AS rhs,
+         |    sum(cnt) AS c FROM (
+         |    SELECT cnt,
+         |      unnest([s[i] || chr(9) || s[i+1] for i in generate_series(1, len(s) - 1)]) AS pr
+         |    FROM (SELECT string_split(seq, ' ') AS s, cnt FROM $w) t
+         |    WHERE len(s) >= 2) t2
+         |  GROUP BY 1, 2""".stripMargin
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""p$r AS (
+         |  ${pairsFrom(s"w${r - 1}")}
+         |), b$r AS (
+         |  SELECT lhs, rhs FROM p$r
+         |  ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1
+         |), w$r AS (
+         |  SELECT word, CASE WHEN len(s) < 2 THEN seq ELSE
+         |    list_reduce(s, (acc, x) ->
+         |      CASE WHEN ends_with(' ' || acc, ' ' || b.lhs) AND x = b.rhs
+         |           THEN acc || x ELSE acc || ' ' || x END) END AS seq, cnt
+         |  FROM (SELECT word, seq, string_split(seq, ' ') AS s, cnt FROM w${r - 1}) t, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wc AS (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |    FROM documents) t
+       |  WHERE len(word) > 0 GROUP BY 1
+       |), w0 AS (
+       |  SELECT word, array_to_string(
+       |    [substring(word, i, 1) for i in generate_series(1, len(word))],
+       |    ' ') AS seq, cnt
+       |  FROM wc
+       |),
+       |$rounds
+       |SELECT word, seq AS tokens,
+       |  CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(cnt AS BIGINT) AS cnt
+       |FROM w$BpeMerges""".stripMargin
+  }
 }

@@ -38,4 +38,20 @@ class BpeSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(0)).toSeq == (1 to TextOps.BpeMerges).toSeq)
     rows.foreach(r => assert(r.getLong(3) > 0))
   }
+
+  test("q93 encodings concatenate back to their words and shrink token counts") {
+    val rows = TextOps.q93BpeEncode(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (word, tokens, n, cnt) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      // lossless: tokens concatenated without separators = the word
+      assert(tokens.split(" ").mkString == word, s"word=$word tokens=$tokens")
+      assert(tokens.split(" ").length.toLong == n)
+      assert(n >= 1 && n <= word.length && cnt > 0)
+    }
+    // the trained merges actually fire: some word encodes to fewer
+    // symbols than its character count
+    assert(rows.exists(r => r.getLong(2) < r.getString(0).length))
+  }
 }
