@@ -135,4 +135,64 @@ object ChangeFeed {
       |    AS total_cents
       |FROM orders
       |GROUP BY 1""".stripMargin
+
+  /** q94: snapshot diff — CDC *generation*, the inverse of the CDF
+    * *apply* (q40): given two key-complete snapshots of a table,
+    * compute the change set (insert / delete / update + payload) that
+    * turns the old one into the new one — what you run when the
+    * upstream can't emit a change feed and you must derive one from
+    * daily snapshot drops. Modeled snapshots from orders: old = keys
+    * with `o_orderkey % 7 ≠ 0`, new = keys with `% 11 ≠ 0` and the
+    * price re-stated (+10 %) where `% 3 = 0`, so all three change
+    * types occur and most keys are unchanged (dropped from the diff —
+    * the dominant case at 100 TB, which is why the diff output is tiny
+    * relative to its input).
+    *
+    * Plan: ONE full-outer co-partitioned join on the key; the
+    * unchanged-row test compares the integer cent payload (exact —
+    * comparing raw doubles an engine re-derived would be the q30
+    * divergence trap). Both snapshot scans prune to (key, payload)
+    * columns. At 100 TB this is two table scans + one shuffle each —
+    * the minimum any snapshot differ can do. */
+  def q94SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cents = expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")
+    val old = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("key"), cents.as("old_cents"))
+    val neu = orders.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("key"),
+        when(col("o_orderkey") % 3 === 0,
+          (cents * 110L / lit(100L)).cast("long")).otherwise(cents)
+          .as("new_cents"))
+    old.join(neu, Seq("key"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_cents").isNull, "insert")
+          .when(col("new_cents").isNull, "delete")
+          .when(col("old_cents") =!= col("new_cents"), "update")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("key"), col("change_type"), col("old_cents"), col("new_cents"))
+  }
+
+  val q94Oracle: String =
+    """WITH old AS (
+      |  SELECT o_orderkey AS key,
+      |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS old_cents
+      |  FROM orders WHERE o_orderkey % 7 <> 0
+      |), neu AS (
+      |  SELECT o_orderkey AS key,
+      |    CASE WHEN o_orderkey % 3 = 0
+      |      THEN CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) * 110 // 100
+      |           AS BIGINT)
+      |      ELSE CAST(round(o_totalprice * 100.0) AS BIGINT) END AS new_cents
+      |  FROM orders WHERE o_orderkey % 11 <> 0
+      |), diff AS (
+      |  SELECT coalesce(o.key, n.key) AS key, o.old_cents, n.new_cents,
+      |    CASE WHEN o.key IS NULL THEN 'insert'
+      |         WHEN n.key IS NULL THEN 'delete'
+      |         WHEN o.old_cents <> n.new_cents THEN 'update'
+      |         ELSE 'unchanged' END AS change_type
+      |  FROM old o FULL OUTER JOIN neu n ON o.key = n.key)
+      |SELECT key, change_type, old_cents, new_cents
+      |FROM diff WHERE change_type <> 'unchanged'""".stripMargin
 }

@@ -132,4 +132,38 @@ class EquivalenceSpec extends AnyFunSuite {
 
     assert(batch == streaming)
   }
+
+  test("batch sliding-window aggregate equals the streaming windowed aggregate after watermark flush") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // events across three slide marks and two types; one pair 7 minutes
+    // apart shares 3 of 4 windows, one event an hour away shares none
+    val fixture = Seq(
+      (ts(0), "a", 1.25), (ts(7), "a", 2.50), (ts(7), "b", 3.00),
+      (ts(20), "b", 0.75), (ts(65), "a", 4.00))
+    def windowed(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.ops.Exact.units(col("value"), 2)).as("cents"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("cents"))
+
+    val batch = windowed(fixture.toDF("ts", "event_type", "value"))
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+
+    val ev = MemoryStream[(Timestamp, String, Double)]
+    val out = windowed(
+      Streams.watermarked(ev.toDF().toDF("ts", "event_type", "value"), "ts"))
+    val q = out.writeStream.format("memory").queryName("equiv_win")
+      .outputMode("append").start()
+    ev.addData(fixture: _*)
+    q.processAllAvailable()
+    ev.addData((ts(600), "zz", 0.0)) // advance watermark past every window end
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val streaming = spark.table("equiv_win")
+      .as[(Timestamp, String, Long, Long)].collect()
+      .filter(_._2 != "zz").toSet
+
+    assert(batch.nonEmpty && batch == streaming)
+  }
 }
