@@ -378,4 +378,54 @@ object Curation {
        |FROM c, LATERAL (SELECT unnest(generate_series(0, copies - 1)) AS e) g
        |WHERE copies > 0""".stripMargin
   }
+
+  /** q95: median quality gate — keep every document scoring at or
+    * above the EXACT corpus median of the q14 composite quality score:
+    * the percentile-threshold filter every corpus-curation pipeline
+    * runs ("drop the bottom half by quality"), composed from existing
+    * primitives rather than a new kernel. The median comes from
+    * [[Rank.groupRank]] with no group columns — the two-phase global
+    * rank (bucket counts + offsets), NOT a global ORDER BY window, so
+    * no corpus-sized single-task sort exists anywhere; the selected
+    * 1-row threshold broadcasts back against the scored scan.
+    *
+    * Filtering `score >= threshold` on doubles is hash-safe because
+    * both engines build the score from the identical literal
+    * expression tree (q14's hash-checked guarantee) and the threshold
+    * is one of those exact values — no arithmetic happens after
+    * selection. Lower-median (rank ⌊(n−1)/2⌋, ties broken by doc_id)
+    * keeps the contract exact for even counts. */
+  def q95QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ops.TextOps.q14Quality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val thr = Rank.groupRank(scored, Seq.empty, "quality_score",
+        Seq("doc_id"), "_r", "_n")
+      .filter(col("_r") === ((col("_n") - 1) / 2).cast("long"))
+      .select(col("quality_score").as("_thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("quality_score") >= col("_thr"))
+      .select(col("doc_id"), col("quality_score"))
+  }
+
+  val q95Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    len(string_split_regex(trim(text), '\s+')) AS ws,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |      / length(text) AS alpha_ratio,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b')) AS DOUBLE)
+      |      / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id,
+      |    alpha_ratio * 0.5 + least(stop_ratio * 5.0, 1.0) * 0.3
+      |      + least(CAST(ws AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality_score
+      |  FROM t
+      |), r AS (
+      |  SELECT quality_score,
+      |    row_number() OVER (ORDER BY quality_score ASC, doc_id ASC) - 1 AS r,
+      |    count(*) OVER () AS n
+      |  FROM q)
+      |SELECT doc_id, quality_score FROM q
+      |WHERE quality_score >= (SELECT quality_score FROM r WHERE r = (n - 1) // 2)""".stripMargin
 }

@@ -55,4 +55,15 @@ class CurationSpec extends AnyFunSuite {
       assert(shared.size.toLong == n, s"pair ($test_, $train)")
     }
   }
+
+  test("q95 keeps exactly the docs at or above the true median quality score") {
+    val all = TextOps.q14Quality(spark, TestSpark.sfDir)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect()
+    val kept = Curation.q95QualityGate(spark, TestSpark.sfDir)
+      .as[(Long, Double)].collect().toMap
+    val median = all.map(_._2).sorted.apply((all.length - 1) / 2)
+    val expect = all.filter(_._2 >= median).toMap
+    assert(kept == expect)
+    assert(kept.size >= all.length / 2 && kept.size < all.length)
+  }
 }
