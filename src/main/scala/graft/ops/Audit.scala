@@ -339,4 +339,56 @@ object Audit {
        |  l.n
        |FROM landed l
        |JOIN cum c ON c.event_type = l.event_type AND c.bin = l.bin""".stripMargin
+
+  /** q96: per-group OLS regression — slope/intercept of event value
+    * (cents) against hour-of-day per event type, via the q72 exact
+    * moment discipline: n, Σx, Σy, Σx², Σxy accumulate as
+    * Decimal(38,0) integers (associative — any shuffle order yields
+    * the same bits; a double-space n·Σxy − Σx·Σy contracts differently
+    * across engines), then ONE shared closed-form in doubles. The
+    * regression-over-moments trick is what makes per-group model
+    * fitting a single map-side-combinable aggregation pass — the same
+    * plan class as q1 at any scale, no per-group data movement beyond
+    * the combined partials.
+    *
+    * Contract (ties q72): slope denominator n·Σx² − (Σx)² > 0, i.e.
+    * every group sees ≥ 2 distinct hours — true for any realistic
+    * event feed and asserted by the oracle producing finite values. */
+  def q96GroupRegression(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val ev = Tables.load(spark, dir, "events").select(
+      col("event_type"),
+      hour(col("ts")).cast("long").as("x"),
+      Exact.units(col("value"), 2).as("y"))
+    val slope =
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("x").cast(dec) * col("y").cast(dec))).as("sxy"))
+      .select(col("event_type"), col("n").cast("long").as("n_events"),
+        slope.as("slope_cents_per_hour"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept_cents"))
+  }
+
+  val q96Oracle: String = {
+    val slope = "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+      "CAST(n * sxx - sx * sx AS DOUBLE)"
+    s"""SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       |  $slope AS slope_cents_per_hour,
+       |  (CAST(sy AS DOUBLE) - ($slope) * CAST(sx AS DOUBLE))
+       |    / CAST(n AS DOUBLE) AS intercept_cents
+       |FROM (
+       |  SELECT event_type, count(*) AS n,
+       |    sum(hour(ts)) AS sx,
+       |    sum(CAST(round(value * 100.0) AS BIGINT)) AS sy,
+       |    sum(hour(ts) * hour(ts)) AS sxx,
+       |    sum(hour(ts) * CAST(round(value * 100.0) AS BIGINT)) AS sxy
+       |  FROM events GROUP BY 1) m""".stripMargin
+  }
 }

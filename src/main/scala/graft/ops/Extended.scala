@@ -518,4 +518,57 @@ object Extended {
        |  coalesce(a.v, CAST(0.0 AS DOUBLE)) AS value_sum
        |FROM grid g LEFT JOIN agg a
        |  ON a.event_type = g.event_type AND a.hour = g.hour""".stripMargin
+
+  /** q97: LOCF gap fill — q65's dense grid, but empty buckets carry
+    * the LAST OBSERVED hourly sum forward (last-observation-carried-
+    * forward, the standard time-series imputation) instead of zero;
+    * buckets before a type's first observation stay NULL, and `is_gap`
+    * marks imputed rows. The LOCF window is partitioned by event_type
+    * over the RESAMPLED GRID — an aggregate whose size is
+    * hours × types (time-range bounded, independent of corpus row
+    * count), so the per-partition sort is bounded at any scale: the
+    * same aggregate-sized-window justification as q59's block offsets,
+    * NOT the corpus-sized window the plan lint exists to catch. */
+  def q97GapFillLocf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("value"))
+    val agg = ev.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"), Exact.sumFixed(col("value"), 2).as("v"))
+    val hours = ev.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+        .as("hour"))
+    val grid = hours.crossJoin(ev.select(col("event_type")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled_value"),
+        col("v").isNull.as("is_gap"))
+  }
+
+  val q97Oracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events
+       |), agg AS (
+       |  SELECT event_type, hour, count(*) AS n,
+       |    ${Exact.sumFixedSql("value", 2)} AS v
+       |  FROM ev GROUP BY 1, 2
+       |), hours AS (
+       |  SELECT unnest(generate_series(min(hour), max(hour),
+       |                                INTERVAL 1 HOUR)) AS hour
+       |  FROM ev
+       |), grid AS (
+       |  SELECT t.event_type, h.hour
+       |  FROM hours h, (SELECT DISTINCT event_type FROM ev) t)
+       |SELECT g.event_type, g.hour,
+       |  coalesce(a.n, 0) AS n_events,
+       |  last_value(a.v IGNORE NULLS) OVER (
+       |    PARTITION BY g.event_type ORDER BY g.hour
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       |  a.v IS NULL AS is_gap
+       |FROM grid g LEFT JOIN agg a
+       |  ON a.event_type = g.event_type AND a.hour = g.hour""".stripMargin
 }

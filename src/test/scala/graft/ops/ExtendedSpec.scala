@@ -92,4 +92,44 @@ class ExtendedSpec extends AnyFunSuite {
       .filter(col("source") === "src19").count()
     assert(out("src19")._2 < total19 && out("src19")._4 == 0L)
   }
+
+  test("q97 LOCF fills every gap with the latest preceding observed sum") {
+    val rows = Extended.q97GapFillLocf(spark, TestSpark.sfDir)
+      .as[(String, java.sql.Timestamp, Long, Option[Double], Boolean)]
+      .collect()
+      .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2.getTime) }
+    assert(rows.nonEmpty)
+    rows.values.foreach { series =>
+      var lastSeen: Option[Double] = None
+      series.foreach { case (_, _, n, filled, isGap) =>
+        assert(isGap == (n == 0L))
+        if (!isGap) { assert(filled.isDefined); lastSeen = filled }
+        else assert(filled == lastSeen) // None before first observation
+      }
+    }
+    // q65 and q97 agree on the grid shape and observed buckets
+    val zeroFill = Extended.q65Resample(spark, TestSpark.sfDir)
+      .as[(String, java.sql.Timestamp, Long, Double)].collect()
+    assert(zeroFill.length == rows.values.map(_.length).sum)
+  }
+
+  test("q96 regression slopes match a driver-side exact least squares") {
+    val got = graft.ops.Audit.q96GroupRegression(spark, TestSpark.sfDir)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val ev = graft.Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("event_type"), hour(col("ts")).cast("long"),
+        expr("CAST(round(value * 100.0) AS BIGINT)"))
+      .as[(String, Long, Long)].collect()
+    ev.groupBy(_._1).foreach { case (t, rs) =>
+      val n = BigInt(rs.length)
+      val sx = BigInt(rs.map(_._2).sum); val sy = BigInt(rs.map(_._3).sum)
+      val sxx = BigInt(rs.map(r => r._2 * r._2).sum)
+      val sxy = BigInt(rs.map(r => r._2 * r._3).sum)
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      val (_, gn, gs, gi) = got(t)
+      assert(gn == rs.length.toLong)
+      assert(gs == slope, s"$t slope $gs vs $slope")
+      assert(gi == (sy.toDouble - slope * sx.toDouble) / n.toDouble)
+    }
+  }
 }
