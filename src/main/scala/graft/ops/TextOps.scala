@@ -392,6 +392,10 @@ object TextOps {
     var cur = wc.select(
       expr("concat_ws(' ', transform(sequence(1, length(word)), i -> substring(word, i, 1)))").as("seq"),
       col("cnt")).persist()
+    // keep a TWO-deep persist window instead of count()-pinning each
+    // round: round r's argmax job materializes cur_r, and only then is
+    // cur_{r-1} released — same recompute safety, half the jobs
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
@@ -405,17 +409,17 @@ object TextOps {
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
         .limit(1).collect()
+      prev.foreach(_.unpersist(false)) // cur is materialized now
+      prev = Some(cur)
       if (best.isEmpty) exhausted = true
       else {
         val (l, rr, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, l, rr, c))
-        val next = cur.select(expr(mergeFoldSql(l, rr)).as("seq"), col("cnt")).persist()
-        next.count() // pin this round before releasing the previous one
-        cur.unpersist(false)
-        cur = next
+        cur = cur.select(expr(mergeFoldSql(l, rr)).as("seq"), col("cnt")).persist()
       }
     }
+    prev.foreach(_.unpersist(false))
     cur.unpersist(false)
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
