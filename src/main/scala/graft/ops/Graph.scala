@@ -61,9 +61,14 @@ object Graph {
         .select(col("node"),
           (lit(base) + coalesce(col("inflow"), lit(0L))).as("pr"))
     }
-    val out = pr.select(col("node"), col("pr"))
-    edgesDeg.unpersist(false)
-    out
+    // edgesDeg/nodes stay persisted until the consumer releases them
+    // (Bench releaseAll / clearCache): the returned plan is LAZY and
+    // references both once per iteration, so unpersisting here would
+    // gamble on ReuseExchange deduplicating the 5 references (it does
+    // at bench scale — measured neutral — but a downstream projection
+    // that breaks subplan identity would silently rebuild the edge
+    // join per iteration).
+    pr.select(col("node"), col("pr"))
   }
 
   val q84Oracle: String = {
