@@ -60,7 +60,7 @@ object Audit {
     }
     Seq(liChecks, custChecks, orderChecks, dupPk, liOrphan, custOrphan)
       .map(melt)
-      .reduce(_ unionAll _)
+      .reduce(_ union _)
       .withColumn("passed", col("violations") === 0L)
   }
 
@@ -391,4 +391,76 @@ object Audit {
        |    sum(hour(ts) * CAST(round(value * 100.0) AS BIGINT)) AS sxy
        |  FROM events GROUP BY 1) m""".stripMargin
   }
+
+  /** q98: Benford first-digit audit — the classic fabricated-data
+    * screen: the leading significant digit of every order total,
+    * counted and expressed as an integer permille share. The digit is
+    * extracted from the INTEGER cent string (cents share the leading
+    * significant digit with the price, and integer-to-string is
+    * dialect-stable where double formatting is not). One scan + a
+    * 9-row aggregate; the total joins back as a 1-row broadcast. A
+    * genuine Benford test would compare against log10(1+1/d) — left to
+    * the consumer, because log10 is exactly the libm-divergent
+    * function the oracle discipline bans (the q30 lesson). */
+  def q98BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val digit = substring(
+      expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").cast("string"), 1, 1)
+    val counts = orders.groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = orders.select(count(lit(1)).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000 div n_total").as("permille"))
+  }
+
+  val q98Oracle: String =
+    """SELECT substring(CAST(CAST(round(o_totalprice * 100.0) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS digit,
+      |  count(*) AS n,
+      |  CAST(count(*) * 1000 // (SELECT count(*) FROM orders) AS BIGINT)
+      |    AS permille
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** q100: table profiler — the ANALYZE-stats pass a warehouse runs
+    * before query planning: per profiled column, row count, null count
+    * and exact distinct count, emitted as one long-format report. Per
+    * table the plan is a single scan feeding a multi-count-distinct
+    * aggregate (Catalyst's Expand strategy: one pass, rows × profiled
+    * columns), so profiling cost is one scan per table at any scale —
+    * the integers hash-compare exactly, unlike min/max which would
+    * drag dialect-specific value formatting into the report. */
+  private val ProfileCols: Seq[(String, Seq[String])] = Seq(
+    "lineitem" -> Seq("l_orderkey", "l_returnflag", "l_linestatus"),
+    "orders" -> Seq("o_custkey", "o_orderstatus", "o_orderpriority"),
+    "customer" -> Seq("c_nationkey", "c_mktsegment"),
+    "documents" -> Seq("source", "lang"),
+    "events" -> Seq("user_id", "event_type"))
+
+  def q100TableProfile(spark: SparkSession, dir: String): DataFrame =
+    ProfileCols.map { case (t, cols) =>
+      val df = Tables.load(spark, dir, t)
+      val aggs =
+        Seq(count(lit(1)).as("_rows")) ++
+          cols.flatMap(c => Seq(
+            sum(col(c).isNull.cast("long")).as(s"_nulls_$c"),
+            countDistinct(col(c)).as(s"_ndv_$c")))
+      val row = df.agg(aggs.head, aggs.tail: _*)
+      val entries = cols.map(c => struct(lit(c).as("column_name"),
+        col("_rows").as("n_rows"), col(s"_nulls_$c").as("n_nulls"),
+        col(s"_ndv_$c").as("n_distinct")))
+      row.select(lit(t).as("table_name"), explode(array(entries: _*)).as("e"))
+        .select(col("table_name"), col("e.column_name"), col("e.n_rows"),
+          col("e.n_nulls"), col("e.n_distinct"))
+    }.reduce(_ union _)
+
+  val q100Oracle: String =
+    ProfileCols.flatMap { case (t, cols) =>
+      cols.map(c =>
+        s"""SELECT '$t' AS table_name, '$c' AS column_name,
+           |  count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct
+           |FROM $t""".stripMargin)
+    }.mkString("\nUNION ALL\n")
 }

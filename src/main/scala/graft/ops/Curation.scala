@@ -428,4 +428,72 @@ object Curation {
       |  FROM q)
       |SELECT doc_id, quality_score FROM q
       |WHERE quality_score >= (SELECT quality_score FROM r WHERE r = (n - 1) // 2)""".stripMargin
+
+  /** q99: n-gram novelty — the per-document complement of q46's
+    * pairwise contamination: for every NON-train document (val+test),
+    * how many of its distinct 5-gram shingles never occur in the train
+    * split, as count and integer permille. High novelty = safe eval
+    * material; low novelty = leaked/boilerplate. Same md5 split and
+    * shingle construction as q45/q46, so the three queries agree on
+    * boundaries by construction.
+    *
+    * Plan: explode distinct shingles on both sides, one shingle-keyed
+    * LEFT join of eval shingles against the DISTINCT train shingle
+    * set, one per-doc count aggregation — shuffle volume is bounded by
+    * shingle count, nothing broadcasts (the train shingle set is
+    * corpus-sized at 100 TB; a Bloom-filter prune (q81's machinery)
+    * would cut the shuffle if the novelty rate is high). Docs with
+    * < 5 tokens carry no shingles and are out of contract (q46's
+    * stated invariant). */
+  def q99NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val h = docHash(col("doc_id"))
+    val isTrain = substring(h, 1, 1).between("0", "b")
+    val toks = docs
+      .select(col("doc_id"), isTrain.as("is_train"),
+        graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 5)
+    val sh = toks.select(col("doc_id"), col("is_train"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("w")) - 4),
+        i => concat_ws(" ",
+          element_at(col("w"), i), element_at(col("w"), i + lit(1)),
+          element_at(col("w"), i + lit(2)), element_at(col("w"), i + lit(3)),
+          element_at(col("w"), i + lit(4)))))).as("shingle"))
+    val trainSh = sh.filter(col("is_train")).select(col("shingle")).distinct()
+      .withColumn("seen", lit(1L))
+    sh.filter(!col("is_train"))
+      .join(trainSh, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+        expr("n_novel * 1000 div n_ngrams").as("novelty_permille"))
+  }
+
+  val q99Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b'
+      |      AS is_train,
+      |    string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, is_train, shingle FROM (
+      |    SELECT doc_id, is_train,
+      |      unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      |              || ' ' || w[i+4]
+      |              for i in generate_series(1, len(w) - 4)]) AS shingle
+      |    FROM t WHERE len(w) >= 5) x
+      |), train AS (
+      |  SELECT DISTINCT shingle FROM sh WHERE is_train
+      |)
+      |SELECT s.doc_id, count(*) AS n_ngrams,
+      |  CAST(sum(CASE WHEN tr.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(sum(CASE WHEN tr.shingle IS NULL THEN 1 ELSE 0 END) * 1000
+      |       // count(*) AS BIGINT) AS novelty_permille
+      |FROM sh s LEFT JOIN train tr ON tr.shingle = s.shingle
+      |WHERE NOT s.is_train
+      |GROUP BY 1""".stripMargin
 }

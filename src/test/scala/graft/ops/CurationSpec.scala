@@ -56,6 +56,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q99 novelty counts match a driver-side shingle replay") {
+    val got = Curation.q99NgramNovelty(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(s: String): Set[String] = {
+      val w = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      w.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }
+    def isTrain(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val c = f"${md(0) & 0xff}%02x".charAt(0)
+      c >= '0' && c <= 'b'
+    }
+    val trainSh = docs.filter(d => isTrain(d._1)).flatMap(d => grams(d._2)).toSet
+    val expect = docs.filterNot(d => isTrain(d._1))
+      .map { d =>
+        val g = grams(d._2)
+        val novel = g.count(!trainSh.contains(_)).toLong
+        d._1 -> ((g.size.toLong, novel, novel * 1000 / g.size))
+      }.filter(_._2._1 > 0).toMap
+    assert(got == expect)
+  }
+
   test("q95 keeps exactly the docs at or above the true median quality score") {
     val all = TextOps.q14Quality(spark, TestSpark.sfDir)
       .select("doc_id", "quality_score").as[(Long, Double)].collect()
