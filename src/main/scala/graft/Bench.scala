@@ -8,6 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // AQE off FOR THE LOCAL BENCH ONLY: its per-stage re-planning
+      // barriers cost 20-60% on multi-stage queries at sf0.1 (measured:
+      // q18 2.4->0.9s, q75 2.5->1.4s, q33 4.6->3.1s) while having
+      // nothing to fix — shuffle partitions are already sized to the
+      // machine. At cluster scale AQE's skew-split/coalesce/broadcast
+      // conversions are worth the barriers and stay on (specs run with
+      // Spark's default AQE=on; q76's member join relies on it).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/JIT and the parquet footer cache so the first

@@ -11,13 +11,17 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra confs for A/B experiments: SPARK_GRAFT_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .foreach(kv => builder.config(kv(0).trim, kv(1).trim))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JIT warm-up
     args.foreach { name =>
