@@ -58,7 +58,15 @@ class InvarianceSpec extends AnyFunSuite {
     ("q45 stratified sample (two-phase hash rank)",
       () => Curation.q45StratifiedSample(spark, TestSpark.sfDir)),
     ("q78 shard assignment (global two-phase rank)",
-      () => Packing.q78ShardAssign(spark, TestSpark.sfDir)))
+      () => Packing.q78ShardAssign(spark, TestSpark.sfDir)),
+    ("q93 BPE encode (driver-iterated training + fold chain)",
+      () => TextOps.q93BpeEncode(spark, TestSpark.sfDir)),
+    ("q95 median quality gate (two-phase global rank threshold)",
+      () => Curation.q95QualityGate(spark, TestSpark.sfDir)),
+    ("q96 group regression (exact decimal moments)",
+      () => Audit.q96GroupRegression(spark, TestSpark.sfDir)),
+    ("q88 TF-IDF similarity (integer dot/norm arithmetic)",
+      () => TextOps.q88TfidfSimilar(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
