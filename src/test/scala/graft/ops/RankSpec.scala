@@ -88,6 +88,33 @@ class RankSpec extends AnyFunSuite {
     assert(ranked == want)
   }
 
+  test("valuesAtRanks selects exactly the groupRank rows at the target ranks") {
+    val df = (0 until 500).map(i => ("g" + i % 4, ((i * 37) % 23).toLong,
+      i.toLong)).toDF("g", "v", "id")
+    // targets: per group, ranks {0, n/2, n-1} (min, middle, max)
+    val got = Rank.valuesAtRanks(df, Seq("g"), "v", Seq("id"),
+        sizes => sizes.select(col("g"), explode(array(lit(0L),
+          (col("_n") / 2).cast("long"), col("_n") - 1L)).as("_tgt")),
+        "_tgt")
+      .select(col("g"), col("_tgt"), col("v"), col("id"))
+      .collect().map(_.toString).sorted.toSeq
+    val ranked = Rank.groupRank(df, Seq("g"), "v", Seq("id"), "rk", "n")
+    val want = ranked
+      .filter(col("rk") === 0L || col("rk") === (col("n") / 2).cast("long") ||
+        col("rk") === col("n") - 1L)
+      .select(col("g"), col("rk").as("_tgt"), col("v"), col("id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+    // global form: the median of 0..499 under value order is 249
+    val globalMedian = Rank.valuesAtRanks(
+        (0 until 500).map(i => (i.toLong, i.toLong)).toDF("v", "id"),
+        Seq.empty, "v", Seq("id"),
+        sizes => sizes.select(((col("_n") - 1) / 2).cast("long").as("_tgt")),
+        "_tgt")
+      .select(col("v")).collect().map(_.getLong(0)).toSeq
+    assert(globalMedian == Seq(249L))
+  }
+
   test("plan contains no unpartitioned window and no group-only window") {
     val df = (0 until 100).map(i => ("g" + i % 3, i.toLong, i.toLong))
       .toDF("g", "v", "id")
