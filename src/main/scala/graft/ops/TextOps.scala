@@ -516,17 +516,20 @@ object TextOps {
     val rare = tf
       .join(dfTab.crossJoin(broadcast(cap)).filter(col("df") <= col("df_cap"))
         .select("term"), "term")
+    // norms ride the posting rows INTO the self-join (norm2 is
+    // constant per doc, so min() in the pair aggregate recovers it) —
+    // one doc-keyed join before the pair stage instead of two joins
+    // against the corpus-sized pair aggregate after it
     val norms = rare.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("norm2"))
-    val dots = rare.as("a")
-      .join(rare.as("b"),
+    val posts = rare.join(norms, "doc_id")
+    val dec = "decimal(38,0)"
+    posts.as("a")
+      .join(posts.as("b"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
-    val dec = "decimal(38,0)"
-    dots
-      .join(norms.select(col("doc_id").as("doc_a"), col("norm2").as("norm2_a")), "doc_a")
-      .join(norms.select(col("doc_id").as("doc_b"), col("norm2").as("norm2_b")), "doc_b")
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"),
+        min(col("a.norm2")).as("norm2_a"), min(col("b.norm2")).as("norm2_b"))
       .filter(col("dot").cast(dec) * col("dot") * 25 >=
         col("norm2_a").cast(dec) * col("norm2_b") * 4)
       .select(col("doc_a"), col("doc_b"), col("dot").cast("long").as("dot"),
