@@ -241,7 +241,8 @@ object Curation {
     * instr vs strpos. */
   val HllP = 10 // 2^10 buckets; 50 hash bits feed the rank
 
-  private def hllRegisterSql(posFn: String): String = {
+  private def hllRegisterSql(posFn: String,
+      grpCols: Seq[String] = Seq("event_type")): String = {
     // Horner-assembled 60-bit hash from the first 15 md5 nibbles
     // (accumulator starts as BIGINT — the int positions overflow 32 bits)
     val nibs = (0 until 15)
@@ -253,12 +254,13 @@ object Curation {
     val rank = (1 to wBits)
       .map(k => s"WHEN w >= ${1L << (wBits - k)} THEN $k")
       .mkString("CASE ", " ", s" ELSE ${wBits + 1} END") // w = 0 → wBits + 1
-    s"""SELECT event_type, bucket, max(rank) AS max_rank FROM (
-       |  SELECT event_type, h // ${1L << wBits} AS bucket,
+    val g = grpCols.map(_ + ", ").mkString
+    s"""SELECT ${g}bucket, max(rank) AS max_rank FROM (
+       |  SELECT ${g}h // ${1L << wBits} AS bucket,
        |    $rank AS rank
-       |  FROM (SELECT event_type, $h AS h, ($h % ${1L << wBits}) AS w
+       |  FROM (SELECT ${g}$h AS h, ($h % ${1L << wBits}) AS w
        |        FROM events) x) y
-       |GROUP BY event_type, bucket""".stripMargin
+       |GROUP BY ${(grpCols :+ "bucket").mkString(", ")}""".stripMargin
   }
 
   def q49HllRegisters(spark: SparkSession, dir: String): DataFrame = {
@@ -268,6 +270,35 @@ object Curation {
   }
 
   val q49Oracle: String = hllRegisterSql("strpos")
+
+  /** q101: HLL register MERGE — the property that makes sketches a
+    * distributed-systems primitive at all: per-group register states
+    * max-merge into EXACTLY the register state computed directly over
+    * the union. Output: per bucket, the rank merged from the five
+    * per-event_type sketches next to the directly-computed global
+    * rank, plus the equality flag — so the oracle hash-checks
+    * mergeability itself, not just one sketch. This is the engine
+    * behavior a 1000-executor HLL relies on (partials merged across
+    * executors ≡ single-pass state), proven here as a query. */
+  private def hllUnionSql(posFn: String): String =
+    s"""WITH per AS (
+       |${hllRegisterSql(posFn, Seq("event_type"))}
+       |), merged AS (
+       |  SELECT bucket, max(max_rank) AS merged_rank FROM per GROUP BY bucket
+       |), direct AS (
+       |${hllRegisterSql(posFn, Seq.empty)}
+       |)
+       |SELECT m.bucket, m.merged_rank, d.max_rank AS direct_rank,
+       |  m.merged_rank = d.max_rank AS merge_consistent
+       |FROM merged m JOIN direct d ON d.bucket = m.bucket""".stripMargin
+
+  def q101HllUnion(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(hllUnionSql("instr").replace(" // ", " div ")
+      .replace("AS VARCHAR", "AS STRING"))
+  }
+
+  val q101Oracle: String = hllUnionSql("strpos")
 
   val q48Oracle: String =
     """WITH stats AS (

@@ -56,6 +56,14 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q101 per-group register merge equals the directly computed global registers") {
+    val rows = Curation.q101HllUnion(spark, TestSpark.sfDir)
+      .as[(Long, Int, Int, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4), "a merged register diverged from the direct one")
+    assert(rows.forall(r => r._2 == r._3))
+  }
+
   test("q99 novelty counts match a driver-side shingle replay") {
     val got = Curation.q99NgramNovelty(spark, TestSpark.sfDir)
       .as[(Long, Long, Long, Long)].collect()
