@@ -548,4 +548,81 @@ object SimilarityOps {
        |WHERE list_reduce(list_prepend(0.0, list_transform(list_zip(n1.v, n2.v),
        |      p -> p[1] * p[2])), (x,y) -> x + y) / (n1.nrm * n2.nrm)
        |  >= ${DedupOps.CosineThreshold}""".stripMargin
+
+  /** q102: quantized KNN with exact refine — the memory-bound ANN
+    * pattern q77's int8 codes exist for: the COARSE scan ranks
+    * neighbors by the integer dot product of int8 codes (¼ the bytes
+    * of float32 — at 100 TB the scan is bandwidth-bound, so the code
+    * scan is ~4× the throughput), then ONLY the surviving top-10 are
+    * re-scored with the exact float cosine (the refine join touches
+    * k·|queries| rows, nothing more). Same floor-based quantization as
+    * q77; the coarse score is an exact INTEGER (every product ≤ 127²,
+    * |sum| ≤ 64·127² — exact in doubles, so the codegen'd
+    * [[graft.functions.DotProduct]] over the code arrays returns
+    * integer-valued doubles that cast losslessly), which is what makes
+    * the ranking — and therefore the whole result — hash-exact. Rank
+    * ties break on neighbor_id; queries broadcast like q21, the corpus
+    * never shuffles for scoring. */
+  def q102QuantizedKnn(spark: SparkSession, dir: String): DataFrame = {
+    val codesSql = "CASE WHEN scale = 0.0D THEN array() ELSE " +
+      "transform(v, x -> CAST(floor(x / scale * 127.0D + 0.5D) AS DOUBLE)) END"
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("scale",
+        expr("coalesce(array_max(transform(v, x -> abs(x))), 0.0D)"))
+      .withColumn("qs", expr(codesSql))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qs").as("qqs"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = emb
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qqs"), col("qs")).cast("long").as("q_dot"),
+        col("qv"), col("qnrm"), col("v"), col("nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_dot").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      // exact refine on the 50 surviving rows only
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("q_dot"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("exact_cosine"))
+  }
+
+  val q102Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+      |      (a,b) -> a + b)) AS nrm,
+      |    coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS scale
+      |  FROM e
+      |), c AS (
+      |  SELECT vec_id, v, nrm,
+      |    CASE WHEN scale = 0 THEN []
+      |      ELSE list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT))
+      |    END AS qs
+      |  FROM n
+      |), q AS (
+      |  SELECT vec_id AS query_id, qs AS qqs, v AS qv, nrm AS qnrm
+      |  FROM c WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    CAST(coalesce(list_sum(list_transform(list_zip(q.qqs, c.qs),
+      |      p -> p[1] * p[2])), 0) AS BIGINT) AS q_dot,
+      |    q.qv, q.qnrm, c.v, c.nrm
+      |  FROM q, c WHERE c.vec_id <> q.query_id)
+      |SELECT query_id, rank, neighbor_id, q_dot,
+      |  list_reduce(list_prepend(0.0, list_transform(list_zip(qv, v),
+      |    p -> p[1] * p[2])), (a,b) -> a + b) / (qnrm * nrm) AS exact_cosine
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY q_dot DESC, neighbor_id ASC) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 10""".stripMargin
 }

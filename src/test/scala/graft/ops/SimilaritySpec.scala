@@ -119,4 +119,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df.count() == n)
     assert(df.select("vec_id").distinct().count() == n)
   }
+
+  test("q102 quantized top-10 overlaps the exact cosine top-10 heavily") {
+    val exact = SimilarityOps.q21KnnCosine(spark, TestSpark.sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val quant = SimilarityOps.q102QuantizedKnn(spark, TestSpark.sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    assert(quant.keySet == exact.keySet && quant.nonEmpty)
+    val recalls = exact.keys.toSeq
+      .map(q => quant(q).intersect(exact(q)).size.toDouble / exact(q).size)
+    // int8 codes drop the per-vector scale from the score (q_dot ranks
+    // by quantized direction only), so recall is high, not perfect
+    assert(recalls.sum / recalls.size >= 0.6,
+      s"mean quantized recall@10 too low: $recalls")
+  }
 }
