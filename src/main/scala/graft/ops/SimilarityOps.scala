@@ -592,6 +592,120 @@ object SimilarityOps {
           .as("exact_cosine"))
   }
 
+  /** q103: product quantization — the trained-codebook compression
+    * behind billion-scale ANN (Jégou et al., IEEE TPAMI 2011): split
+    * each 64-dim vector into [[PqM]] contiguous 16-dim subspaces,
+    * train an independent [[PqK]]-centroid Lloyd's codebook per
+    * subspace under SQUARED-L2 (the PQ objective — cosine is the coarse
+    * quantizer's metric, not the codebook's), and emit each vector's
+    * per-subspace code with its quantization error. A vector then
+    * stores as M log₂K bits instead of 64 floats; asymmetric-distance
+    * search sums per-subspace lookup tables — q102's scan+refine shape
+    * with 32× smaller codes.
+    *
+    * Determinism is the q37 discipline applied per subspace: seed
+    * codebooks are named data rows (vec_id < K slices), assignment
+    * tie-breaks on code id, centroid updates fold members in vec_id
+    * order, and d² = s·s − 2·s·c + c·c is ONE shared expression — so
+    * the oracle unrolls M × [[PqIters]] training CTEs and every code
+    * AND error hash-compares. Scale: training touches the corpus once
+    * per iteration as a broadcast-map pass (production trains on a
+    * sample); encoding is the same narrow pass that q27 runs. */
+  val PqM = 4
+  val PqSub = 16
+  val PqK = 4
+  val PqIters = 2
+
+  def q103PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val zero = array((0 until PqSub).map(_ => lit(0.0)): _*)
+    val parts = (0 until PqM).map { m =>
+      val sv = emb.select(col("vec_id"),
+        expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("sv"))
+      val d2 = dot(col("sv"), col("sv")) - dot(col("sv"), col("cv")) * 2.0 +
+        dot(col("cv"), col("cv"))
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2").asc, col("code").asc)
+        sv.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("code"), col("sv"), d2.as("d2"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("code"), col("d2"))
+      }
+      var cents = sv.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("code"), col("sv").as("cv"))
+      for (_ <- 0 until PqIters) {
+        val a = assign(cents).select(col("vec_id"), col("code"))
+        cents = sv.join(broadcast(a), "vec_id")
+          .groupBy(col("code"))
+          .agg(sort_array(collect_list(struct(col("vec_id"), col("sv")))).as("ms"),
+            count(lit(1)).as("cnt"))
+          .select(col("code"),
+            transform(
+              aggregate(col("ms"), zero,
+                (acc, e) => zip_with(acc, e.getField("sv"), _ + _)),
+              s => s / col("cnt")).as("cv"))
+      }
+      assign(cents)
+        .select(col("vec_id"), lit(m.toLong).as("subspace"), col("code"),
+          col("d2"))
+    }
+    parts.reduce(_ union _)
+  }
+
+  val q103Oracle: String = {
+    def dotL(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+        s"p -> p[1] * p[2])), (x,y) -> x + y)"
+    def subCtes(m: Int): String = {
+      val lo = m * PqSub + 1
+      val hi = (m + 1) * PqSub
+      val d2 = s"(${dotL("s.sv", "s.sv")} - 2 * ${dotL("s.sv", "c.cv")} + " +
+        s"${dotL("c.cv", "c.cv")})"
+      def assignCte(name: String, c: String): String =
+        s"""$name AS (
+           |  SELECT vec_id, code, d2 FROM (
+           |    SELECT s.vec_id, c.code, $d2 AS d2,
+           |      row_number() OVER (PARTITION BY s.vec_id
+           |        ORDER BY $d2 ASC, c.code ASC) AS rk
+           |    FROM s$m s, $c c) t
+           |  WHERE rk = 1)""".stripMargin
+      def updateCte(c: String, a: String): String =
+        s"""$c AS (
+           |  SELECT code, list_transform(sv, x -> x / cnt) AS cv FROM (
+           |    SELECT $a.code,
+           |      list_reduce(
+           |        list_prepend([0.0 for i in generate_series(1, $PqSub)],
+           |                     list(s.sv ORDER BY s.vec_id)),
+           |        (acc, x) -> list_transform(list_zip(acc, x),
+           |                                   p -> p[1] + p[2])) AS sv,
+           |      count(*) AS cnt
+           |    FROM $a JOIN s$m s ON s.vec_id = $a.vec_id
+           |    GROUP BY $a.code) t)""".stripMargin
+      val iters = (0 until PqIters).map { t =>
+        assignCte(s"a$m$t", s"c$m$t") + ",\n" + updateCte(s"c$m${t + 1}", s"a$m$t")
+      }.mkString(",\n")
+      s"""s$m AS (
+         |  SELECT vec_id, v[$lo:$hi] AS sv FROM e
+         |), c${m}0 AS (
+         |  SELECT vec_id AS code, sv AS cv FROM s$m WHERE vec_id < $PqK
+         |),
+         |$iters,
+         |${assignCte(s"af$m", s"c$m$PqIters")}""".stripMargin
+    }
+    val selects = (0 until PqM)
+      .map(m => s"SELECT vec_id, CAST($m AS BIGINT) AS subspace, code, d2 FROM af$m")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |${(0 until PqM).map(subCtes).mkString(",\n")}
+       |$selects""".stripMargin
+  }
+
   val q102Oracle: String =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
