@@ -655,7 +655,9 @@ object SimilarityOps {
     parts.reduce(_ union _)
   }
 
-  val q103Oracle: String = {
+  /** Shared oracle prefix: embeddings → per-subspace slices → M ×
+    * PqIters unrolled trainings → final assignments `af0..af3`. */
+  private val q103OraclePrefix: String = {
     def dotL(a: String, b: String): String =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
         s"p -> p[1] * p[2])), (x,y) -> x + y)"
@@ -695,15 +697,125 @@ object SimilarityOps {
          |$iters,
          |${assignCte(s"af$m", s"c$m$PqIters")}""".stripMargin
     }
-    val selects = (0 until PqM)
-      .map(m => s"SELECT vec_id, CAST($m AS BIGINT) AS subspace, code, d2 FROM af$m")
-      .mkString("\nUNION ALL\n")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |),
-       |${(0 until PqM).map(subCtes).mkString(",\n")}
+       |${(0 until PqM).map(subCtes).mkString(",\n")}""".stripMargin
+  }
+
+  val q103Oracle: String = {
+    val selects = (0 until PqM)
+      .map(m => s"SELECT vec_id, CAST($m AS BIGINT) AS subspace, code, d2 FROM af$m")
+      .mkString("\nUNION ALL\n")
+    s"""$q103OraclePrefix
        |$selects""".stripMargin
+  }
+
+  /** q104: PQ asymmetric-distance search (ADC) — the query path the
+    * q103 codebooks exist for: each query keeps full precision, the
+    * database is only its M codes, and the approximate squared L2 is
+    * the sum of M lookup-table entries d²(query_subvector,
+    * codebook[m][code]) — M·K = 16 doubles per query, computed once
+    * and broadcast, so the database scan never touches a float vector.
+    * The per-pair sum folds the M entries in SUBSPACE ORDER
+    * (sort_array + fold, the q37 trick) — a plain SUM would
+    * accumulate 4 doubles in partition order and the last ulp would
+    * flip rows at rank boundaries. Top-10 per query by (adc ASC,
+    * neighbor ASC); the oracle replays training, tables and fold
+    * bit-for-bit. */
+  def q104PqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    val codes = q103PqCodes(spark, dir)
+      .select(col("vec_id"), col("subspace"), col("code"))
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // rebuild the trained codebooks: q103's final centroids are the
+    // per-(subspace, code) vec_id-ordered fold means of the members
+    val zero = array((0 until PqSub).map(_ => lit(0.0)): _*)
+    val subs = (0 until PqM).map(m =>
+      emb.select(col("vec_id"), lit(m.toLong).as("subspace"),
+        expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("sv")))
+      .reduce(_ union _)
+    val books = subs.join(codes, Seq("vec_id", "subspace"))
+      .groupBy(col("subspace"), col("code"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("sv")))).as("ms"),
+        count(lit(1)).as("cnt"))
+      .select(col("subspace"), col("code"),
+        transform(
+          aggregate(col("ms"), zero,
+            (acc, e) => zip_with(acc, e.getField("sv"), _ + _)),
+          s => s / col("cnt")).as("cv"))
+    val queries = subs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("subspace"), col("sv"))
+    val lut = queries.join(broadcast(books), "subspace")
+      .select(col("query_id"), col("subspace"), col("code"),
+        (dot(col("sv"), col("sv")) - dot(col("sv"), col("cv")) * 2.0 +
+          dot(col("cv"), col("cv"))).as("d2"))
+    val scored = codes.join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("subspace"), col("d2")))).as("ds"))
+      // subspace-ordered fold — deterministic double accumulation
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(col("ds"), lit(0.0), (acc, e) => acc + e.getField("d2"))
+          .as("adc_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_d2"))
+  }
+
+  val q104Oracle: String = {
+    def dotL(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+        s"p -> p[1] * p[2])), (x,y) -> x + y)"
+    val subUnion = (0 until PqM)
+      .map(m => s"SELECT vec_id, CAST($m AS BIGINT) AS subspace, " +
+        s"v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS sv FROM e")
+      .mkString("\nUNION ALL\n")
+    val codeUnion = (0 until PqM)
+      .map(m => s"SELECT vec_id, CAST($m AS BIGINT) AS subspace, code FROM af$m")
+      .mkString("\nUNION ALL\n")
+    s"""$q103OraclePrefix,
+       |subs AS (
+       |$subUnion
+       |), codes AS (
+       |$codeUnion
+       |), books AS (
+       |  SELECT subspace, code, list_transform(sv, x -> x / cnt) AS cv FROM (
+       |    SELECT c.subspace, c.code,
+       |      list_reduce(
+       |        list_prepend([0.0 for i in generate_series(1, $PqSub)],
+       |                     list(s.sv ORDER BY s.vec_id)),
+       |        (acc, x) -> list_transform(list_zip(acc, x),
+       |                                   p -> p[1] + p[2])) AS sv,
+       |      count(*) AS cnt
+       |    FROM codes c JOIN subs s
+       |      ON s.vec_id = c.vec_id AND s.subspace = c.subspace
+       |    GROUP BY c.subspace, c.code) t
+       |), q AS (
+       |  SELECT vec_id AS query_id, subspace, sv FROM subs WHERE vec_id < 5
+       |), lut AS (
+       |  SELECT q.query_id, q.subspace, b.code,
+       |    (${dotL("q.sv", "q.sv")} - 2 * ${dotL("q.sv", "b.cv")} +
+       |     ${dotL("b.cv", "b.cv")}) AS d2
+       |  FROM q JOIN books b ON b.subspace = q.subspace
+       |), scored AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(
+       |      list_prepend(0.0, list(l.d2 ORDER BY l.subspace)),
+       |      (x, y) -> x + y) AS adc_d2
+       |  FROM codes c
+       |  JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id)
+       |SELECT query_id, rank, neighbor_id, adc_d2 FROM (
+       |  SELECT query_id, neighbor_id, adc_d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10""".stripMargin
   }
 
   val q102Oracle: String =
