@@ -125,6 +125,69 @@ object Rank {
       .drop("_vmin", "_vmax")
   }
 
+  /** Inclusive global prefix sum of `deltaCol` under the total order
+    * (valueCol ASC, tieCols ASC) — the sweep-line primitive (q105
+    * concurrency). A global `sum() OVER (ORDER BY …)` window funnels
+    * every row through one task; this reuses [[groupRank]]'s bucket
+    * plan instead: per-bucket delta sums (≤ [[Buckets]] rows — the
+    * same constant-bounded statistics aggregate groupRank collects)
+    * are prefix-summed on the driver into bucket base offsets, and
+    * each row adds its in-bucket running sum, a window confined to
+    * its ~1/Buckets bucket slice.
+    *
+    * Contract: (valueCol, tieCols) is a strict total order over the
+    * rows (no full ties — prefix values at tied rows would be
+    * order-dependent), valueCol numeric non-null, deltaCol long. */
+  def globalPrefixSum(df: DataFrame, valueCol: String, tieCols: Seq[String],
+      deltaCol: String, outCol: String): DataFrame = {
+    val bucketed = bucketize(df, Nil, valueCol)
+    val perBucket = bucketed.groupBy(col("_bkt"))
+      .agg(sum(col(deltaCol)).as("_bsum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = perBucket.toSeq.map { case (b, s) =>
+      val o = acc; acc += s; (b, o)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val baseDf = bases.toDF("_bkt", "_bbase")
+    val wLocal = Window.partitionBy(col("_bkt"))
+      .orderBy((col(valueCol).asc +: tieCols.map(col(_).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(baseDf), "_bkt")
+      .withColumn(outCol, col("_bbase") + sum(col(deltaCol)).over(wLocal))
+      .drop("_bkt", "_bbase")
+  }
+
+  /** Exclusive global running max of `aggCol` under (valueCol ASC,
+    * tieCols ASC): for each row, the max over STRICTLY preceding rows,
+    * null when there is none — the dominance/skyline primitive (q106
+    * Pareto frontier). Same bucket plan as [[globalPrefixSum]]:
+    * per-bucket maxima running-maxed on the driver give each bucket
+    * the max over all earlier buckets, combined with an in-bucket
+    * exclusive window max through null-ignoring `greatest`.
+    * Contract as globalPrefixSum; aggCol long non-null. */
+  def globalRunningMax(df: DataFrame, valueCol: String, tieCols: Seq[String],
+      aggCol: String, outCol: String): DataFrame = {
+    val bucketed = bucketize(df, Nil, valueCol)
+    val perBucket = bucketed.groupBy(col("_bkt"))
+      .agg(max(col(aggCol)).as("_bmax"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var run: Option[Long] = None
+    val bases = perBucket.toSeq.map { case (b, m) =>
+      val prev = run; run = Some(run.fold(m)(math.max(_, m))); (b, prev)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val baseDf = bases.toDF("_bkt", "_bprev")
+    val wPrev = Window.partitionBy(col("_bkt"))
+      .orderBy((col(valueCol).asc +: tieCols.map(col(_).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(baseDf), "_bkt")
+      .withColumn(outCol, greatest(col("_bprev"), max(col(aggCol)).over(wPrev)))
+      .drop("_bkt", "_bprev")
+  }
+
   /** Value-at-rank drill-down: per target row, the group's value at a
     * given 0-based rank under (valueCol ASC, tieCols ASC) — WITHOUT
     * ranking the whole input. Where [[groupRank]]'s phase 3 sorts
