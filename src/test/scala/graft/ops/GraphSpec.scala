@@ -21,6 +21,55 @@ class GraphSpec extends AnyFunSuite {
     assert(cust.exists(_.getLong(1) > base), "no customer accumulated rank")
   }
 
+  private def sym(pairs: Seq[(String, String)]) = {
+    import spark.implicits._
+    val e = pairs.toDF("src", "dst")
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  test("q108: a cycle survives its own 2-core; a path peels to nothing") {
+    val cycle = sym(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a"))
+    assert(Graph.kCore(cycle, 2, 6).count() == 8L)
+    val path = sym(Seq("a" -> "b", "b" -> "c", "c" -> "d"))
+    assert(Graph.kCore(path, 2, 6).count() == 0L)
+  }
+
+  test("q108: peeling cascades — removing a leaf can unravel a chain") {
+    // triangle {a,b,c} + pendant chain c-d-e: for k=2 the chain peels
+    // over TWO rounds (e first, then d), the triangle stays
+    val g = sym(Seq("a" -> "b", "b" -> "c", "a" -> "c", "c" -> "d", "d" -> "e"))
+    val core = Graph.kCore(g, 2, 6)
+    val nodes = core.select("src").distinct().collect().map(_.getString(0)).toSet
+    assert(nodes == Set("a", "b", "c"))
+    // one round is NOT enough — d still had degree 2 when e was alive
+    val oneRound = Graph.kCore(g, 2, 1)
+    val after1 = oneRound.select("src").distinct().collect().map(_.getString(0)).toSet
+    assert(after1.contains("d"))
+  }
+
+  test("q108: fixpoint is reached within the round budget on real data") {
+    val atBudget = Graph.q108KCore(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sorted.toSeq
+    assert(atBudget.nonEmpty, "the whole graph peeled away — K too high")
+    // one extra round changes nothing ⇒ the budgeted result IS the k-core
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = graft.Tables.load(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("a"),
+        concat(lit("c"), col("o_custkey")).as("b"))
+      .distinct()
+    val symE = base.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(base.select(col("b").as("src"), col("a").as("dst")))
+    val extra = Graph.kCore(symE, Graph.CoreK, Graph.CoreRounds + 1)
+      .groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sorted.toSeq
+    assert(atBudget == extra)
+    // and every surviving node indeed keeps >= K in-core neighbors
+    assert(atBudget.forall(_._2 >= Graph.CoreK))
+  }
+
   test("q84: rank order follows supplier-fan-in on the final iteration") {
     // a customer served by more suppliers receives more base-rank flow;
     // check the extremes rather than full monotonicity (flow depends on
