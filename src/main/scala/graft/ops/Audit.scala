@@ -463,4 +463,91 @@ object Audit {
            |  count(DISTINCT $c) AS n_distinct
            |FROM $t""".stripMargin)
     }.mkString("\nUNION ALL\n")
+
+  /** q109: per-group MULTIVARIATE OLS — two features solved in closed
+    * form, extending q96's single-feature fit to the normal equations.
+    * Model: order total (cents) ~ b0 + b1·(total quantity) +
+    * b2·(line count), fitted per order priority.
+    *
+    * Same exact-moment discipline as q96/q72: the nine sufficient
+    * statistics (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y)
+    * accumulate as Decimal(38,0) integers — associative, so any
+    * partitioning yields the same bits — and the 2×2 Cramer solve on
+    * the centered scatter matrix stays in integer space up to the
+    * final divisions:
+    *   S11 = n·Σx1²−(Σx1)²   S12 = n·Σx1x2−Σx1·Σx2   (≈1e13 at sf0.1)
+    *   den = S11·S22 − S12²                          (≈1e24, fits 38)
+    *   b1  = (S1y·S22 − S2y·S12) / den               (numerator ≈1e29)
+    * Both engines then evaluate the IDENTICAL double expressions over
+    * identical integers, so the quotients are bit-equal. The plan is
+    * one lineitem aggregation, one co-partitioned orders join, and a
+    * 5-row map-combinable aggregate — model fitting at the price of
+    * q1 at any scale. Contract: den > 0 per group (features not
+    * collinear — quantity and line count separate for any real feed;
+    * the oracle yielding finite slopes asserts it). */
+  def q109MultiRegression(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val feats = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("x1"),
+        count(lit(1)).as("x2"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        Exact.units(col("o_totalprice"), 2).as("y"))
+    val m = o.join(feats, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x1").cast(dec)).as("s1"),
+        sum(col("x2").cast(dec)).as("s2"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x1") * col("x1")).cast(dec)).as("s11"),
+        sum((col("x2") * col("x2")).cast(dec)).as("s22"),
+        sum((col("x1") * col("x2")).cast(dec)).as("s12"),
+        sum(col("x1").cast(dec) * col("y").cast(dec)).as("s1y"),
+        sum(col("x2").cast(dec) * col("y").cast(dec)).as("s2y"))
+    val sS11 = col("n") * col("s11") - col("s1") * col("s1")
+    val sS22 = col("n") * col("s22") - col("s2") * col("s2")
+    val sS12 = col("n") * col("s12") - col("s1") * col("s2")
+    val sS1y = col("n") * col("s1y") - col("s1") * col("sy")
+    val sS2y = col("n") * col("s2y") - col("s2") * col("sy")
+    val den = sS11 * sS22 - sS12 * sS12
+    val b1 = (sS1y * sS22 - sS2y * sS12).cast("double") / den.cast("double")
+    val b2 = (sS2y * sS11 - sS1y * sS12).cast("double") / den.cast("double")
+    m.select(col("o_orderpriority"), col("n").cast("long").as("n_orders"),
+      b1.as("slope_qty"), b2.as("slope_lines"),
+      ((col("sy").cast("double") - b1 * col("s1").cast("double") -
+        b2 * col("s2").cast("double")) / col("n").cast("double"))
+        .as("intercept_cents"))
+  }
+
+  val q109Oracle: String = {
+    val S11 = "(n * s11 - s1 * s1)"
+    val S22 = "(n * s22 - s2 * s2)"
+    val S12 = "(n * s12 - s1 * s2)"
+    val S1y = "(n * s1y - s1 * sy)"
+    val S2y = "(n * s2y - s2 * sy)"
+    val den = s"($S11 * $S22 - $S12 * $S12)"
+    val b1 = s"(CAST($S1y * $S22 - $S2y * $S12 AS DOUBLE) / CAST($den AS DOUBLE))"
+    val b2 = s"(CAST($S2y * $S11 - $S1y * $S12 AS DOUBLE) / CAST($den AS DOUBLE))"
+    s"""WITH f AS (
+       |  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS x1,
+       |    count(*) AS x2
+       |  FROM lineitem GROUP BY 1
+       |), j AS (
+       |  SELECT o.o_orderpriority, f.x1, f.x2,
+       |    CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS y
+       |  FROM orders o JOIN f ON o.o_orderkey = f.l_orderkey
+       |), m AS (
+       |  SELECT o_orderpriority, count(*) AS n,
+       |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+       |    sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+       |    sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+       |  FROM j GROUP BY 1)
+       |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+       |  $b1 AS slope_qty, $b2 AS slope_lines,
+       |  (CAST(sy AS DOUBLE) - $b1 * CAST(s1 AS DOUBLE) -
+       |   $b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents
+       |FROM m""".stripMargin
+  }
 }

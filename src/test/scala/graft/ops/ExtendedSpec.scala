@@ -132,4 +132,56 @@ class ExtendedSpec extends AnyFunSuite {
       assert(gi == (sy.toDouble - slope * sx.toDouble) / n.toDouble)
     }
   }
+
+  test("q109 multivariate slopes match a driver-side exact Cramer solve") {
+    val got = graft.ops.Audit.q109MultiRegression(spark, TestSpark.sfDir)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("x1"),
+        count(lit(1)).as("x2"))
+    val rows = graft.Tables.load(spark, TestSpark.sfDir, "orders")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"), col("x1"), col("x2"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("y"))
+      .as[(String, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      val n = BigInt(rs.length)
+      def bsum(f: ((String, Long, Long, Long)) => BigInt) = rs.map(f).sum
+      val s1 = bsum(r => BigInt(r._2)); val s2 = bsum(r => BigInt(r._3))
+      val sy = bsum(r => BigInt(r._4))
+      val s11 = bsum(r => BigInt(r._2) * r._2)
+      val s22 = bsum(r => BigInt(r._3) * r._3)
+      val s12 = bsum(r => BigInt(r._2) * r._3)
+      val s1y = bsum(r => BigInt(r._2) * r._4)
+      val s2y = bsum(r => BigInt(r._3) * r._4)
+      val sS11 = n * s11 - s1 * s1; val sS22 = n * s22 - s2 * s2
+      val sS12 = n * s12 - s1 * s2
+      val sS1y = n * s1y - s1 * sy; val sS2y = n * s2y - s2 * sy
+      val den = sS11 * sS22 - sS12 * sS12
+      assert(den > 0, s"$p collinear features")
+      val b1 = (sS1y * sS22 - sS2y * sS12).toDouble / den.toDouble
+      val b2 = (sS2y * sS11 - sS1y * sS12).toDouble / den.toDouble
+      val (_, gn, gb1, gb2, gb0) = got(p)
+      assert(gn == rs.length.toLong)
+      assert(gb1 == b1, s"$p slope_qty $gb1 vs $b1")
+      assert(gb2 == b2, s"$p slope_lines $gb2 vs $b2")
+      assert(gb0 ==
+        (sy.toDouble - b1 * s1.toDouble - b2 * s2.toDouble) / n.toDouble)
+      // the fitted plane actually explains the data better than the
+      // per-feature fits it generalizes: residual SS must not exceed
+      // either single-feature OLS residual (least squares is optimal
+      // over the larger model class)
+      def sse(pred: (Long, Long) => Double) =
+        rs.map(r => { val e = r._4.toDouble - pred(r._2, r._3); e * e }).sum
+      val multi = sse((a, b) =>
+        (sy.toDouble - b1 * s1.toDouble - b2 * s2.toDouble) / n.toDouble +
+          b1 * a + b2 * b)
+      val m1 = (n * s1y - s1 * sy).toDouble / (n * s11 - s1 * s1).toDouble
+      val single = sse((a, _) =>
+        (sy.toDouble - m1 * s1.toDouble) / n.toDouble + m1 * a)
+      assert(multi <= single * (1.0 + 1e-12), s"$p multi $multi vs single $single")
+    }
+  }
 }
