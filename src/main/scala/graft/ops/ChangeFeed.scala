@@ -195,4 +195,88 @@ object ChangeFeed {
       |  FROM old o FULL OUTER JOIN neu n ON o.key = n.key)
       |SELECT key, change_type, old_cents, new_cents
       |FROM diff WHERE change_type <> 'unchanged'""".stripMargin
+
+  /** q110: POINT-IN-TIME lookup against the slowly-changing dimension —
+    * "what did this customer's dimension row look like as of version
+    * v?" for every probe, the query a temporal star schema answers on
+    * every fact load (and the batch analog of a stream-static temporal
+    * join). Probes are the orders themselves: each order asks for the
+    * dimension state as of its own commit version.
+    *
+    * Plan — the AS-OF UNION TRICK, not a range join: a naive
+    * `version_from <= v < version_to` theta-join explodes into
+    * (probes × versions-per-key) candidate pairs and denies the
+    * optimizer an equi-key; instead, applied changes and probes union
+    * into ONE stream, sorted per key by (version, change-before-probe),
+    * and `last(ignoreNulls)` carries each change's payload forward to
+    * the probes that follow it. One shuffle on the key; each window
+    * task sorts exactly one key's changes + probes — the same bounded
+    * state class as q86's history build. A probe that lands before the
+    * key's first change, or after a delete, resolves to an absent
+    * dimension (all-null attributes) — SCD-correct, where a plain
+    * as-of join (q29) would happily serve a deleted row.
+    *
+    * The tie rule (change sorts before probe at equal version) makes a
+    * change visible to a probe at its own version — matching the SCD-2
+    * convention that `version_from` is inclusive. */
+  def q110PitLookup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(spark, dir, "orders")
+    val applied = modeledChanges(orders)
+      .filter(col("_change_type") =!= "update_preimage")
+      .select(col("customer_id"), col("_commit_version").as("v"),
+        lit(0).as("is_probe"),
+        col("_commit_version").as("dv"), col("_change_type").as("dc"),
+        col("total_due").as("dt"), col("priority").as("dp"))
+    val probes = orders.select(col("o_custkey").as("customer_id"),
+      col("o_orderkey").as("v"), lit(1).as("is_probe"),
+      lit(null).cast("long").as("dv"), lit(null).cast("string").as("dc"),
+      lit(null).cast("double").as("dt"), lit(null).cast("string").as("dp"))
+    val w = Window.partitionBy(col("customer_id"))
+      .orderBy(col("v").asc, col("is_probe").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    applied.unionByName(probes)
+      .withColumn("cdv", last(col("dv"), ignoreNulls = true).over(w))
+      .withColumn("cdc", last(col("dc"), ignoreNulls = true).over(w))
+      .withColumn("cdt", last(col("dt"), ignoreNulls = true).over(w))
+      .withColumn("cdp", last(col("dp"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("customer_id"), col("v").as("probe_version"),
+        when(col("cdc") === "delete", lit(null).cast("long"))
+          .otherwise(col("cdv")).as("dim_version"),
+        when(col("cdc") === "delete", lit(null).cast("double"))
+          .otherwise(col("cdt")).as("dim_total_due"),
+        when(col("cdc") === "delete", lit(null).cast("string"))
+          .otherwise(col("cdp")).as("dim_priority"))
+  }
+
+  val q110Oracle: String =
+    """WITH changes AS (
+      |  SELECT o_custkey AS customer_id, o_orderkey AS version,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN 'delete'
+      |         WHEN o_orderstatus = 'O' THEN 'insert'
+      |         WHEN o_orderkey % 13 = 0 THEN 'update_preimage'
+      |         ELSE 'update_postimage' END AS change_type,
+      |    o_totalprice AS total_due, o_orderpriority AS priority
+      |  FROM orders
+      |), u AS (
+      |  SELECT customer_id, version AS v, 0 AS is_probe,
+      |    version AS dv, change_type AS dc, total_due AS dt, priority AS dp
+      |  FROM changes WHERE change_type <> 'update_preimage'
+      |  UNION ALL
+      |  SELECT o_custkey, o_orderkey, 1, NULL, NULL, NULL, NULL FROM orders
+      |), carried AS (
+      |  SELECT customer_id, v, is_probe,
+      |    last_value(dv IGNORE NULLS) OVER w AS cdv,
+      |    last_value(dc IGNORE NULLS) OVER w AS cdc,
+      |    last_value(dt IGNORE NULLS) OVER w AS cdt,
+      |    last_value(dp IGNORE NULLS) OVER w AS cdp
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY customer_id ORDER BY v ASC, is_probe ASC
+      |               ROWS UNBOUNDED PRECEDING))
+      |SELECT customer_id, v AS probe_version,
+      |  CASE WHEN cdc = 'delete' THEN NULL ELSE cdv END AS dim_version,
+      |  CASE WHEN cdc = 'delete' THEN NULL ELSE cdt END AS dim_total_due,
+      |  CASE WHEN cdc = 'delete' THEN NULL ELSE cdp END AS dim_priority
+      |FROM carried WHERE is_probe = 1""".stripMargin
 }

@@ -26,4 +26,40 @@ class ChangeFeedSpec extends AnyFunSuite {
       .as[(Long, Long, String)].collect().toSet
     assert(out == Set((1L, 3L, "a-v3"), (3L, 2L, "c-v2")))
   }
+
+  test("q110 PIT lookup replays argmax-by-version semantics per probe") {
+    val sf = "/root/testdata/sf0.001"
+    val got = ChangeFeed.q110PitLookup(spark, sf)
+      .select("customer_id", "probe_version", "dim_version")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(got.nonEmpty)
+    // driver-side reference: latest applied change at or before the probe
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderstatus")
+      .as[(Long, Long, String)].collect()
+    def changeType(k: Long, st: String) =
+      if (k % 11 == 0) "delete"
+      else if (st == "O") "insert"
+      else if (k % 13 == 0) "update_preimage"
+      else "update_postimage"
+    val applied = orders
+      .map { case (c, v, st) => (c, v, changeType(v, st)) }
+      .filter(_._3 != "update_preimage")
+      .groupBy(_._1)
+    val want = orders.map { case (c, pv, _) =>
+      val visible = applied.getOrElse(c, Array.empty[(Long, Long, String)])
+        .filter(_._2 <= pv)
+      val dim = if (visible.isEmpty) None
+      else {
+        val last = visible.maxBy(_._2)
+        if (last._3 == "delete") None else Some(last._2)
+      }
+      (c, pv, dim)
+    }.toSet
+    assert(got.toSet == want)
+    // both absence modes occur in the data: pre-first-change probes and
+    // post-delete probes resolve to an absent dimension
+    assert(got.exists(_._3.isEmpty))
+    assert(got.count(_._3.isDefined) > 0)
+  }
 }
