@@ -571,4 +571,53 @@ object Extended {
        |  a.v IS NULL AS is_gap
        |FROM grid g LEFT JOIN agg a
        |  ON a.event_type = g.event_type AND a.hour = g.hour""".stripMargin
+
+  /** q113: the analytic-window function suite over per-user event
+    * streams — lag/lead gaps, first/last/nth_value frames, and the
+    * rank-family ratios (percent_rank, cume_dist) in one pass. This is
+    * the remaining breadth of SQL window functions not yet exercised
+    * by q8 (rank top-k), q54 (range frames), q31 (lag + cumsum):
+    * coverage a reference user migrating analytics would hit first.
+    *
+    * All windows partition by user_id — high-cardinality, so each task
+    * sorts one user's events (the scale-safe window class; the banned
+    * shape is the LOW-cardinality or global partition, per Rank's
+    * scaladoc). One shuffle serves every function: Catalyst collapses
+    * the identical window specs into a single sort. The ordering
+    * (ts, event_id) is total, so the rank ratios are deterministic;
+    * gaps are exact integer milliseconds; the ratios are divisions of
+    * identical integers on both engines — bit-equal doubles. */
+  def q113WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ms = unix_millis(col("ts"))
+    ev.select(col("user_id"), col("event_id"),
+        (ms - lag(ms, 1).over(w)).as("gap_prev_ms"),
+        (lead(ms, 1).over(w) - ms).as("gap_next_ms"),
+        first(col("event_id")).over(wFull).as("first_event"),
+        last(col("event_id")).over(wFull).as("last_event"),
+        nth_value(col("event_id"), 3).over(wFull).as("third_event"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+  }
+
+  val q113Oracle: String =
+    """SELECT user_id, event_id,
+      |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_prev_ms,
+      |  lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS gap_next_ms,
+      |  first_value(event_id) OVER wf AS first_event,
+      |  last_value(event_id) OVER wf AS last_event,
+      |  nth_value(event_id, 3) OVER wf AS third_event,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+      |  wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |""".stripMargin
 }

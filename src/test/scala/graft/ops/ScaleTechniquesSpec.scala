@@ -66,4 +66,55 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("q112 skew advisor matches a driver-side count profile") {
+    import spark.implicits._
+    val got = SkewJoin.q112SkewAdvisor(spark, TestSpark.sfDir)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.size == SkewJoin.AdvisedKeys.size)
+    SkewJoin.AdvisedKeys.foreach { case (t, k) =>
+      val keys = Tables.load(spark, TestSpark.sfDir, t)
+        .select(col(k).cast("long")).as[Long].collect()
+      val byKey = keys.groupBy(identity).view.mapValues(_.length.toLong)
+      val mx = byKey.values.max
+      val (_, _, n, nk, gmx, hot, salt) = got((t, k))
+      assert(n == keys.length.toLong && nk == byKey.size.toLong && gmx == mx)
+      assert(hot == byKey.filter(_._2 == mx).keys.min)
+      assert(salt == (mx * nk + n - 1) / n)
+      assert(salt >= 1)
+    }
+    // at least one advised key is genuinely skewed (salting matters)
+    assert(got.values.exists(_._7 > 1))
+  }
+
+  test("q113 window suite: gaps, frame values, rank ratios per user") {
+    import spark.implicits._
+    val rows = graft.ops.Extended.q113WindowSuite(spark, TestSpark.sfDir)
+      .as[(Long, Long, Option[Long], Option[Long], Long, Long, Option[Long],
+        Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long, Long)].collect()
+    // order by full µs precision (what the engine sorts on); emit ms
+    val byUser = ev.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._3, e._2))
+        .map(e => (e._2, Math.floorDiv(e._3, 1000L))).toIndexedSeq)
+      .toMap
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val ord = byUser(u)
+      val n = ord.length
+      val pos = ord.zipWithIndex.map { case ((id, _), i) => id -> i }.toMap
+      rs.foreach { case (_, id, gp, gn, fe, le, te, pr, cd) =>
+        val i = pos(id)
+        assert(gp == (if (i == 0) None else Some(ord(i)._2 - ord(i - 1)._2)))
+        assert(gn == (if (i == n - 1) None else Some(ord(i + 1)._2 - ord(i)._2)))
+        assert(fe == ord.head._1 && le == ord.last._1)
+        assert(te == (if (n >= 3) Some(ord(2)._1) else None))
+        assert(pr == (if (n == 1) 0.0 else i.toDouble / (n - 1).toDouble))
+        assert(cd == (i + 1).toDouble / n.toDouble)
+      }
+    }
+  }
 }
