@@ -310,4 +310,75 @@ object Sessions {
       |  count(*) AS n_events,
       |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM assigned GROUP BY 1, 2, 3""".stripMargin
+
+  /** q114: bot-traffic signals — per-user inter-event timing
+    * statistics, the behavioral-curation screen that keeps automated
+    * traffic out of a training corpus (the event-stream analog of
+    * q47's text-repetition filters). Humans are bursty-but-irregular;
+    * bots are fast and metronomic — so the signals are the gap
+    * distribution's moments and its fast/zero tail, all in exact
+    * integer milliseconds:
+    *
+    *   - mean and population variance of the per-user gaps via the
+    *     q96/q72 moment discipline (Σg, Σg² as Decimal(38,0);
+    *     n·Σg² − (Σg)² stays in integer space; both engines evaluate
+    *     the identical double division) — low variance at high rate
+    *     is the metronome signature;
+    *   - n_zero_gaps (same-millisecond repeats) and n_fast_gaps
+    *     (< 1 s), with the flag rule "majority of gaps fast" kept as
+    *     an exact integer comparison (2·fast > gaps).
+    *
+    * One lag window partitioned by the high-cardinality user key, one
+    * aggregate — the same two-exchange shape as q31 sessionization. */
+  def q114BotSignals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val g = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap",
+        unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byUser))
+    val m = g.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap")).cast(dec).as("ng"),
+        sum(col("gap").cast(dec)).as("sg"),
+        sum((col("gap").cast(dec) * col("gap").cast(dec))).as("sgg"),
+        min(col("gap")).as("min_gap_ms"),
+        max(col("gap")).as("max_gap_ms"),
+        sum((col("gap") === 0L).cast("long")).as("n_zero_gaps"),
+        sum((col("gap") < 1000L).cast("long")).as("n_fast_gaps"))
+      .filter(col("ng") > 0)
+    m.select(col("user_id"), col("n_events"),
+      col("ng").cast("long").as("n_gaps"),
+      col("min_gap_ms"), col("max_gap_ms"),
+      col("n_zero_gaps"), col("n_fast_gaps"),
+      (col("sg").cast("double") / col("ng").cast("double"))
+        .as("mean_gap_ms"),
+      ((col("ng") * col("sgg") - col("sg") * col("sg")).cast("double") /
+        (col("ng") * col("ng")).cast("double")).as("var_gap_ms"),
+      (lit(2L) * col("n_fast_gaps") > col("ng").cast("long"))
+        .as("is_bot_like"))
+  }
+
+  val q114Oracle: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, count(*) AS n_events, count(gap) AS ng,
+      |    sum(gap) AS sg, sum(gap * gap) AS sgg,
+      |    min(gap) AS min_gap_ms, max(gap) AS max_gap_ms,
+      |    CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_gaps,
+      |    CAST(sum(CASE WHEN gap < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_fast_gaps
+      |  FROM g GROUP BY user_id)
+      |SELECT user_id, n_events, CAST(ng AS BIGINT) AS n_gaps,
+      |  min_gap_ms, max_gap_ms, n_zero_gaps, n_fast_gaps,
+      |  CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS mean_gap_ms,
+      |  CAST(ng * sgg - sg * sg AS DOUBLE) / CAST(ng * ng AS DOUBLE)
+      |    AS var_gap_ms,
+      |  2 * n_fast_gaps > ng AS is_bot_like
+      |FROM m WHERE ng > 0""".stripMargin
 }

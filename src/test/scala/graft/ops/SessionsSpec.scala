@@ -43,4 +43,34 @@ class SessionsSpec extends AnyFunSuite {
     assert(week0 == users, "every user is active in their cohort's week 0")
     assert(cells.forall(_._2 >= 0))
   }
+
+  test("q114 bot signals match a driver-side gap profile") {
+    import org.apache.spark.sql.functions._
+    val got = Sessions.q114BotSignals(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    val ev = graft.Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long, Long)].collect()
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val ms = rows.sortBy(e => (e._3, e._2)).map(e => Math.floorDiv(e._3, 1000L))
+      val gaps = ms.sliding(2).collect { case Array(a, b) => b - a }.toSeq
+      if (gaps.isEmpty) assert(!got.contains(u))
+      else {
+        val (_, ne, ng, mn, mx, nz, nf, mean, varg, bot) = got(u)
+        assert(ne == ms.length.toLong && ng == gaps.length.toLong)
+        assert(mn == gaps.min && mx == gaps.max)
+        assert(nz == gaps.count(_ == 0L).toLong)
+        assert(nf == gaps.count(_ < 1000L).toLong)
+        val n = BigInt(gaps.length)
+        val sg = gaps.map(BigInt(_)).sum
+        val sgg = gaps.map(g => BigInt(g) * g).sum
+        assert(mean == sg.toDouble / n.toDouble)
+        assert(varg == (n * sgg - sg * sg).toDouble / (n * n).toDouble)
+        assert(bot == (2L * nf > ng))
+        assert(varg >= -1e-9)
+      }
+    }
+  }
 }
