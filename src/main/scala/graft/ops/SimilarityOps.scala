@@ -851,4 +851,85 @@ object SimilarityOps {
       |    ORDER BY q_dot DESC, neighbor_id ASC) AS rank
       |  FROM scored) t
       |WHERE rank <= 10""".stripMargin
+
+  /** q115: label-centroid similarity in QUANTIZED INTEGER space — the
+    * class-confusion map over embedding classes (which labels sit close
+    * in embedding space ⇒ which are hard negatives / candidate merges),
+    * computed so the whole pipeline is exact: float centroids would
+    * need order-sensitive double sums (the q37 sorted-fold tax on
+    * every class), but the q77 int8 codes make the class centroid an
+    * INTEGER vector sum — commutative, map-side combinable, any
+    * partitioning gives the same bits.
+    *
+    * Shape: per-vector codes explode to (label, pos, code); one hash
+    * aggregate to the 10×64 label-sum table; pairwise dot products and
+    * norms are joins over that AGGREGATE-sized table, never over
+    * vectors. The final cosine divides identical integers and takes
+    * IEEE-correctly-rounded sqrt — bit-equal across engines (it is
+    * ln/exp that diverge, never /, ·, sqrt). Zero-scale vectors carry
+    * no codes and are excluded by contract. */
+  def q115LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        toDouble(col("embedding")).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("scale") > 0.0)
+    val codes = emb.select(col("label"),
+        posexplode(transform(col("v"),
+          x => floor(x / col("scale") * 127.0 + 0.5).cast("long"))))
+      .toDF("label", "pos", "c")
+    val sums = codes.groupBy(col("label"), col("pos"))
+      .agg(sum(col("c")).as("sv"))
+    val n2 = sums.groupBy(col("label"))
+      .agg(sum(col("sv") * col("sv")).as("n2"))
+    val pairs = sums.select(col("label").as("label_a"), col("pos"),
+        col("sv").as("sa"))
+      .join(sums.select(col("label").as("label_b"), col("pos"),
+        col("sv").as("sb")), "pos")
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("sa") * col("sb")).as("dot"))
+    pairs
+      .join(broadcast(n2.select(col("label").as("label_a"),
+        col("n2").as("n2_a"))), "label_a")
+      .join(broadcast(n2.select(col("label").as("label_b"),
+        col("n2").as("n2_b"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("dot"),
+        col("n2_a"), col("n2_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2_a").cast("double")) *
+            sqrt(col("n2_b").cast("double")))).as("cosine"))
+  }
+
+  val q115Oracle: String =
+    """WITH s AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), sc AS (
+      |  SELECT label, v,
+      |    coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS scale
+      |  FROM s
+      |), codes AS (
+      |  SELECT label,
+      |    unnest([{'pos': CAST(i - 1 AS BIGINT),
+      |             'c': CAST(floor(v[i] / scale * 127 + 0.5) AS BIGINT)}
+      |            for i in generate_series(1, len(v))], recursive := true)
+      |  FROM sc WHERE scale > 0
+      |), sums AS (
+      |  SELECT label, pos, CAST(sum(c) AS BIGINT) AS sv
+      |  FROM codes GROUP BY 1, 2
+      |), n2 AS (
+      |  SELECT label, CAST(sum(sv * sv) AS BIGINT) AS n2 FROM sums GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(sum(a.sv * b.sv) AS BIGINT) AS dot
+      |  FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+      |  CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+      |FROM pairs
+      |JOIN n2 na ON na.label = pairs.label_a
+      |JOIN n2 nb ON nb.label = pairs.label_b""".stripMargin
 }

@@ -159,4 +159,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.sum / recalls.size >= 0.6,
       s"mean quantized recall@10 too low: $recalls")
   }
+
+  test("q115 label centroids match a driver-side integer replay") {
+    import spark.implicits._
+    val got = SimilarityOps.q115LabelCentroids(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val emb = graft.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select("label", "embedding").as[(Int, Array[Float])].collect()
+    val sums = scala.collection.mutable.Map
+      .empty[Long, Array[Long]].withDefault(_ => Array.fill(64)(0L))
+    emb.foreach { case (l, vf) =>
+      val v = vf.map(_.toDouble)
+      val scale = v.map(math.abs).max
+      if (scale > 0) {
+        val codes = v.map(x => math.floor(x / scale * 127.0 + 0.5).toLong)
+        val acc = sums(l.toLong).clone()
+        codes.indices.foreach(i => acc(i) += codes(i))
+        sums(l.toLong) = acc
+      }
+    }
+    val labels = sums.keys.toSeq.sorted
+    assert(got.length == labels.size * (labels.size - 1) / 2)
+    got.foreach { case (a, b, dot, n2a, n2b, cos) =>
+      val (va, vb) = (sums(a), sums(b))
+      assert(dot == va.zip(vb).map { case (x, y) => x * y }.sum)
+      assert(n2a == va.map(x => x * x).sum && n2b == vb.map(x => x * x).sum)
+      assert(cos == dot.toDouble /
+        (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble)))
+      assert(cos >= -1.0 - 1e-12 && cos <= 1.0 + 1e-12)
+    }
+  }
 }
