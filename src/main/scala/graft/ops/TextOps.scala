@@ -645,4 +645,99 @@ object TextOps {
        |  CAST(cnt AS BIGINT) AS cnt
        |FROM w$BpeMerges""".stripMargin
   }
+
+  /** q116: χ²-distinctive tokens per source — feature selection over
+    * the corpus (which vocabulary is CHARACTERISTIC of a source, the
+    * classic screen before training source classifiers or diagnosing
+    * contamination between slices). Presence-based 2×2 contingency per
+    * (token, source): a = docs of the source containing the token,
+    * R = docs containing it anywhere, C = the source's docs, N = all
+    * docs; χ² = N·(ad−bc)²/(R(N−R)C(N−C)) with b,c,d derived from
+    * (a,R,C,N).
+    *
+    * Exactness: the contingency cells are integer counts; the χ²
+    * numerator/denominator are kept in Decimal(38,0)/HUGEINT integer
+    * space (the (ad−bc)² term outgrows int64 as N grows) and divided
+    * once as identical integers → bit-equal doubles, so even the
+    * RANKING below is cross-engine deterministic. Emission is the
+    * top [[AssocTopK]] over-represented tokens per source (min
+    * support R ≥ 5), ranked through [[Rank.groupRank]] — source is a
+    * ~20-value column, exactly the low-cardinality partition where a
+    * plain ranking window would sort vocabulary/20 rows per task.
+    * (On this synthetic corpus sources draw from a shared vocabulary,
+    * so no cell clears a significance threshold — the fixed-p variant
+    * would be empty; ranking keeps the operator observable while the
+    * χ² values honestly report the non-association.) Plan: one
+    * distinct (doc, token) explode, token-level and (source, token)-
+    * level hash aggregates joined on token, source totals as
+    * broadcasts, bucketed rank. */
+  val AssocTopK = 5
+
+  def q116TokenAssoc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(
+        graft.functions.TextFunctions.wsTokens(col("text")))).as("token"))
+    val aT = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("a"))
+    val rT = toks.groupBy(col("token")).agg(count(lit(1)).as("r"))
+    val cT = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    val nT = docs.agg(count(lit(1)).as("n"))
+    val j = aT.join(rT, "token")
+      .join(broadcast(cT), "source")
+      .crossJoin(broadcast(nT))
+      .filter(col("r") >= 5 && col("r") < col("n") &&
+        col("a") * col("n") > col("r") * col("c"))
+    val adbc = col("a").cast(dec) *
+        (col("n") - col("r") - col("c") + col("a")).cast(dec) -
+      (col("r") - col("a")).cast(dec) * (col("c") - col("a")).cast(dec)
+    val num = col("n").cast(dec) * adbc * adbc
+    val den = col("r").cast(dec) * (col("n") - col("r")).cast(dec) *
+      col("c").cast(dec) * (col("n") - col("c")).cast(dec)
+    val scored = j.select(col("source"), col("token"),
+      col("a").as("n_docs"), col("r").as("token_docs"),
+      (num.cast("double") / den.cast("double")).as("chi2"))
+      .withColumn("_negchi", -col("chi2"))
+    Rank.groupRank(scored, Seq("source"), "_negchi", Seq("token"),
+        "_rk", "_n")
+      .filter(col("_rk") < AssocTopK)
+      .select(col("source"), (col("_rk") + 1L).as("rank"), col("token"),
+        col("n_docs"), col("token_docs"), col("chi2"))
+  }
+
+  val q116Oracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |  FROM documents
+      |), toks AS (
+      |  SELECT DISTINCT doc_id, source, token FROM tk
+      |), a AS (
+      |  SELECT source, token, count(*) AS a FROM toks GROUP BY 1, 2
+      |), r AS (
+      |  SELECT token, count(*) AS r FROM toks GROUP BY 1
+      |), c AS (
+      |  SELECT source, count(*) AS c FROM documents GROUP BY 1
+      |), n AS (
+      |  SELECT count(*) AS n FROM documents
+      |), j AS (
+      |  SELECT a.source, a.token,
+      |    CAST(a.a AS HUGEINT) AS a, CAST(r.r AS HUGEINT) AS r,
+      |    CAST(c.c AS HUGEINT) AS c, CAST(n.n AS HUGEINT) AS n
+      |  FROM a JOIN r USING (token) JOIN c USING (source) CROSS JOIN n
+      |  WHERE r.r >= 5 AND r.r < n.n AND a.a * n.n > r.r * c.c
+      |), x AS (
+      |  SELECT source, token, CAST(a AS BIGINT) AS n_docs,
+      |    CAST(r AS BIGINT) AS token_docs,
+      |    CAST(n * (a * (n - r - c + a) - (r - a) * (c - a))
+      |           * (a * (n - r - c + a) - (r - a) * (c - a)) AS DOUBLE) /
+      |    CAST(r * (n - r) * c * (n - c) AS DOUBLE) AS chi2
+      |  FROM j)
+      |SELECT source, rank, token, n_docs, token_docs, chi2 FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY chi2 DESC, token ASC) AS BIGINT) AS rank
+      |  FROM x) t
+      |WHERE rank <= 5""".stripMargin
 }
