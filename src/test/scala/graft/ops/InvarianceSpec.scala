@@ -66,7 +66,17 @@ class InvarianceSpec extends AnyFunSuite {
     ("q96 group regression (exact decimal moments)",
       () => Audit.q96GroupRegression(spark, TestSpark.sfDir)),
     ("q88 TF-IDF similarity (integer dot/norm arithmetic)",
-      () => TextOps.q88TfidfSimilar(spark, TestSpark.sfDir)))
+      () => TextOps.q88TfidfSimilar(spark, TestSpark.sfDir)),
+    ("q105 concurrency sweep (bucketed global prefix sum)",
+      () => Sweep.q105Concurrency(spark, TestSpark.sfDir)),
+    ("q106 Pareto frontier (bucketed exclusive running max)",
+      () => Sweep.q106ParetoFrontier(spark, TestSpark.sfDir)),
+    ("q108 k-core (fixed-round window-count peeling)",
+      () => Graph.q108KCore(spark, TestSpark.sfDir)),
+    ("q111 table checksum (XOR content monoid)",
+      () => Integrity.q111TableChecksum(spark, TestSpark.sfDir)),
+    ("q116 token association (chi2 double ranking)",
+      () => TextOps.q116TokenAssoc(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
