@@ -620,4 +620,65 @@ object Extended {
       |  wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |""".stripMargin
+
+  /** q117: WEIGHTED median — the quantity level that splits each
+    * (returnflag, linestatus) slice's REVENUE mass in half ("half the
+    * money moves in orders of ≤ this size"), the weighted flavor of
+    * the order statistics q69/q70 compute by row count. Definition:
+    * the first row, in (qty, orderkey, linenumber) order, whose
+    * cumulative revenue reaches ⌈total/2⌉.
+    *
+    * The grouping column pair has ~4 values — exactly the shape where
+    * a plain cumulative window sorts a quarter of the table per task —
+    * so the prefix weight runs through [[Rank.groupPrefixSum]] (the
+    * weighted generalization of the q54/q69 two-phase rank). Revenue
+    * weights are integer cents, so the crossing row is exact; the
+    * first-crossing pick is a min over a lexicographic struct, which
+    * the monotone prefix makes equal to the ordered-first row. */
+  def q117WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        Exact.units(col("l_extendedprice"), 2).as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val cum = Rank.groupPrefixSum(li, Seq("l_returnflag", "l_linestatus"),
+      "qty", Seq("l_orderkey", "l_linenumber"), "w", "cw")
+    val totals = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("w")).as("total_cents"))
+      .withColumn("target", expr("(total_cents + 1) div 2"))
+    cum.join(broadcast(totals), Seq("l_returnflag", "l_linestatus"))
+      .filter(col("cw") >= col("target"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(min(struct(col("qty"), col("l_orderkey"), col("l_linenumber"),
+          col("cw"))).as("m"),
+        max(col("total_cents")).as("total_cents"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("m.qty").as("median_qty"), col("m.cw").as("cum_cents"),
+        col("total_cents"))
+  }
+
+  val q117Oracle: String =
+    """WITH base AS (
+      |  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS w,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem
+      |), cum AS (
+      |  SELECT *, CAST(sum(w) OVER (PARTITION BY l_returnflag, l_linestatus
+      |      ORDER BY qty ASC, l_orderkey ASC, l_linenumber ASC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      |  FROM base
+      |), tot AS (
+      |  SELECT l_returnflag, l_linestatus, CAST(sum(w) AS BIGINT) AS total_cents,
+      |    CAST((sum(w) + 1) // 2 AS BIGINT) AS target
+      |  FROM base GROUP BY 1, 2
+      |), q AS (
+      |  SELECT c.l_returnflag, c.l_linestatus, c.qty, c.cw, t.total_cents,
+      |    row_number() OVER (PARTITION BY c.l_returnflag, c.l_linestatus
+      |      ORDER BY c.qty ASC, c.l_orderkey ASC, c.l_linenumber ASC) AS rk
+      |  FROM cum c JOIN tot t USING (l_returnflag, l_linestatus)
+      |  WHERE c.cw >= t.target)
+      |SELECT l_returnflag, l_linestatus, qty AS median_qty,
+      |  cw AS cum_cents, total_cents
+      |FROM q WHERE rk = 1""".stripMargin
 }

@@ -159,6 +159,38 @@ object Rank {
       .drop("_bkt", "_bbase")
   }
 
+  /** Per-group inclusive prefix sum of `deltaCol` under the in-group
+    * total order (valueCol ASC, tieCols ASC) — [[globalPrefixSum]]
+    * with groups, or equivalently [[groupRank]] counting WEIGHT
+    * instead of rows (the weighted-order-statistics primitive: q117's
+    * weighted median reads the first row whose prefix weight crosses
+    * half the group total). Same plan as groupRank: per-(group,
+    * bucket) delta sums (an aggregate of ≤ |groups|·Buckets rows)
+    * prefix-summed through a window over the COUNTS table, plus an
+    * in-bucket running sum confined to each bucket slice.
+    * Contract: (valueCol, tieCols) total order within each group,
+    * valueCol numeric non-null, deltaCol long — NONNEGATIVE if the
+    * caller needs the prefix to be monotone (medians do). */
+  def groupPrefixSum(df: DataFrame, grpCols: Seq[String], valueCol: String,
+      tieCols: Seq[String], deltaCol: String, outCol: String): DataFrame = {
+    require(grpCols.nonEmpty, "use globalPrefixSum for the no-group case")
+    val grp = grpCols.map(col)
+    val bucketed = bucketize(df, grpCols, valueCol)
+    val sums = bucketed.groupBy((grp :+ col("_bkt")): _*)
+      .agg(sum(col(deltaCol)).as("_bsum"))
+    val wOff = Window.partitionBy(grp: _*).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("_bbase", coalesce(sum(col("_bsum")).over(wOff), lit(0L)))
+      .select((grp :+ col("_bkt") :+ col("_bbase")): _*)
+    val wLocal = Window.partitionBy((grp :+ col("_bkt")): _*)
+      .orderBy((col(valueCol).asc +: tieCols.map(col(_).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(offsets), grpCols :+ "_bkt")
+      .withColumn(outCol, col("_bbase") + sum(col(deltaCol)).over(wLocal))
+      .drop("_bkt", "_bbase")
+  }
+
   /** Exclusive global running max of `aggCol` under (valueCol ASC,
     * tieCols ASC): for each row, the max over STRICTLY preceding rows,
     * null when there is none — the dominance/skyline primitive (q106

@@ -132,4 +132,45 @@ class RankSpec extends AnyFunSuite {
     assert(specs.exists(_.contains("_bkt")),
       s"expected a (group, _bkt)-partitioned local rank window, got: $specs")
   }
+
+  test("groupPrefixSum equals the plain per-group cumulative window") {
+    import spark.implicits._
+    // heavy value ties within small groups + a weight column
+    val df = ((0 until 1200).map(i =>
+      (s"g${i % 3}", (i * 7 % 11).toLong, i.toLong, (i % 5 + 1).toLong)) ++
+      Seq(("solo", 1L, 9999L, 42L))).toDF("g", "v", "id", "w")
+    val got = Rank.groupPrefixSum(df, Seq("g"), "v", Seq("id"), "w", "cw")
+      .select("g", "v", "id", "cw").collect().map(_.toString).sorted.toSeq
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("cw", sum(col("w")).over(w))
+      .select("g", "v", "id", "cw").collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("q117 weighted median matches a driver-side sorted scan") {
+    import spark.implicits._
+    val got = Extended.q117WeightedMedian(spark, graft.TestSpark.sfDir)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.nonEmpty)
+    val li = graft.Tables.load(spark, graft.TestSpark.sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long"),
+        expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)"),
+        col("l_orderkey"), col("l_linenumber").cast("long"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    li.groupBy(r => (r._1, r._2)).foreach { case (k, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._5, r._6))
+      val total = ordered.map(_._4).sum
+      val target = (total + 1) / 2
+      var acc = 0L
+      val cross = ordered.find { r => acc += r._4; acc >= target }.get
+      val (_, _, mq, cc, tc) = got(k)
+      assert(tc == total && mq == cross._3)
+      assert(cc == ordered.takeWhile(_ != cross).map(_._4).sum + cross._4)
+      // the median splits revenue: mass strictly below is < half
+      assert(cc - cross._4 < target && cc >= target)
+    }
+  }
 }
