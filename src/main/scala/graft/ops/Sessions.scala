@@ -361,6 +361,61 @@ object Sessions {
         .as("is_bot_like"))
   }
 
+  /** q118: TIME-weighted average value (TWAP) per (event_type, day) —
+    * the metric that answers "what was the value, weighted by how long
+    * it HELD", where a plain avg() overweights bursts. Each
+    * observation holds from its timestamp until the next observation
+    * of the same (type, day), the day's last until midnight (LOCF
+    * weighting); the day's first observation starts at its own
+    * timestamp, so the pre-first span is deliberately unweighted.
+    *
+    * Exactness: durations are integer milliseconds (ordering and
+    * differencing at ms precision on BOTH engines — the raw ns digits
+    * are not engine-shared, the q105 lesson), values integer cents,
+    * so Σ(cents·dur) and Σdur are exact longs and the one double
+    * division is over identical integers. Windows partition by
+    * (type, day) — date-bounded slices, the scale-safe class. */
+  def q118Twap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"),
+        Exact.units(col("value"), 2).as("cents"))
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("day", to_date(col("ts")))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    val dayEnd = unix_millis(col("day").cast("timestamp")) + lit(86400000L)
+    ev.withColumn("nxt", lead(col("ms"), 1).over(w))
+      .withColumn("dur", coalesce(col("nxt"), dayEnd) - col("ms"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dur")).as("dur_ms"),
+        sum(col("cents") * col("dur")).as("wsum_cents_ms"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("dur_ms"), col("wsum_cents_ms"),
+        (col("wsum_cents_ms").cast("double") / col("dur_ms").cast("double"))
+          .as("twap_cents"))
+  }
+
+  val q118Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, epoch_ms(ts) AS ms,
+      |    event_id, CAST(round(value * 100.0) AS BIGINT) AS cents
+      |  FROM events
+      |), d AS (
+      |  SELECT *, lead(ms) OVER (PARTITION BY event_type, day
+      |    ORDER BY ms ASC, event_id ASC) AS nxt
+      |  FROM ev
+      |), x AS (
+      |  SELECT event_type, day, cents,
+      |    coalesce(nxt, epoch_ms(CAST(day AS TIMESTAMP)) + 86400000) - ms AS dur
+      |  FROM d)
+      |SELECT event_type, day, count(*) AS n_events,
+      |  CAST(sum(dur) AS BIGINT) AS dur_ms,
+      |  CAST(sum(cents * dur) AS BIGINT) AS wsum_cents_ms,
+      |  CAST(sum(cents * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE)
+      |    AS twap_cents
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   val q114Oracle: String =
     """WITH g AS (
       |  SELECT user_id,

@@ -73,4 +73,31 @@ class SessionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q118 TWAP matches a driver-side hold-duration replay") {
+    import org.apache.spark.sql.functions._
+    val got = Sessions.q118Twap(spark, TestSpark.sfDir)
+      .as[(String, java.sql.Date, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2.toString) -> r).toMap
+    assert(got.nonEmpty)
+    val ev = graft.Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("event_type"), to_date(col("ts")).cast("string"),
+        unix_millis(col("ts")), col("event_id"),
+        expr("CAST(round(value * 100.0) AS BIGINT)"))
+      .as[(String, String, Long, Long, Long)].collect()
+    ev.groupBy(r => (r._1, r._2)).foreach { case (k, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._4))
+      val dayEnd = (ordered.head._3 / 86400000L + 1L) * 86400000L
+      val durs = ordered.map(_._3).sliding(2)
+        .collect { case Array(a, b) => b - a }.toSeq :+
+        (dayEnd - ordered.last._3)
+      val wsum = ordered.map(_._5).zip(durs).map { case (c, d) => c * d }.sum
+      val (_, _, n, dm, ws, twap) = got(k)
+      assert(n == ordered.length.toLong)
+      assert(dm == durs.sum && ws == wsum)
+      assert(twap == wsum.toDouble / durs.sum.toDouble)
+      // each day's weighted span ends exactly at midnight
+      assert(ordered.head._3 + durs.sum == dayEnd)
+    }
+  }
 }
