@@ -377,7 +377,65 @@ object Curation {
         explode(sequence(lit(0L), col("copies").cast("long") - 1L)).as("epoch"))
   }
 
-  /** md5-nibble integer in [0, 65536) over "mix_<doc_id>". */
+  /** q119: deterministic bootstrap replicates — error bars for a
+    * corpus statistic computed AT SCALE, without resampling rows
+    * through a driver: [[BootReplicas]] half-sample replicates of mean
+    * order revenue, each defined by a deterministic md5 coin per
+    * (replica, order). The spread of the replicate means IS the
+    * sampling-uncertainty estimate (half-sampling: a delete-d jackknife
+    * variant; weights are exactly reproducible on any engine or
+    * cluster, unlike rng-based resampling which can never
+    * hash-compare).
+    *
+    * Plan: one scan, a 16-way explode (the shuffle carries only
+    * (replica, partial-sum) combiners — map-side combine collapses the
+    * blowup before any exchange), and a 17-row output: each replicate's
+    * exact integer (n, Σcents) plus its mean as the one double
+    * division; replica −1 is the full sample for reference. */
+  val BootReplicas = 16
+
+  def q119BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), Exact.units(col("o_totalprice"), 2).as("cents"))
+    val reps = orders
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(BootReplicas - 1))).as("replica"))
+      .withColumn("w",
+        conv(substring(md5(concat(lit("boot_"), col("replica"),
+          lit("_"), col("o_orderkey"))), 1, 1), 16, 10).cast("long") % 2L)
+      .filter(col("w") === 1L)
+      .groupBy(col("replica").cast("long").as("replica"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    val full = orders
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(lit(-1L).as("replica"), col("n"), col("sum_cents"))
+    reps.unionByName(full)
+      .select(col("replica"), col("n"), col("sum_cents"),
+        (col("sum_cents").cast("double") / col("n").cast("double"))
+          .as("mean_cents"))
+  }
+
+  val q119Oracle: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey,
+       |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+       |  FROM orders
+       |), reps AS (
+       |  SELECT r.replica, o.o_orderkey, o.cents,
+       |    (strpos('0123456789abcdef',
+       |       substring(md5('boot_' || r.replica || '_' || o.o_orderkey), 1, 1))
+       |     - 1) % 2 AS w
+       |  FROM o CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${BootReplicas - 1})) AS replica) r
+       |), agg AS (
+       |  SELECT CAST(replica AS BIGINT) AS replica, count(*) AS n,
+       |    CAST(sum(cents) AS BIGINT) AS sum_cents
+       |  FROM reps WHERE w = 1 GROUP BY 1
+       |  UNION ALL
+       |  SELECT -1, count(*), CAST(sum(cents) AS BIGINT) FROM o)
+       |SELECT replica, n, sum_cents,
+       |  CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents
+       |FROM agg""".stripMargin
   private def MixBits(id: Column): Column = {
     val h = md5(concat(lit("mix_"), id.cast("string")))
     (0 until 4).map { i =>

@@ -100,4 +100,38 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == expect)
     assert(kept.size >= all.length / 2 && kept.size < all.length)
   }
+
+  test("q119 bootstrap replicates: exact md5 replay, half-sample sizes, tight spread") {
+    import org.apache.spark.sql.functions._
+    val got = Curation.q119BootstrapCi(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == Curation.BootReplicas + 1)
+    val orders = graft.Tables.load(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coin(r: Long, k: Long): Boolean = {
+      val h = md.digest(s"boot_${r}_$k".getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf) % 2 == 1
+    }
+    // exact replay of two replicas
+    Seq(0L, 7L).foreach { r =>
+      val sel = orders.filter(o => coin(r, o._1))
+      val (_, n, s, m) = got(r)
+      assert(n == sel.length.toLong && s == sel.map(_._2).sum)
+      assert(m == s.toDouble / n.toDouble)
+    }
+    // full-sample row and binomial-plausible replicate sizes
+    val (_, nAll, sAll, _) = got(-1L)
+    assert(nAll == orders.length.toLong && sAll == orders.map(_._2).sum)
+    val meanAll = sAll.toDouble / nAll.toDouble
+    (0L until Curation.BootReplicas.toLong).foreach { r =>
+      val (_, n, _, m) = got(r)
+      assert(math.abs(n.toDouble / nAll - 0.5) < 0.1,
+        s"replica $r size $n is not a plausible half-sample of $nAll")
+      assert(math.abs(m - meanAll) / meanAll < 0.2,
+        s"replica $r mean $m far from $meanAll")
+    }
+  }
 }
