@@ -15,7 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_ONLY="q120_x,q121_y" dumps just
+    // those queries. Unset for driver runs → full dump.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

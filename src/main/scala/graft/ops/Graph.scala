@@ -194,4 +194,71 @@ object Graph {
        |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
        |FROM s$CoreRounds GROUP BY src""".stripMargin
   }
+
+  /** BFS hop cap for q122 — the supply graph is dense bipartite, so
+    * alternating supplier/customer layers exhaust it in ≤4 hops. */
+  val BfsMaxHops = 4
+
+  /** q122: multi-hop reachability — the minimum hop distance from the
+    * nation-0 suppliers to every node of the undirected supply graph
+    * (the blast-radius / impact-analysis query: "which customers are
+    * within k hops of these suppliers"). Textbook frontier BFS in
+    * Pregel style: each round expands the CURRENT frontier only
+    * (persisted, so the growing union chain never recomputes), removes
+    * already-labeled nodes with a left-anti join against the distance
+    * table, and tags survivors with the round number. First-discovery
+    * round IS the min hop, so all arithmetic is integer and the DuckDB
+    * recursive-CTE oracle (min over generated hops) matches
+    * bit-exactly. Scale shape: per round one hash join
+    * frontier⋈edges + distinct + one anti join — all partitioned on
+    * the node key, frontier-sized (not graph-sized) inputs, no
+    * broadcasts, no driver-side convergence collect (fixed hop cap). */
+  def q122Reachability(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("a"),
+        concat(lit("c"), col("o_custkey")).as("b"))
+      .distinct()
+    val sym = base.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(base.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    val seeds = Tables.load(spark, dir, "supplier")
+      .where(col("s_nationkey") === 0)
+      .select(concat(lit("s"), col("s_suppkey")).as("node"))
+    var dist = seeds.withColumn("hop", lit(0L)).persist()
+    var frontier = dist
+    for (h <- 1 to BfsMaxHops) {
+      val next = frontier
+        .join(sym, frontier("node") === sym("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .persist()
+      dist = dist.unionByName(next)
+      frontier = next
+    }
+    dist.select(col("node"), col("hop"))
+  }
+
+  val q122Oracle: String =
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT DISTINCT 's' || l.l_suppkey AS a, 'c' || o.o_custkey AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), sym AS (
+       |  SELECT a AS src, b AS dst FROM e0
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM e0
+       |), bfs AS (
+       |  SELECT 's' || s_suppkey AS node, 0 AS hop
+       |  FROM supplier WHERE s_nationkey = 0
+       |  UNION
+       |  SELECT sym.dst AS node, bfs.hop + 1 AS hop
+       |  FROM bfs JOIN sym ON bfs.node = sym.src
+       |  WHERE bfs.hop < $BfsMaxHops
+       |)
+       |SELECT node, CAST(min(hop) AS BIGINT) AS hop
+       |FROM bfs GROUP BY node""".stripMargin
 }

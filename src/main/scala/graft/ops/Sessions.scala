@@ -436,4 +436,113 @@ object Sessions {
       |    AS var_gap_ms,
       |  2 * n_fast_gaps > ng AS is_bot_like
       |FROM m WHERE ng > 0""".stripMargin
+
+  /** q120: gaps-and-islands — each user's longest streak of
+    * consecutive active days (the engagement-reporting rollup a
+    * gold-layer consumer runs on the events feed).
+    * The classic anchor trick: within a user, `day − rank`
+    * is constant exactly on a run of consecutive days, so one window
+    * rank plus one aggregation finds every island without a self-join.
+    * Both windows partition by user_id (bounded groups — the
+    * sessionization-class skew assumption), and the day list is
+    * `distinct` BEFORE the window, so the sort input is one row per
+    * active day, not per event. Integer day arithmetic end to end —
+    * bit-exact across engines. */
+  def q120GapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    val islands = days
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("anchor", date_sub(col("day"), col("rn")))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"),
+        min(col("day")).as("start_day"), max(col("day")).as("end_day"))
+    val perUser = Window.partitionBy(col("user_id"))
+    islands
+      .withColumn("n_streaks", count(lit(1)).over(perUser))
+      .withColumn("n_active_days", sum(col("len")).over(perUser))
+      .withColumn("rk", row_number().over(
+        perUser.orderBy(col("len").desc, col("start_day").asc)))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("len").as("best_streak_days"),
+        col("start_day"), col("end_day"),
+        col("n_streaks"), col("n_active_days"))
+  }
+
+  val q120Oracle: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), r AS (
+      |  SELECT user_id, day,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY day ASC) AS rn
+      |  FROM d
+      |), isl AS (
+      |  SELECT user_id, day - CAST(rn AS INTEGER) AS anchor, count(*) AS len,
+      |    min(day) AS start_day, max(day) AS end_day
+      |  FROM r GROUP BY user_id, anchor
+      |), ranked AS (
+      |  SELECT user_id, len, start_day, end_day,
+      |    count(*) OVER (PARTITION BY user_id) AS n_streaks,
+      |    sum(len) OVER (PARTITION BY user_id) AS n_active_days,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY len DESC, start_day ASC) AS rk
+      |  FROM isl)
+      |SELECT user_id, len AS best_streak_days, start_day, end_day,
+      |  CAST(n_streaks AS BIGINT) AS n_streaks,
+      |  CAST(n_active_days AS BIGINT) AS n_active_days
+      |FROM ranked WHERE rk = 1""".stripMargin
+
+  /** q121: top event paths — the 20 most common within-session
+    * event-type sequences (the "what do users do" product-analytics
+    * query, ClickHouse sequenceMatch / Amplitude pathfinder shape).
+    * Reuses [[assignSessions]] (the q31 gap rule) for the session
+    * boundary, then collapses each session to an ordered path string:
+    * `collect_list` of (ts, event_id, event_type) structs is
+    * order-nondeterministic, so `array_sort` restores the unique
+    * (ts, event_id) total order before the join — making the path, and
+    * hence the oracle hash, exact. Path counting is a vocabulary-sized
+    * aggregate (partial combines carry path strings, not events), and
+    * top-20 is a TakeOrdered, never a global sort. Tie at the cut
+    * breaks on path ASC so the selected SET is deterministic. */
+  def q121EventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val sess = assignSessions(
+      Tables.load(spark, dir, "events"), gapMs = 30 * 60 * 1000L)
+    sess
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          s => s.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
+  val q121Oracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), numbered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM marked
+      |), paths AS (
+      |  SELECT user_id, session_no,
+      |    string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+      |  FROM numbered GROUP BY user_id, session_no)
+      |SELECT path, count(*) AS n_sessions,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
 }

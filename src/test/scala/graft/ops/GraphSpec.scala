@@ -91,4 +91,23 @@ class GraphSpec extends AnyFunSuite {
     assert(pr(maxFan) >= pr(minFan),
       s"max-fan-in $maxFan ranked below min-fan-in $minFan")
   }
+
+  test("q122: BFS labels a hand-built chain with min hop distances") {
+    import spark.implicits._
+    // chain: s1 -(o1)- c1 -(o2)- s2 -(o3)- c2 ; s3/c3 isolated in nation 1
+    val dir = java.nio.file.Files.createTempDirectory("bfs").toString
+    Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 0), (2L, 1), (3L, 1))
+      .toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = Graph.q122Reachability(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s1" -> 0L, "c1" -> 1L, "s2" -> 2L, "c2" -> 3L),
+      s"got $got")
+  }
 }

@@ -100,4 +100,45 @@ class SessionsSpec extends AnyFunSuite {
       assert(ordered.head._3 + durs.sum == dayEnd)
     }
   }
+
+  test("q120: longest streak, counts, and bounds on a hand-built calendar") {
+    // user 1: Jan 1-3 (two events on Jan 1), gap, Jan 5-6 -> best 3
+    // user 2: one day -> best 1, one streak
+    val rows = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 08:00:00")),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 21:00:00")),
+      (3L, 1L, Timestamp.valueOf("2024-01-02 08:00:00")),
+      (4L, 1L, Timestamp.valueOf("2024-01-03 08:00:00")),
+      (5L, 1L, Timestamp.valueOf("2024-01-05 08:00:00")),
+      (6L, 1L, Timestamp.valueOf("2024-01-06 08:00:00")),
+      (7L, 2L, Timestamp.valueOf("2024-02-10 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("streak").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Sessions.q120GapsIslands(spark, dir)
+      .as[(Long, Long, java.sql.Date, java.sql.Date, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out.length == 2)
+    val (u1, u2) = (out(0), out(1))
+    assert(u1 == ((1L, 3L, java.sql.Date.valueOf("2024-01-01"),
+      java.sql.Date.valueOf("2024-01-03"), 2L, 5L)))
+    assert(u2 == ((2L, 1L, java.sql.Date.valueOf("2024-02-10"),
+      java.sql.Date.valueOf("2024-02-10"), 1L, 1L)))
+  }
+
+  test("q121: session paths are ordered by (ts, event_id) and counted globally") {
+    // user 1 session A: view->click (same gap window); then a >30min gap
+    // opens session B: view alone. user 2: one session view->click.
+    // two events share a timestamp -> event_id breaks the tie.
+    val rows = Seq(
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(0), "click"),
+      (3L, 1L, Timestamp.valueOf("2024-01-01 11:00:00"), "view"),
+      (4L, 2L, ts(5), "view"), (5L, 2L, ts(6), "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("paths").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Sessions.q121EventPaths(spark, dir)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("view", 1L, 1L), ("view>click", 2L, 2L)))
+  }
 }

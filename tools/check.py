@@ -73,8 +73,11 @@ for name in sorted(os.listdir(out_dir)):
     else:
         print(f"[ok]   {name}: {len(g)} rows, {len(g.columns)} cols")
 
-missing = set(oracles) - {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
-for m in sorted(missing):
-    failures += 1
-    print(f"[FAIL] {m}: oracle declared but no result parquet")
+# With SPARK_GRAFT_ONLY set, Verify dumped a subset on purpose — skip
+# the missing-dump scan that exists to catch holes in FULL runs.
+if not os.environ.get("SPARK_GRAFT_ONLY"):
+    missing = set(oracles) - {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for m in sorted(missing):
+        failures += 1
+        print(f"[FAIL] {m}: oracle declared but no result parquet")
 sys.exit(1 if failures else 0)
