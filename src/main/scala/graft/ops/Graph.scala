@@ -214,20 +214,28 @@ object Graph {
     * the node key, frontier-sized (not graph-sized) inputs, no
     * broadcasts, no driver-side convergence collect (fixed hop cap). */
   def q122Reachability(spark: SparkSession, dir: String): DataFrame = {
+    // Node ids are packed into a long (supplier 2k, customer 2k+1):
+    // every join/distinct/anti in the loop hashes and compares a
+    // single long, not a concatenated string — strings appear only in
+    // the final projection the oracle sees.
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("s"), col("l_suppkey")).as("a"),
-        concat(lit("c"), col("o_custkey")).as("b"))
+      .select((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"))
       .distinct()
     val sym = base.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(base.select(col("b").as("src"), col("a").as("dst")))
+      // Hash-partition the cached edge list on the join key so all
+      // BfsMaxHops round-joins reuse this one exchange — only the
+      // (small) frontier side shuffles per round.
+      .repartition(col("src"))
       .persist()
     val seeds = Tables.load(spark, dir, "supplier")
       .where(col("s_nationkey") === 0)
-      .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      .select((col("s_suppkey") * 2L).as("node"))
     var dist = seeds.withColumn("hop", lit(0L)).persist()
     var frontier = dist
     for (h <- 1 to BfsMaxHops) {
@@ -240,7 +248,10 @@ object Graph {
       dist = dist.unionByName(next)
       frontier = next
     }
-    dist.select(col("node"), col("hop"))
+    dist.select(
+      concat(when(col("node") % 2 === 0, lit("s")).otherwise(lit("c")),
+        expr("node div 2")).as("node"),
+      col("hop"))
   }
 
   val q122Oracle: String =
