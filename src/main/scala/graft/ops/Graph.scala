@@ -233,8 +233,13 @@ object Graph {
       // (small) frontier side shuffles per round.
       .repartition(col("src"))
       .persist()
-    val seeds = Tables.load(spark, dir, "supplier")
-      .where(col("s_nationkey") === 0)
+    // seed on the MINIMUM nation key present (not literal 0) so the
+    // query exercises the graph at every scale factor — tiny SFs may
+    // not sample nation 0 at all
+    val sup = Tables.load(spark, dir, "supplier")
+    val seeds = sup
+      .crossJoin(broadcast(sup.agg(min(col("s_nationkey")).as("_mn"))))
+      .where(col("s_nationkey") === col("_mn"))
       .select((col("s_suppkey") * 2L).as("node"))
     var dist = seeds.withColumn("hop", lit(0L)).persist()
     var frontier = dist
@@ -264,7 +269,8 @@ object Graph {
        |  SELECT b AS src, a AS dst FROM e0
        |), bfs AS (
        |  SELECT 's' || s_suppkey AS node, 0 AS hop
-       |  FROM supplier WHERE s_nationkey = 0
+       |  FROM supplier
+       |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)
        |  UNION
        |  SELECT sym.dst AS node, bfs.hop + 1 AS hop
        |  FROM bfs JOIN sym ON bfs.node = sym.src
@@ -272,4 +278,87 @@ object Graph {
        |)
        |SELECT node, CAST(min(hop) AS BIGINT) AS hop
        |FROM bfs GROUP BY node""".stripMargin
+
+  /** Relaxation-round cap for q123 — like [[BfsMaxHops]] but one less:
+    * costs stabilize for the overwhelming majority of nodes by hop 3,
+    * and the contract is explicitly "cheapest path within 3 hops". */
+  val SpMaxHops = 3
+
+  /** q123: weighted shortest path — the cheapest ≤3-hop route from the
+    * nation-0 suppliers to every reachable node of the supply graph,
+    * where an edge's weight is the lineitem count linking the
+    * supplier/customer pair (a "how thin is the relationship" routing
+    * metric). Bellman-Ford expressed declaratively: each round relaxes
+    * every edge out of the current distance table and folds the result
+    * back with a groupBy-min — min-plus over longs, so every engine
+    * replays the identical trajectory and the oracle (the same three
+    * rounds unrolled as CTEs) is bit-exact. Same scale shape as q122:
+    * node ids packed into longs, the weighted edge list built once,
+    * hash-partitioned on the join key and persisted, so each round is
+    * one frontier-shuffle join plus one partial-agg min — no
+    * broadcasts, no driver-side convergence test. */
+  def q123ShortestPath(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .repartition(col("src"))
+      .persist()
+    // min-nation seed for the same every-SF reason as q122
+    val sup = Tables.load(spark, dir, "supplier")
+    var dist = sup
+      .crossJoin(broadcast(sup.agg(min(col("s_nationkey")).as("_mn"))))
+      .where(col("s_nationkey") === col("_mn"))
+      .select((col("s_suppkey") * 2L).as("node"), lit(0L).as("cost"))
+      .persist()
+    for (_ <- 1 to SpMaxHops) {
+      val relaxed = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .persist()
+    }
+    dist.select(
+      concat(when(col("node") % 2 === 0, lit("s")).otherwise(lit("c")),
+        expr("node div 2")).as("node"),
+      col("cost"))
+  }
+
+  val q123Oracle: String = {
+    // unroll the SpMaxHops relaxation rounds as chained CTEs
+    val rounds = (1 to SpMaxHops).map { h =>
+      s"""d$h AS (
+         |  SELECT node, min(cost) AS cost FROM (
+         |    SELECT node, cost FROM d${h - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d${h - 1}.cost + e.w AS cost
+         |    FROM d${h - 1} JOIN e ON d${h - 1}.node = e.src
+         |  ) u GROUP BY node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS (
+       |  SELECT l.l_suppkey * 2 AS a, o.o_custkey * 2 + 1 AS b,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2
+       |), e AS (
+       |  SELECT a AS src, b AS dst, w FROM e0
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst, w FROM e0
+       |), d0 AS (
+       |  SELECT s_suppkey * 2 AS node, CAST(0 AS BIGINT) AS cost
+       |  FROM supplier
+       |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)
+       |), $rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 's' || (node // 2)
+       |            ELSE 'c' || (node // 2) END AS node,
+       |  CAST(cost AS BIGINT) AS cost
+       |FROM d$SpMaxHops""".stripMargin
+  }
 }

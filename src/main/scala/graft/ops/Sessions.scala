@@ -545,4 +545,135 @@ object Sessions {
       |  count(DISTINCT user_id) AS n_users
       |FROM paths GROUP BY path
       |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
+
+  /** Shared session-numbering CTE prefix (the [[assignSessions]] gap
+    * rule in DuckDB form) used by the q121/q124/q126 oracles. */
+  private val SessionCtePrefix: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), numbered AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    sum(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM marked
+      |)""".stripMargin
+
+  /** q124: Markov transition matrix — P(next event | event) within a
+    * session, the first-order behavioral model product analytics fits
+    * before anything fancier (and the propensity baseline an LLM-agent
+    * trace pipeline reports). lead() inside the (user, session) window
+    * pairs each event with its successor; the pair counts then shrink
+    * to a |types|² frame, so the per-from totals window runs over an
+    * aggregate-sized input. Probability is emitted as an integer
+    * (n·10⁶ div from_total) — exact on both engines, no float agg. */
+  def q124MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val sess = assignSessions(
+      Tables.load(spark, dir, "events"), gapMs = 30 * 60 * 1000L)
+    val w = Window.partitionBy(col("user_id"), col("session_no"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = sess
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("prob_ppm", expr("(n * 1000000) div from_total"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("from_total"), col("prob_ppm"))
+  }
+
+  val q124Oracle: String =
+    s"""$SessionCtePrefix, pairs AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id, session_no
+       |      ORDER BY ts ASC, event_id ASC) AS to_type
+       |  FROM numbered
+       |), agg AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT from_type, to_type, n,
+       |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+       |  CAST((n * 1000000) // (sum(n) OVER (PARTITION BY from_type))
+       |    AS BIGINT) AS prob_ppm
+       |FROM agg""".stripMargin
+
+  /** q125: cumulative distinct users by day — the growth-curve query
+    * ("how many unique users have we ever seen, per day"). The naive
+    * form is a running COUNT(DISTINCT) — quadratic state or a global
+    * window at scale. The scale-correct factoring: distinct-ness is
+    * decided once per user (groupBy user → min day, one shuffle), the
+    * per-day new-user counts are calendar-sized, and the running total
+    * over them runs through [[Rank.globalPrefixSum]]'s bucketed
+    * two-phase plan — no global single-task window anywhere. */
+  def q125CumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+    val perDay = firstDay.groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("day_num", unix_date(col("day")).cast("long"))
+    Rank.globalPrefixSum(perDay, "day_num", Nil, "new_users", "cum_users")
+      .select(col("day"), col("new_users"), col("cum_users"))
+  }
+
+  val q125Oracle: String =
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
+      |  GROUP BY user_id
+      |), d AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f
+      |  GROUP BY day
+      |)
+      |SELECT day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day ASC) AS BIGINT) AS cum_users
+      |FROM d""".stripMargin
+
+  /** q126: last-touch attribution — each purchase is credited to the
+    * most recent non-purchase event in the same session ("direct" when
+    * the purchase opens its session). The marketing-attribution shape:
+    * a conditional last_value over an UNBOUNDED-PRECEDING-to-−1 frame,
+    * i.e. an ordered scan per (user, session) partition — bounded
+    * groups, same skew class as sessionization itself. Revenue is
+    * summed in integer cents (round(value·100)) so the attribution
+    * totals hash bit-exactly across engines. */
+  def q126Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val sess = assignSessions(
+      Tables.load(spark, dir, "events"), gapMs = 30 * 60 * 1000L)
+    val w = Window.partitionBy(col("user_id"), col("session_no"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sess
+      .withColumn("ch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("ch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("CAST(round(value * 100.0) AS BIGINT)"))
+          .as("revenue_cents"))
+  }
+
+  val q126Oracle: String =
+    s"""$SessionCtePrefix, attr AS (
+       |  SELECT event_type, value,
+       |    last_value(CASE WHEN event_type <> 'purchase'
+       |        THEN event_type END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id, session_no
+       |        ORDER BY ts ASC, event_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+       |  FROM numbered
+       |)
+       |SELECT coalesce(ch, 'direct') AS channel,
+       |  CAST(count(*) AS BIGINT) AS n_purchases,
+       |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+       |    AS revenue_cents
+       |FROM attr WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
 }

@@ -110,4 +110,23 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map("s1" -> 0L, "c1" -> 1L, "s2" -> 2L, "c2" -> 3L),
       s"got $got")
   }
+
+  test("q123: Bellman-Ford accumulates lineitem-count edge weights") {
+    import spark.implicits._
+    // s1 =2 lineitems= c1 -(1)- s2 -(1)- c2; seed s1 (nation 0)
+    val dir = java.nio.file.Files.createTempDirectory("sp").toString
+    Seq((1L, 1L), (1L, 1L), (2L, 2L), (3L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L), (2L, 1L), (3L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 0), (2L, 1))
+      .toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = Graph.q123ShortestPath(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s1" -> 0L, "c1" -> 2L, "s2" -> 3L, "c2" -> 4L),
+      s"got $got")
+  }
 }

@@ -141,4 +141,57 @@ class SessionsSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq(("view", 1L, 1L), ("view>click", 2L, 2L)))
   }
+
+  test("q124: transition counts and exact ppm probabilities") {
+    // user 1: view->click->purchase; user 2: view->view
+    val rows = Seq(
+      (1L, 1L, ts(0), "view", 0.0), (2L, 1L, ts(1), "click", 0.0),
+      (3L, 1L, ts(2), "purchase", 5.0),
+      (4L, 2L, ts(0), "view", 0.0), (5L, 2L, ts(1), "view", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("markov").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Sessions.q124MarkovTransitions(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out == Map(
+      ("view", "click") -> ((1L, 2L, 500000L)),
+      ("view", "view") -> ((1L, 2L, 500000L)),
+      ("click", "purchase") -> ((1L, 1L, 1000000L))), s"got $out")
+  }
+
+  test("q125: cumulative distinct users counts each user on first day only") {
+    // u1,u2 first on Jan 1 (u1 again Jan 3), u3 first on Jan 3
+    val rows = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 08:00:00")),
+      (2L, 2L, Timestamp.valueOf("2024-01-01 09:00:00")),
+      (3L, 1L, Timestamp.valueOf("2024-01-03 08:00:00")),
+      (4L, 3L, Timestamp.valueOf("2024-01-03 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("cumu").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Sessions.q125CumulativeUsers(spark, dir)
+      .as[(java.sql.Date, Long, Long)].collect().sortBy(_._1.getTime)
+    assert(out.toSeq == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 2L, 2L),
+      (java.sql.Date.valueOf("2024-01-03"), 1L, 3L)), s"got ${out.toSeq}")
+  }
+
+  test("q126: purchases credit the last prior non-purchase event, else direct") {
+    // user 1: view -> purchase(10.005) -> purchase(2.0) both credit "view"
+    // user 2: session opens with purchase(3.0) -> direct
+    val rows = Seq(
+      (1L, 1L, ts(0), "view", 0.0), (2L, 1L, ts(1), "purchase", 10.005),
+      (3L, 1L, ts(2), "purchase", 2.0),
+      (4L, 2L, ts(0), "purchase", 3.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("attr").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Sessions.q126Attribution(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // 10.005*100 = 1000.5000000000001 in binary -> round = 1001, + 200
+    assert(out == Map("view" -> ((2L, 1201L)), "direct" -> ((1L, 300L))),
+      s"got $out")
+  }
 }
