@@ -143,17 +143,18 @@ object SimilarityOps {
       .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cnrm"))
 
   /** (vec_id, cell_id): nearest-centroid assignment — a broadcast-map
-    * pass over the corpus, no shuffle except the top-1 window on vec_id. */
+    * pass over the corpus. The argmax is a hash aggregate, not a
+    * window: max(struct(sim, −cell_id)) orders lexicographically —
+    * identical selection to (sim DESC, cell_id ASC) — but partial-
+    * aggregates map-side, so the corpus×cells frame is combined down
+    * to one row per vec_id before any exchange and nothing sorts. */
   private def ivfAssignments(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell_id"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell_id").asc)
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cell_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cell_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell_id"))
   }
 
   def q27IvfAssign(spark: SparkSession, dir: String): DataFrame = {
@@ -625,14 +626,16 @@ object SimilarityOps {
         expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("sv"))
       val d2 = dot(col("sv"), col("sv")) - dot(col("sv"), col("cv")) * 2.0 +
         dot(col("cv"), col("cv"))
+      // argmin as a hash aggregate: min(struct(d2, code)) is the same
+      // (d2 ASC, code ASC) selection as a top-1 window but partial-
+      // aggregates map-side — no corpus×K sort
       def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2").asc, col("code").asc)
         sv.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("code"), col("sv"), d2.as("d2"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("code"), col("d2"))
+          .select(col("vec_id"), col("code"), d2.as("d2"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("code"))).as("m"))
+          .select(col("vec_id"), col("m.code").as("code"),
+            col("m.d2").as("d2"))
       }
       var cents = sv.filter(col("vec_id") < PqK)
         .select(col("vec_id").as("code"), col("sv").as("cv"))
