@@ -450,18 +450,20 @@ object Extended {
       .join(broadcast(anchors), col("s_nationkey") === col("a_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
         levenshtein(col("s_name"), col("anchor_name")).as("ub"))
-    val w = Window.partitionBy(col("s_suppkey"))
-      .orderBy(col("edit_distance").asc, col("c_custkey").asc)
+    // argmin as a hash aggregate (min(struct) = (edit ASC, custkey
+    // ASC) selection, map-side combined) — the survivor frame never
+    // sorts; s_name is constant per s_suppkey so it rides the key
     supUb.join(cust, col("s_nationkey") === col("c_nationkey"))
       .filter(abs(length(col("s_name")) - length(col("c_name"))) <= col("ub"))
       .select(col("s_suppkey"), col("s_name"), col("c_custkey"),
         graft.functions.LevenshteinWithin(col("s_name"), col("c_name"), col("ub"))
           .cast("long").as("edit_distance"))
       .filter(col("edit_distance") >= 0L)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(min(struct(col("edit_distance"), col("c_custkey"))).as("m"))
       .select(col("s_suppkey"), col("s_name"),
-        col("c_custkey").as("best_match"), col("edit_distance"))
+        col("m.c_custkey").as("best_match"),
+        col("m.edit_distance").as("edit_distance"))
   }
 
   val q63Oracle: String =
