@@ -76,7 +76,21 @@ class InvarianceSpec extends AnyFunSuite {
     ("q111 table checksum (XOR content monoid)",
       () => Integrity.q111TableChecksum(spark, TestSpark.sfDir)),
     ("q116 token association (chi2 double ranking)",
-      () => TextOps.q116TokenAssoc(spark, TestSpark.sfDir)))
+      () => TextOps.q116TokenAssoc(spark, TestSpark.sfDir)),
+    ("q117 weighted median (per-group prefix-sum threshold)",
+      () => Extended.q117WeightedMedian(spark, TestSpark.sfDir)),
+    ("q119 bootstrap replicates (hash-derived resampling)",
+      () => Curation.q119BootstrapCi(spark, TestSpark.sfDir)),
+    ("q121 event paths (array_sort-restored session order)",
+      () => Sessions.q121EventPaths(spark, TestSpark.sfDir)),
+    ("q122 BFS reachability (iterative frontier expansion)",
+      () => Graph.q122Reachability(spark, TestSpark.sfDir)),
+    ("q123 shortest path (iterative min-plus relaxation)",
+      () => Graph.q123ShortestPath(spark, TestSpark.sfDir)),
+    ("q125 cumulative users (bucketed global prefix sum)",
+      () => Sessions.q125CumulativeUsers(spark, TestSpark.sfDir)),
+    ("q126 attribution (conditional ignore-nulls window fold)",
+      () => Sessions.q126Attribution(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
