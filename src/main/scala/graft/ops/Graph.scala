@@ -330,6 +330,87 @@ object Graph {
       col("cost"))
   }
 
+  /** Synchronous-update round count for q128. Three rounds are enough
+    * for labels to flood the dense bipartite supply graph's
+    * communities; the budget is FIXED (both engines replay exactly
+    * three rounds) so the oracle is data-independent. */
+  val LpaRounds = 3
+
+  /** q128: label-propagation community detection — every node starts
+    * as its own label; each synchronous round relabels a node to the
+    * most frequent label among its neighbors, ties to the SMALLEST
+    * label (Raghavan et al. 2007, made deterministic by the tie rule
+    * and fixed rounds — classic LPA's random tie-breaks and
+    * asynchronous order would never hash-match across engines).
+    * All-integer: label frequencies are counts, the argmax is
+    * max(struct(cnt, −label)) — one hash aggregate, no per-node sort
+    * — so the DuckDB oracle (three unrolled rounds with a row_number
+    * argmax) is bit-exact. Scale shape per round: one hash join of
+    * the label table to the pre-partitioned cached edge list + two
+    * hash aggregates, all keyed on packed-long node ids — Pregel via
+    * relational ops, no broadcasts of anything data-sized. */
+  def q128LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"))
+      .distinct()
+    val sym = base.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(base.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    for (_ <- 1 to LpaRounds) {
+      labels = labels.join(sym, labels("node") === sym("src"))
+        .groupBy(col("dst").as("n"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("n").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .persist()
+    }
+    labels.select(
+      concat(when(col("node") % 2 === 0, lit("s")).otherwise(lit("c")),
+        expr("node div 2")).as("node"),
+      concat(when(col("label") % 2 === 0, lit("s")).otherwise(lit("c")),
+        expr("label div 2")).as("community"))
+  }
+
+  val q128Oracle: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""l$r AS (
+         |  SELECT node, label FROM (
+         |    SELECT n AS node, label,
+         |      row_number() OVER (PARTITION BY n
+         |        ORDER BY cnt DESC, label ASC) AS rk
+         |    FROM (
+         |      SELECT e.dst AS n, l.label, count(*) AS cnt
+         |      FROM l${r - 1} l JOIN e ON l.node = e.src
+         |      GROUP BY 1, 2) c) t
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l.l_suppkey * 2 AS a, o.o_custkey * 2 + 1 AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), e AS (
+       |  SELECT a AS src, b AS dst FROM e0
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM e0
+       |), l0 AS (
+       |  SELECT DISTINCT src AS node, src AS label FROM e
+       |), $rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 's' || (node // 2)
+       |            ELSE 'c' || (node // 2) END AS node,
+       |  CASE WHEN label % 2 = 0 THEN 's' || (label // 2)
+       |       ELSE 'c' || (label // 2) END AS community
+       |FROM l$LpaRounds""".stripMargin
+  }
+
   val q123Oracle: String = {
     // unroll the SpMaxHops relaxation rounds as chained CTEs
     val rounds = (1 to SpMaxHops).map { h =>

@@ -636,6 +636,47 @@ object Sessions {
       |  CAST(sum(new_users) OVER (ORDER BY day ASC) AS BIGINT) AS cum_users
       |FROM d""".stripMargin
 
+  /** q127: exact trailing 7-day distinct users per day — the rolling
+    * engagement metric (WAU by day). A sliding COUNT(DISTINCT) is
+    * quadratic state at scale; the exact linear factoring: per user,
+    * each active day covers window-end days [day, day+6] TRUNCATED at
+    * the next active day, so the per-user coverage intervals are
+    * disjoint and their explosion (≤7 rows per active day) counts
+    * every user at most once per window-end day. One distinct, one
+    * bounded per-user window for the truncation, one explode, one
+    * count — no window ever sees more than one user's days. Reported
+    * days are the observed event days (broadcast-joined; the day list
+    * is calendar-bounded). */
+  def q127RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val activeDays = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val days = activeDays.select(col("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    val cover = activeDays
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .withColumn("stop",
+        least(date_add(col("day"), 6),
+          coalesce(date_sub(col("next_day"), 1), date_add(col("day"), 6))))
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("stop"))).as("day"))
+    cover.join(broadcast(days), "day")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("rolling_users"))
+      .select(col("day"), col("rolling_users"))
+  }
+
+  val q127Oracle: String =
+    """WITH ad AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), days AS (
+      |  SELECT DISTINCT day FROM ad
+      |)
+      |SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT)
+      |  AS rolling_users
+      |FROM days d JOIN ad a ON a.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY d.day""".stripMargin
+
   /** q126: last-touch attribution — each purchase is credited to the
     * most recent non-purchase event in the same session ("direct" when
     * the purchase opens its session). The marketing-attribution shape:

@@ -129,4 +129,21 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map("s1" -> 0L, "c1" -> 2L, "s2" -> 3L, "c2" -> 4L),
       s"got $got")
   }
+
+  test("q128: LPA floods min labels with deterministic tie-breaks") {
+    import spark.implicits._
+    // path graph s1 - c1, s1 - c2, s2 - c2: hand-traced 3 synchronous
+    // rounds land on the bipartite two-coloring oscillation state
+    val dir = java.nio.file.Files.createTempDirectory("lpa").toString
+    Seq((1L, 1L), (2L, 1L), (3L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L), (2L, 2L), (3L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Graph.q128LabelPropagation(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("s1" -> "c1", "c1" -> "s1", "s2" -> "c1",
+      "c2" -> "s1"), s"got $got")
+  }
 }

@@ -194,4 +194,23 @@ class SessionsSpec extends AnyFunSuite {
     assert(out == Map("view" -> ((2L, 1201L)), "direct" -> ((1L, 300L))),
       s"got $out")
   }
+
+  test("q127: trailing 7-day distinct counts each user once per window") {
+    // u1 active Jan 1 and Jan 9 (interval truncation at the 2nd day),
+    // u2 active Jan 2; observed days are 1, 2, 9
+    val rows = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 08:00:00")),
+      (2L, 1L, Timestamp.valueOf("2024-01-09 08:00:00")),
+      (3L, 2L, Timestamp.valueOf("2024-01-02 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("roll").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Sessions.q127RollingDistinct(spark, dir)
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(out == Map(
+      java.sql.Date.valueOf("2024-01-01") -> 1L,   // u1 only
+      java.sql.Date.valueOf("2024-01-02") -> 2L,   // u1 (Jan 1) + u2
+      java.sql.Date.valueOf("2024-01-09") -> 1L),  // u1 only (u2 aged out)
+      s"got $out")
+  }
 }
