@@ -550,4 +550,44 @@ object Audit {
        |   $b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents
        |FROM m""".stripMargin
   }
+
+  /** q129: 10 %-trimmed mean of event value per event type — the
+    * robust location estimate that q70's MAD-based outlier stats
+    * complement (trimming beats winsorizing when the tail is junk,
+    * e.g. bot traffic). The per-group rank comes from
+    * [[Rank.groupRank]]'s bucketed two-phase plan (no per-type
+    * single-task sort); the kept slice [k, n−k) with k = n div 10 is
+    * then one exact integer aggregate: cents sums and an integer-div
+    * mean, truncation documented (values are non-negative, so Spark's
+    * truncating div equals DuckDB's floor //). */
+  def q129TrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        col("value"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))
+    Rank.groupRank(ev, Seq("event_type"), "value", Seq("event_id"),
+        "rk", "n")
+      .where(col("rk") >= expr("n div 10") &&
+        col("rk") < col("n") - expr("n div 10"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_kept"))
+      .withColumn("trimmed_mean_cents", expr("sum_cents div n_kept"))
+      .select(col("event_type"), col("n_kept"), col("sum_cents"),
+        col("trimmed_mean_cents"))
+  }
+
+  val q129Oracle: String =
+    """WITH v AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100.0) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value ASC, event_id ASC) - 1 AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents
+      |FROM v WHERE rk >= n // 10 AND rk < n - n // 10
+      |GROUP BY event_type""".stripMargin
 }

@@ -30,6 +30,24 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters.find(_._3 == 2).map(_._2).contains(1L))
   }
 
+  test("q130: near-dup cluster keeps its longest doc, singletons keep themselves") {
+    // docs 1/2 share 2 of 4 distinct shingles (J = 0.5, at threshold);
+    // doc 2 is one char longer -> the keeper. doc 3 is unrelated.
+    val dir = java.nio.file.Files.createTempDirectory("keepbest").toString
+    Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d ff"),
+      (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupOps.q130DedupKeepBest(spark, dir)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out == Map(
+      1L -> ((2L, false)), 2L -> ((2L, true)), 3L -> ((3L, true))),
+      s"got $out")
+  }
+
   test("shuffled (non-broadcast) verify join returns the same pairs as the broadcast plan") {
     val broadcastPairs = DedupOps.q18NgramJaccard(spark, TestSpark.sfDir)
       .as[(Long, Long, Double)].collect().toSet

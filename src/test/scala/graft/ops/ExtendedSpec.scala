@@ -113,6 +113,23 @@ class ExtendedSpec extends AnyFunSuite {
     assert(zeroFill.length == rows.values.map(_.length).sum)
   }
 
+  test("q129 trimmed mean drops exactly the bottom/top n div 10 per group") {
+    // type a: values 0..9 -> k=1, keep 1..8: sum 3600c, mean 450c
+    // type b: 3 values -> k=0, keep all: sum 60000c, mean 20000c
+    val rows = (1 to 10).map(i => (i.toLong, s"u", (i - 1).toDouble, "a")) ++
+      Seq((11L, "u", 100.0, "b"), (12L, "u", 200.0, "b"),
+        (13L, "u", 300.0, "b"))
+    val df = rows.toDF("event_id", "who", "value", "event_type")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .select(col("event_id"), col("ts"), col("value"), col("event_type"))
+    val dir = java.nio.file.Files.createTempDirectory("trim").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.ops.Audit.q129TrimmedMean(spark, dir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 8L, 3600L, 450L)), s"got ${out("a")}")
+    assert(out("b") == (("b", 3L, 60000L, 20000L)), s"got ${out("b")}")
+  }
+
   test("q96 regression slopes match a driver-side exact least squares") {
     val got = graft.ops.Audit.q96GroupRegression(spark, TestSpark.sfDir)
       .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
