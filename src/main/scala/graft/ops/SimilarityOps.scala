@@ -618,8 +618,12 @@ object SimilarityOps {
   val PqIters = 2
 
   def q103PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: every subspace's assign/update rounds re-scan this
+    // projection (~M·(iters+3) passes) — measured win at sf0.1,
+    // released by the consumer via clearCache/releaseAll
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .persist()
     val zero = array((0 until PqSub).map(_ => lit(0.0)): _*)
     val parts = (0 until PqM).map { m =>
       val sv = emb.select(col("vec_id"),
