@@ -683,4 +683,63 @@ object Extended {
       |SELECT l_returnflag, l_linestatus, qty AS median_qty,
       |  cw AS cum_cents, total_cents
       |FROM q WHERE rk = 1""".stripMargin
+  /** q131: exponentially weighted moving average of daily revenue per
+    * event type — the smoothing curve dashboards overlay on noisy
+    * daily totals. The recurrence s_t = (v_t + 7·s_{t−1}) div 8
+    * (α = 1/8) is inherently sequential, so it runs as a sorted fold
+    * inside each group — and the GROUP IS CALENDAR-BOUNDED (one row
+    * per day after the daily aggregate), so the collect_list is ≤
+    * |days| elements regardless of corpus size; the corpus-sized work
+    * is all in the partial-aggregatable daily cents sum. All-integer
+    * state (inputs non-negative → truncating div = floor), so the
+    * DuckDB recursive-CTE replay of the same recurrence is bit-exact.
+    */
+  def q131Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100.0) AS BIGINT)")).as("cents"))
+    daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+        .as("dv"))
+      .select(col("event_type"), expr(
+        """explode(aggregate(
+          |  dv,
+          |  named_struct(
+          |    'arr', CAST(array() AS
+          |      ARRAY<STRUCT<day: DATE, cents: BIGINT, ewma: BIGINT>>),
+          |    'prev', CAST(NULL AS BIGINT)),
+          |  (acc, x) -> named_struct(
+          |    'arr', array_append(acc.arr, named_struct(
+          |      'day', x.day, 'cents', x.cents,
+          |      'ewma', CASE WHEN acc.prev IS NULL THEN x.cents
+          |        ELSE (x.cents + 7 * acc.prev) div 8 END)),
+          |    'prev', CASE WHEN acc.prev IS NULL THEN x.cents
+          |      ELSE (x.cents + 7 * acc.prev) div 8 END),
+          |  acc -> acc.arr))""".stripMargin).as("e"))
+      .select(col("event_type"), col("e.day").as("day"),
+        col("e.cents").as("cents"), col("e.ewma").as("ewma_cents"))
+  }
+
+  val q131Oracle: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1, 2
+      |), d AS (
+      |  SELECT event_type, day, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day ASC)
+      |      AS rn
+      |  FROM daily
+      |), r AS (
+      |  SELECT event_type, day, cents, rn, cents AS ewma
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.day, d.cents, d.rn,
+      |    (d.cents + 7 * r.ewma) // 8
+      |  FROM r JOIN d ON d.event_type = r.event_type
+      |    AND d.rn = r.rn + 1
+      |)
+      |SELECT event_type, day, cents, CAST(ewma AS BIGINT) AS ewma_cents
+      |FROM r""".stripMargin
 }

@@ -113,6 +113,22 @@ class ExtendedSpec extends AnyFunSuite {
     assert(zeroFill.length == rows.values.map(_.length).sum)
   }
 
+  test("q131 EWMA replays the integer recurrence over ordered days") {
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 1.0, "a"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 09:00:00"), 2.0, "a"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-03 09:00:00"), 3.0, "a"))
+      .toDF("event_id", "ts", "value", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("ewma").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Extended.q131Ewma(spark, dir)
+      .as[(String, java.sql.Date, Long, Long)].collect()
+      .sortBy(_._2.getTime).map(r => (r._3, r._4))
+    // s1=100; s2=(200+700) div 8=112; s3=(300+784) div 8=135
+    assert(out.toSeq == Seq((100L, 100L), (200L, 112L), (300L, 135L)),
+      s"got ${out.toSeq}")
+  }
+
   test("q129 trimmed mean drops exactly the bottom/top n div 10 per group") {
     // type a: values 0..9 -> k=1, keep 1..8: sum 3600c, mean 450c
     // type b: 3 values -> k=0, keep all: sum 60000c, mean 20000c
