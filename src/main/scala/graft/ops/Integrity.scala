@@ -98,4 +98,62 @@ object Integrity {
         |      CAST(round(l_tax * 100.0) AS BIGINT),
         |      l_returnflag, l_linestatus, epoch_ms(l_shipdate))""".stripMargin))
     .mkString("\nUNION ALL\n")
+  /** The FK edges of the TPC-H-ish catalog q132 audits: (label, child
+    * table, fk column, parent table, pk column). */
+  private val FkEdges = Seq(
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+      "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+      "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+      "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+      "nation", "n_nationkey"))
+
+  /** q132: referential-integrity audit — for every FK edge of the
+    * catalog, the child row count, the number of orphan rows (child
+    * rows whose FK matches no parent key) and the number of distinct
+    * orphan KEYS. The data-contract check every ingest gate runs.
+    * Plan per edge: the child is projected to its key column at the
+    * scan (ReadSchema is one column), orphan keys come from a
+    * DISTINCT-then-anti-join (the anti join probes distinct keys, not
+    * rows), and the orphan ROW count joins those keys back to the
+    * keys-only child projection — nothing wide ever shuffles. A
+    * healthy catalog reports zeros; the oracle proves both engines
+    * agree on exactly that. */
+  def q132FkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val perEdge = FkEdges.map { case (label, child, fk, parent, pk) =>
+      val ch = Tables.load(spark, dir, child)
+        .select(col(fk).as("k")).where(col("k").isNotNull)
+      val par = Tables.load(spark, dir, parent)
+        .select(col(pk).as("k")).distinct()
+      val orphanKeys = ch.distinct()
+        .join(par, Seq("k"), "left_anti")
+      val stats = ch
+        .join(orphanKeys.withColumn("_o", lit(1L)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_o").isNotNull, 1L).otherwise(0L)).as("n_orphans"))
+      val keyCount = orphanKeys.agg(count(lit(1)).as("n_orphan_keys"))
+      stats.crossJoin(keyCount)
+        .select(lit(label).as("fk_edge"), col("n_rows"),
+          col("n_orphans"), col("n_orphan_keys"))
+    }
+    perEdge.reduce(_ unionByName _)
+  }
+
+  val q132Oracle: String = FkEdges.map { case (label, child, fk, parent, pk) =>
+    s"""SELECT '$label' AS fk_edge,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(*) FILTER (WHERE NOT EXISTS (
+       |    SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS BIGINT)
+       |    AS n_orphans,
+       |  CAST(count(DISTINCT $fk) FILTER (WHERE NOT EXISTS (
+       |    SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS BIGINT)
+       |    AS n_orphan_keys
+       |FROM $child c WHERE c.$fk IS NOT NULL""".stripMargin
+  }.mkString("\nUNION ALL\n")
 }

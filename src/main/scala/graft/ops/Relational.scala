@@ -177,4 +177,52 @@ object Relational {
        |  avg(CASE WHEN variable = 'PURCHASE' THEN avg_value END) AS purchase_avg,
        |  avg(CASE WHEN variable = 'SIGNUP' THEN avg_value END) AS signup_avg
        |FROM daily GROUP BY segment, obs_date""".stripMargin
+  /** q133: nation-to-nation trade matrix — revenue and volume for every
+    * (customer nation, supplier nation) pair, the 2-dimensional OLAP
+    * rollup a trade dashboard renders as a heatmap. One pass over the
+    * fact: lineitem joins orders on the key-partitioned order key,
+    * then customer (key-partitioned), then BOTH nation lookups as
+    * broadcasts (25 rows each, aliased twice) — the fact table is
+    * touched once and only ever shuffles on join keys, and the output
+    * is |nations|² rows. Revenue in exact cent·centi-units (q90's
+    * integer formulation) so the sums hash bit-exactly. */
+  def q133TradeMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (Exact.units(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.units(col("l_discount"), 2)))
+          .cast("decimal(38,0)").as("rev_u"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev_u")).cast("long").as("revenue_u"))
+  }
+
+  val q133Oracle: String =
+    """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT) *
+      |           (100 - CAST(round(l.l_discount * 100.0) AS BIGINT)))
+      |    AS BIGINT) AS revenue_u
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |GROUP BY 1, 2""".stripMargin
 }

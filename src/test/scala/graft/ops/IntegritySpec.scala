@@ -56,4 +56,46 @@ class IntegritySpec extends AnyFunSuite {
     }.toMap
     assert(byTable == expect)
   }
+
+  test("q132: a planted orphan FK row is counted on exactly its edge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fk").toString
+    Seq((0L, "A")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((1L, 0L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 0L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq(Tuple1(1L)).toDF("p_partkey").write.parquet(s"$dir/part.parquet")
+    Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    // two rows on orderkey 99 -> 2 orphan rows, 1 orphan key
+    Seq((1L, 1L, 1L), (99L, 1L, 1L), (99L, 1L, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Integrity.q132FkAudit(spark, dir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("lineitem.l_orderkey->orders") ==
+      (("lineitem.l_orderkey->orders", 3L, 2L, 1L)))
+    assert(out.values.count(_._3 == 0L) == 5, s"got $out")
+  }
+
+  test("q133: revenue units multiply cents by (100 - discount centi-units)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("trade").toString
+    Seq((0L, "A"), (1L, "B")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((1L, 0L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 10.00, 0.05))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Relational.q133TradeMatrix(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("A", "B", 1L, 95000L)), s"got ${out.toSeq}")
+  }
 }
