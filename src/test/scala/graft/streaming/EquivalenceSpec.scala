@@ -166,4 +166,39 @@ class EquivalenceSpec extends AnyFunSuite {
 
     assert(batch.nonEmpty && batch == streaming)
   }
+
+  test("batch first-seen-day user counts equal streaming dedup-by-user counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // q125's core factoring (distinct-ness decided once per user) has a
+    // direct streaming twin: dropDuplicates on the user key keeps the
+    // first arrival, so with in-order feeds the per-day new-user counts
+    // match the batch min(day) assignment bit for bit.
+    val jan1 = Seq(
+      (Timestamp.valueOf("2024-01-01 08:00:00"), 1L),
+      (Timestamp.valueOf("2024-01-01 09:00:00"), 2L),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L)) // same-day dup
+    val jan2 = Seq(
+      (Timestamp.valueOf("2024-01-02 08:00:00"), 1L), // later-day dup
+      (Timestamp.valueOf("2024-01-02 09:00:00"), 3L))
+    val batch = (jan1 ++ jan2).toDF("ts", "user_id")
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .as[(java.sql.Date, Long)].collect().toMap
+
+    val ev = MemoryStream[(Timestamp, Long)]
+    val out = ev.toDF().toDF("ts", "user_id")
+      .dropDuplicates("user_id")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val q = out.writeStream.format("memory").queryName("equiv_firstseen")
+      .outputMode("complete").start()
+    ev.addData(jan1: _*); q.processAllAvailable()
+    ev.addData(jan2: _*); q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val streaming = spark.table("equiv_firstseen")
+      .as[(java.sql.Date, Long)].collect().toMap
+
+    assert(batch.nonEmpty && batch == streaming)
+  }
 }
