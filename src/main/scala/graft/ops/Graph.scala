@@ -39,9 +39,11 @@ object Graph {
       .select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
+    // packed-long node ids (q122's trick): the per-iteration join and
+    // the contribution aggregate key on longs; names render at the end
     val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("c"), col("o_custkey")).as("dst"))
+      .select((col("l_suppkey") * 2L).as("src"),
+        (col("o_custkey") * 2L + 1L).as("dst"))
       .distinct()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) — the per-iteration join input, built once
@@ -68,7 +70,10 @@ object Graph {
     // at bench scale — measured neutral — but a downstream projection
     // that breaks subplan identity would silently rebuild the edge
     // join per iteration).
-    pr.select(col("node"), col("pr"))
+    pr.select(
+      concat(when(col("node") % 2 === 0, lit("s")).otherwise(lit("c")),
+        expr("node div 2")).as("node"),
+      col("pr"))
   }
 
   val q84Oracle: String = {
@@ -125,20 +130,26 @@ object Graph {
     * edge symmetry (the keep condition is symmetric in the
     * endpoints), so the final per-src count IS the in-core degree. */
   def q108KCore(spark: SparkSession, dir: String): DataFrame = {
+    // packed-long node ids through the peel loop (q122's trick): the
+    // 2·CoreRounds window-count shuffles hash and sort longs, not
+    // concatenated strings; names render only in the final projection
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("s"), col("l_suppkey")).as("a"),
-        concat(lit("c"), col("o_custkey")).as("b"))
+      .select((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"))
       .distinct()
     val sym = base.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(base.select(col("b").as("src"), col("a").as("dst")))
     kCore(sym, CoreK, CoreRounds)
       .groupBy(col("src"))
       .agg(count(lit(1)).as("core_degree"))
-      .select(col("src").as("node"), col("core_degree"))
+      .select(
+        concat(when(col("src") % 2 === 0, lit("s")).otherwise(lit("c")),
+          expr("src div 2")).as("node"),
+        col("core_degree"))
   }
 
   /** The peel loop over a SYMMETRIC distinct edge list (every edge
