@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scan-hygiene lint: filters must reach the parquet scan as
+  * PushedFilters and projections must prune ReadSchema — the two
+  * properties that decide whether a 100 TB scan reads 100 TB or only
+  * the slice the query needs. Asserted on the physical plan string of
+  * representative registered queries so a refactor that breaks
+  * pushdown (an opaque UDF wrapping the filter column, a premature
+  * cache, a select *) fails CI rather than silently scanning wide.
+  */
+class PushdownSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q10 semi/anti: the status filter is pushed to the orders scan") {
+    val p = physical("q10_semi_anti")
+    assert(p.contains("PushedFilters"), "no parquet pushdown section")
+    assert(p.contains("EqualTo(o_orderstatus,O)"),
+      "o_orderstatus = 'O' did not reach the scan")
+  }
+
+  test("q9 set ops: the segment filter is pushed to the customer scan") {
+    val p = physical("q9_setops")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "c_mktsegment filter did not reach the scan")
+  }
+
+  test("q1 agg: the lineitem scan prunes to the aggregation columns") {
+    val p = physical("q1_agg")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty, "no ReadSchema in plan")
+    // none of the scans may read the key/date columns q1 never touches
+    assert(!scans.exists(_.contains("l_partkey")),
+      s"unpruned scan: ${scans.mkString("; ")}")
+    assert(!scans.exists(_.contains("l_shipdate")),
+      s"unpruned scan: ${scans.mkString("; ")}")
+  }
+
+  test("q133 trade matrix: fact scan reads only keys and money columns") {
+    val p = physical("q133_trade_matrix")
+    val li = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("l_orderkey")).toSeq
+    assert(li.nonEmpty, "no lineitem scan found")
+    assert(!li.exists(_.contains("l_shipdate")) &&
+      !li.exists(_.contains("l_quantity")),
+      s"lineitem scan unpruned: ${li.mkString("; ")}")
+  }
+
+  test("q17 dedup: the documents scan never reads lang/source metadata") {
+    val p = physical("q17_dedup_exact")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty && !scans.exists(_.contains("source")),
+      s"documents scan unpruned: ${scans.mkString("; ")}")
+  }
+}
