@@ -103,4 +103,20 @@ class IngestSpec extends AnyFunSuite {
     assert(r.getAs[String]("name") == "ST JOHNS COOLIDGE FLD")
     assert(r.getAs[String]("gsn_flag") == "")
   }
+
+  test("schema evolution: mergeSchema unions footers, absent columns are null") {
+    import spark.implicits._
+    // a bronze landing zone where a later batch added a column
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    Seq((1L, "a")).toDF("id", "old_col")
+      .write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", 9.5)).toDF("id", "old_col", "new_col")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("batch", "id", "new_col", "old_col"))
+    val byId = merged.select("id", "old_col", "new_col")
+      .as[(Long, String, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, "a", None)))      // pre-drift file: null fill
+    assert(byId(2L) == ((2L, "b", Some(9.5))))
+  }
 }
