@@ -590,4 +590,68 @@ object Audit {
       |  CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents
       |FROM v WHERE rk >= n // 10 AND rk < n - n // 10
       |GROUP BY event_type""".stripMargin
+
+  /** q135: seasonal anomaly flags over daily revenue — the drift/
+    * incident detector a training-data pipeline runs on its ingest
+    * volumes. Each (event_type, day) daily total is compared against
+    * the day-of-week population of its own event type (weekday
+    * seasonality is the dominant cycle in clickstream revenue), and
+    * flagged when it sits more than 3σ from the day-of-week mean.
+    *
+    * The 3σ test runs entirely in exact integer algebra — no sqrt, no
+    * division: |x − μ| > 3σ  ⟺  (x·n − s)² > 9·(n·ss − s²) with
+    * s = Σx, ss = Σx² over the n same-dow days, all in Decimal(38,0)
+    * (the squares overflow int64 at large daily totals; DuckDB mirrors
+    * in HUGEINT). Population stats INCLUDE the tested day (leave-one-
+    * out would shift both sides; documented choice, same on both
+    * engines).
+    *
+    * Scale shape: the corpus-sized work is one partial-aggregatable
+    * daily-cents pass; everything after operates on the calendar-
+    * bounded daily frame (|types| × |days| rows), with the per-(type,
+    * dow) moments joined back by key. The dow key is the portable
+    * `epoch_days % 7` (Spark and DuckDB number weekdays differently).
+    */
+  def q135AnomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100.0) AS BIGINT)")).as("cents"))
+      .withColumn("dow",
+        (datediff(col("day"), to_date(lit("1970-01-01"))) % 7).cast("long"))
+    val stats = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("s"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("ss"))
+    daily.join(stats, Seq("event_type", "dow"))
+      .withColumn("dev", expr(
+        "CAST(cents AS DECIMAL(38,0)) * n - CAST(s AS DECIMAL(38,0))"))
+      .withColumn("is_anomaly", expr(
+        """dev * dev > 9 * (CAST(n AS DECIMAL(38,0)) * ss
+          |  - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"""
+          .stripMargin))
+      .select(col("event_type"), col("day"), col("cents"), col("dow"),
+        col("is_anomaly"))
+  }
+
+  val q135Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1, 2
+      |), d AS (
+      |  SELECT event_type, day, cents,
+      |    CAST(datediff('day', DATE '1970-01-01', day) % 7 AS BIGINT)
+      |      AS dow
+      |  FROM daily
+      |), st AS (
+      |  SELECT event_type, dow, count(*) AS n,
+      |    sum(CAST(cents AS HUGEINT)) AS s,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS ss
+      |  FROM d GROUP BY 1, 2
+      |)
+      |SELECT d.event_type, d.day, d.cents, d.dow,
+      |  (d.cents * st.n - st.s) * (d.cents * st.n - st.s)
+      |    > 9 * (st.n * st.ss - st.s * st.s) AS is_anomaly
+      |FROM d JOIN st USING (event_type, dow)""".stripMargin
 }

@@ -64,17 +64,27 @@ object Sketches {
     * state is 1 KiB regardless of corpus size; the exact-count column
     * is the demonstration baseline (a real deployment queries the
     * sketch directly for candidate keys). */
-  def q80HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.load(spark, dir, "documents")
-      .select(explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("tok"))
+  /** The 4×256 cell counts from a token-occurrence frame (`tok`
+    * column) — ≤ 1024 cells whatever the corpus size. Shared by batch
+    * q80 and the streaming twin ([[graft.streaming.SketchStream
+    * .cmsSketch]]): count is a mergeable monoid, so the identical
+    * declarative aggregate runs incrementally on a stream. */
+  def cmsCells(toks: DataFrame): DataFrame = {
     // digest once per occurrence; all four row-buckets read nibbles of it
     val buckets = array((0 until CmsDepth).map(j =>
       expr(cmsBucketSql(j, "h", "instr"))): _*)
-    val occ = toks.withColumn("h", expr(cmsHexSql("tok")))
+    toks.withColumn("h", expr(cmsHexSql("tok")))
       .select(col("tok"), posexplode(buckets).as(Seq("j", "bucket")))
-    // the sketch: ≤ 1024 cells whatever the corpus size
-    val sketch = occ.groupBy(col("j"), col("bucket"))
+      .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("bucket_cnt"))
+  }
+
+  def q80HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("tok"))
+    val buckets = array((0 until CmsDepth).map(j =>
+      expr(cmsBucketSql(j, "h", "instr"))): _*)
+    val sketch = cmsCells(toks)
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
     exact
       .withColumn("h", expr(cmsHexSql("tok")))

@@ -740,4 +740,74 @@ object TextOps {
       |    ORDER BY chi2 DESC, token ASC) AS BIGINT) AS rank
       |  FROM x) t
       |WHERE rank <= 5""".stripMargin
+
+  /** q136: PMI collocations — the phrase-mining pass that turns a
+    * token stream into a multiword-expression lexicon (the classic
+    * Church–Hanks association measure; what tokenizer vocab builders
+    * and query segmenters run before merging frequent phrases). A
+    * bigram (w1,w2) scores PMI = log N·c(w1w2) / (c(w1)·c(w2)) — and
+    * since log is monotone, ranking by the RATIONAL N·c12/(c1·c2)
+    * ranks identically with no transcendentals: the score ships as
+    * integer parts-per-million, `(N·c12·1e6) div (c1·c2)` in
+    * Decimal(38,0) (HUGEINT in the oracle), bit-equal across engines.
+    *
+    * Plan: one bigram pass (the q73 arrays_zip shape) and one unigram
+    * pass over the same token arrays, both with map-side combine;
+    * marginals attach by vocabulary-keyed hash joins (a vocabulary
+    * outgrows a broadcast at 100 TB — no hint, AQE may still convert
+    * at small scale); the bigram total N rides a 1-row broadcast. Min
+    * support 3 prunes the hapax tail BEFORE the joins, then a tiny
+    * TakeOrdered top-20. */
+  def q136PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(TF.wsTokens(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1))).as("b"))
+      .select(col("b.0").as("w1"), col("b.1").as("w2"))
+    val pairCounts = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    val n = pairCounts.agg(sum(col("pair_count")).as("n_bigrams"))
+    pairCounts.filter(col("pair_count") >= 3)
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_ppm", expr(
+        """(CAST(n_bigrams AS DECIMAL(38,0)) * pair_count * 1000000)
+          |  div (CAST(c1 AS DECIMAL(38,0)) * c2)""".stripMargin))
+      .orderBy(col("pmi_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+      .select(col("w1"), col("w2"), col("pair_count"), col("c1"),
+        col("c2"), col("pmi_ppm"))
+  }
+
+  val q136Oracle: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents
+      |), uni AS (
+      |  SELECT tok, count(*) AS c
+      |  FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1
+      |), bi AS (
+      |  SELECT w[i] AS w1, w[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+      |  WHERE len(w) >= 2
+      |), pc AS (
+      |  SELECT w1, w2, count(*) AS pair_count FROM bi GROUP BY 1, 2
+      |), n AS (
+      |  SELECT sum(pair_count) AS n_bigrams FROM pc
+      |)
+      |SELECT pc.w1, pc.w2, pc.pair_count,
+      |  u1.c AS c1, u2.c AS c2,
+      |  CAST((CAST(n.n_bigrams AS HUGEINT) * pc.pair_count * 1000000)
+      |    // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_ppm
+      |FROM pc
+      |JOIN uni u1 ON u1.tok = pc.w1
+      |JOIN uni u2 ON u2.tok = pc.w2
+      |CROSS JOIN n
+      |WHERE pc.pair_count >= 3
+      |ORDER BY pmi_ppm DESC, pc.w1 ASC, pc.w2 ASC LIMIT 20""".stripMargin
 }

@@ -42,4 +42,18 @@ object SketchStream {
         expr(rankCase).as("rank"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rank")).as("max_rank"))
+
+  /** Streaming count-min sketch — q80's frequency sketch as live
+    * state. Counts are the other canonical mergeable monoid (HLL's is
+    * max), so the SAME `Sketches.cmsCells` aggregate runs
+    * incrementally per micro-batch; state is ≤ depth×width = 1024
+    * integer cells however long the stream runs — the streaming
+    * answer to "token frequencies over an unbounded corpus", whose
+    * exact keyed state would grow with the vocabulary. Works on batch
+    * AND streaming frames with a `text` column; on a stream run with
+    * OutputMode.Complete (or Update for deltas). The batch≡streaming
+    * equivalence spec pins the cells to q80's oracle-checked sketch. */
+  def cmsSketch(docs: DataFrame): DataFrame =
+    graft.ops.Sketches.cmsCells(docs.select(
+      explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("tok")))
 }

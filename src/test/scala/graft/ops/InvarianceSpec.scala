@@ -90,7 +90,11 @@ class InvarianceSpec extends AnyFunSuite {
     ("q125 cumulative users (bucketed global prefix sum)",
       () => Sessions.q125CumulativeUsers(spark, TestSpark.sfDir)),
     ("q126 attribution (conditional ignore-nulls window fold)",
-      () => Sessions.q126Attribution(spark, TestSpark.sfDir)))
+      () => Sessions.q126Attribution(spark, TestSpark.sfDir)),
+    ("q134 spatial radius join (grid-blocked pair generation)",
+      () => Spatial.q134SpatialJoin(spark, TestSpark.sfDir)),
+    ("q136 PMI collocations (tie-broken TakeOrdered top-20)",
+      () => TextOps.q136PmiCollocations(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {

@@ -39,6 +39,32 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streaming == batch)
   }
 
+  test("streaming CMS cells (Complete mode) equal the batch q80 sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("text").as[String].collect()
+
+    val docs = MemoryStream[String]
+    val out = SketchStream.cmsSketch(docs.toDS().toDF("text"))
+    val q = out.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    // uneven micro-batches, including a singleton — the split must not matter
+    val chunks = Seq(texts.take(7), texts.slice(7, 8), texts.drop(8))
+    chunks.filter(_.nonEmpty).foreach { c =>
+      docs.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val streaming = spark.table("cms_stream")
+      .as[(Int, Int, Long)].collect().toSet
+
+    val batch = SketchStream.cmsSketch(
+        graft.Tables.load(spark, sf, "documents"))
+      .as[(Int, Int, Long)].collect().toSet
+
+    assert(batch.nonEmpty && streaming == batch)
+  }
+
   test("registers() on a batch frame is the identical computation") {
     import spark.implicits._
     val batchViaOp = SketchStream.registers(
