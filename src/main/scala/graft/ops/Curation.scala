@@ -585,4 +585,63 @@ object Curation {
       |FROM sh s LEFT JOIN train tr ON tr.shingle = s.shingle
       |WHERE NOT s.is_train
       |GROUP BY 1""".stripMargin
+
+  /** q137: temperature-scaled source mixture weights — the domain
+    * reweighting pass (DoReMi / data-mixing style) that decides how
+    * often each source is sampled during training. Per source: exact
+    * token share in ppm, the inverse-share weight that would equalize
+    * sources (uniform target), and the α = 0.5 temperature weight
+    * ∝ share^(α−1) = 1/√share that UPWEIGHTS small domains without
+    * fully flattening the mixture.
+    *
+    * Exactness: shares and inverse shares are integer-ppm divisions in
+    * Decimal(38,0)/HUGEINT; the only float is the final
+    * `sqrt(inv_share_ppm)` — a single sqrt of an exact integer, which
+    * IEEE 754 requires to be correctly rounded, so it is bit-equal
+    * across engines (the q115 invariant). No normalization sum over
+    * doubles (order-dependent); consumers normalize the weights
+    * themselves.
+    *
+    * Scale shape: one corpus scan into a partial-aggregatable
+    * per-source count; everything after runs on the |sources|-row
+    * frame with the 1-row total as a broadcast. */
+  def q137MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(graft.functions.TextFunctions.wsTokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("source_tokens"))
+    val tot = per.agg(sum(col("source_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr(
+        "(CAST(source_tokens AS DECIMAL(38,0)) * 1000000) div total_tokens"))
+      .withColumn("inv_share_ppm", expr(
+        "(CAST(total_tokens AS DECIMAL(38,0)) * 1000000) div source_tokens"))
+      .withColumn("temp_weight", sqrt(col("inv_share_ppm").cast("double")))
+      .select(col("source"), col("n_docs"), col("source_tokens"),
+        col("share_ppm"), col("inv_share_ppm"), col("temp_weight"))
+  }
+
+  val q137Oracle: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+      |      AS BIGINT) AS source_tokens
+      |  FROM documents GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(source_tokens) AS BIGINT) AS total_tokens,
+      |    count(*) AS n_sources
+      |  FROM per
+      |)
+      |SELECT per.source, CAST(per.n_docs AS BIGINT) AS n_docs,
+      |  per.source_tokens,
+      |  CAST((CAST(per.source_tokens AS HUGEINT) * 1000000)
+      |    // tot.total_tokens AS BIGINT) AS share_ppm,
+      |  CAST((CAST(tot.total_tokens AS HUGEINT) * 1000000)
+      |    // per.source_tokens AS BIGINT) AS inv_share_ppm,
+      |  sqrt(CAST(CAST((CAST(tot.total_tokens AS HUGEINT) * 1000000)
+      |    // per.source_tokens AS BIGINT) AS DOUBLE)) AS temp_weight
+      |FROM per CROSS JOIN tot""".stripMargin
 }

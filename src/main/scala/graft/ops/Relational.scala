@@ -225,4 +225,74 @@ object Relational {
       |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
       |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
       |GROUP BY 1, 2""".stripMargin
+
+  /** q138: market-basket co-purchase mining over order line items —
+    * part pairs bought in the same order, with support, confidence
+    * and lift; the recommendation-candidate pass (and the other
+    * basket shape next to q71's session co-occurrence: baskets here
+    * are ORDERS, whose size is bounded by items-per-order, so the
+    * within-basket pair self-join is per-key bounded — the corpus
+    * never goes quadratic, unlike a naive part×part product).
+    *
+    * Exactness: supports are integer counts; confidence and lift are
+    * SINGLE divisions of exact integer numerators/denominators
+    * (correctly rounded once — bit-equal across engines; no summed
+    * doubles). The order total rides a 1-row broadcast, part
+    * marginals attach by part-keyed hash joins (a part catalog
+    * outgrows a broadcast at 100 TB — no hint). Top-100 with full
+    * lexicographic tiebreak keeps the report deterministic. */
+  def q138Copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val singles = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("support"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support_ab"))
+    pairs
+      .join(singles.select(col("l_partkey").as("part_a"),
+        col("support").as("support_a")), "part_a")
+      .join(singles.select(col("l_partkey").as("part_b"),
+        col("support").as("support_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("support_ab"),
+        col("support_a"), col("support_b"),
+        (col("support_ab").cast("double") / col("support_a"))
+          .as("confidence"),
+        ((col("support_ab") * col("n_orders")).cast("double") /
+          (col("support_a") * col("support_b")).cast("double")).as("lift"))
+      .orderBy(col("support_ab").desc, col("part_a").asc, col("part_b").asc)
+      .limit(100)
+  }
+
+  val q138Oracle: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), n AS (
+      |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+      |), singles AS (
+      |  SELECT l_partkey, count(*) AS support FROM items GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |    count(*) AS support_ab
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.part_a, p.part_b, p.support_ab,
+      |  sa.support AS support_a, sb.support AS support_b,
+      |  CAST(p.support_ab AS DOUBLE) / sa.support AS confidence,
+      |  CAST(p.support_ab * n.n_orders AS DOUBLE)
+      |    / CAST(sa.support * sb.support AS DOUBLE) AS lift
+      |FROM pairs p
+      |JOIN singles sa ON sa.l_partkey = p.part_a
+      |JOIN singles sb ON sb.l_partkey = p.part_b
+      |CROSS JOIN n
+      |ORDER BY p.support_ab DESC, p.part_a ASC, p.part_b ASC LIMIT 100""".stripMargin
 }

@@ -606,7 +606,11 @@ object TextOps {
       size(split(col("seq"), " ")).cast("long").as("n_tokens"), col("cnt"))
   }
 
-  val q93Oracle: String = {
+  /** The q93 encode cascade as a reusable WITH-clause prefix: replays
+    * training (pair counts → argmax → fold per round) and leaves the
+    * per-word encodings in `w{BpeMerges}`. Shared by the q93 and q139
+    * oracles so the two can never drift. */
+  private val bpeEncodeCtePrefix: String = {
     def pairsFrom(w: String): String =
       s"""SELECT split_part(pr, chr(9), 1) AS lhs, split_part(pr, chr(9), 2) AS rhs,
          |    sum(cnt) AS c FROM (
@@ -639,12 +643,77 @@ object TextOps {
        |    ' ') AS seq, cnt
        |  FROM wc
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val q93Oracle: String =
+    s"""$bpeEncodeCtePrefix
        |SELECT word, seq AS tokens,
        |  CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tokens,
        |  CAST(cnt AS BIGINT) AS cnt
        |FROM w$BpeMerges""".stripMargin
+
+  /** q139: tokenizer fertility per source — the coverage report a
+    * tokenizer owner reads after training: for each corpus slice, how
+    * many BPE tokens a word costs on average (fertility) and what
+    * fraction of emitted tokens are MERGED units rather than
+    * single-character fallbacks (low merged share on a slice = the
+    * vocabulary underserves it; the multilingual-tokenizer-equity
+    * metric). Uses the q83-trained, q93-encoded vocabulary — train →
+    * encode → audit as one lineage, and the oracle replays it through
+    * the SAME unrolled-CTE prefix as q93, so the two cannot drift.
+    *
+    * Plan: the vocabulary-sized encode frame joins the corpus word
+    * occurrences on the word key (the canonical tokenize-by-vocab hash
+    * join — the corpus shuffles once on word), then one per-source
+    * aggregate. Ratios are integer permille divisions — bit-equal
+    * everywhere. Driver state stays the ≤6-row merge table (the q93
+    * budget). */
+  def q139TokenizerStats(spark: SparkSession, dir: String): DataFrame = {
+    val enc = q93BpeEncode(spark, dir)
+      .withColumn("n_merged",
+        size(filter(split(col("tokens"), " "),
+          t => length(t) > lit(1))).cast("long"))
+      .select(col("word"), col("n_tokens"), col("n_merged"))
+    val occ = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(TF.wsTokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    occ.join(enc, "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tokens")).as("n_bpe_tokens"),
+        sum(col("n_merged")).as("n_merged_tokens"))
+      .withColumn("fertility_permille",
+        expr("(n_bpe_tokens * 1000) div n_words"))
+      .withColumn("merged_permille",
+        expr("(n_merged_tokens * 1000) div n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        col("n_merged_tokens"), col("fertility_permille"),
+        col("merged_permille"))
   }
+
+  val q139Oracle: String =
+    s"""$bpeEncodeCtePrefix, enc AS (
+       |  SELECT word,
+       |    len(string_split(seq, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(seq, ' '), t -> len(t) > 1))
+       |      AS n_merged
+       |  FROM w$BpeMerges
+       |), occ AS (
+       |  SELECT source,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents
+       |)
+       |SELECT o.source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(e.n_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(e.n_merged) AS BIGINT) AS n_merged_tokens,
+       |  CAST(sum(e.n_tokens) * 1000 // count(*) AS BIGINT)
+       |    AS fertility_permille,
+       |  CAST(sum(e.n_merged) * 1000 // sum(e.n_tokens) AS BIGINT)
+       |    AS merged_permille
+       |FROM occ o JOIN enc e USING (word)
+       |WHERE len(o.word) > 0
+       |GROUP BY 1""".stripMargin
 
   /** q116: χ²-distinctive tokens per source — feature selection over
     * the corpus (which vocabulary is CHARACTERISTIC of a source, the
