@@ -633,6 +633,56 @@ object Audit {
         col("is_anomaly"))
   }
 
+  /** q140: Gini concentration of revenue per event type — the
+    * inequality audit (is 1 % of events producing 99 % of revenue?)
+    * that flags monetization skew or bot inflation. Uses the
+    * rank-based identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over values
+    * sorted ascending with rank i = 1..n — which makes it a direct
+    * application of [[Rank.groupRank]]'s two-phase plan: no per-type
+    * single-task sort, the corpus-sized work is the bucketed rank and
+    * one exact aggregate.
+    *
+    * Exactness: Σ(i·x) runs in Decimal(38,0)/HUGEINT (it outgrows
+    * int64 with corpus size); the output is integer ppm with two
+    * truncating divisions evaluated identically on both engines. Ties
+    * in the ordering cannot perturb the result: within a tie run x is
+    * constant, so Σ(i·x) is invariant to how row_number breaks the
+    * tie. */
+  def q140Gini(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))
+    Rank.groupRank(ev, Seq("event_type"), "value", Seq("event_id"),
+        "rk", "n")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        sum(expr("CAST(rk + 1 AS DECIMAL(38,0)) * cents")).as("wsum"))
+      .withColumn("gini_ppm", expr(
+        """(2 * wsum * 1000000)
+          |  div (CAST(n_events AS DECIMAL(38,0)) * sum_cents)
+          |  - ((n_events + 1) * 1000000) div n_events""".stripMargin))
+      .select(col("event_type"), col("n_events"), col("sum_cents"),
+        col("gini_ppm"))
+  }
+
+  val q140Oracle: String =
+    """WITH v AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100.0) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value ASC, event_id ASC) AS rk1,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST((2 * sum(CAST(rk1 AS HUGEINT) * cents) * 1000000)
+      |    // (CAST(count(*) AS HUGEINT) * sum(cents))
+      |    - ((count(*) + 1) * CAST(1000000 AS HUGEINT)) // count(*)
+      |    AS BIGINT) AS gini_ppm
+      |FROM v GROUP BY 1""".stripMargin
+
   val q135Oracle: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -94,7 +94,9 @@ class InvarianceSpec extends AnyFunSuite {
     ("q134 spatial radius join (grid-blocked pair generation)",
       () => Spatial.q134SpatialJoin(spark, TestSpark.sfDir)),
     ("q136 PMI collocations (tie-broken TakeOrdered top-20)",
-      () => TextOps.q136PmiCollocations(spark, TestSpark.sfDir)))
+      () => TextOps.q136PmiCollocations(spark, TestSpark.sfDir)),
+    ("q140 Gini (two-phase rank-weighted exact sum)",
+      () => Audit.q140Gini(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
