@@ -624,6 +624,80 @@ object Curation {
         col("share_ppm"), col("inv_share_ppm"), col("temp_weight"))
   }
 
+  /** q141: quality-decile duplicate-lift table — the calibration
+    * report that answers "does the quality score predict boilerplate
+    * duplication?" (the cross-signal sanity check a curation pipeline
+    * runs before gating on either signal). Documents rank into global
+    * deciles by the q14 quality score through [[Rank.groupRank]] (no
+    * single-task global sort), each decile's near-dup rate (membership
+    * in a q33 cluster) is compared to the corpus base rate, and the
+    * ratio ships as integer-ppm lift.
+    *
+    * Exactness: the only doubles are the q14 scores themselves
+    * (computed identically in both engines — the q95 precedent); decile
+    * assignment is integer `(rk·10) div n`; rates and lifts are
+    * integer-ppm divisions in Decimal(38,0)/HUGEINT. Plan: one rank
+    * pass, a doc-keyed left join against the (small) cluster-member
+    * set, one 10-row aggregate with the 1-row totals broadcast. */
+  def q141DecileLift(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ops.TextOps.q14Quality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val dups = DedupOps.q33DedupClusters(spark, dir)
+      .select(col("doc_id")).withColumn("is_dup", lit(1L))
+    val labeled = Rank.groupRank(scored, Seq.empty, "quality_score",
+        Seq("doc_id"), "rk", "n")
+      .join(dups, Seq("doc_id"), "left")
+      .withColumn("dup", coalesce(col("is_dup"), lit(0L)))
+      .withColumn("decile", expr("(rk * 10) div n"))
+    val tot = labeled.agg(count(lit(1)).as("total_docs"),
+      sum(col("dup")).as("total_dups"))
+    labeled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dup")).as("n_dups"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dup_rate_ppm", expr("(n_dups * 1000000) div n_docs"))
+      .withColumn("lift_ppm", expr(
+        """(CAST(n_dups AS DECIMAL(38,0)) * total_docs * 1000000)
+          |  div (CAST(n_docs AS DECIMAL(38,0)) * total_dups)""".stripMargin))
+      .select(col("decile"), col("n_docs"), col("n_dups"),
+        col("dup_rate_ppm"), col("lift_ppm"))
+  }
+
+  val q141Oracle: String =
+    s"""${DedupOps.ClusterCtePrefix}, cl AS (
+       |  SELECT DISTINCT a AS doc_id FROM reach WHERE a <> b
+       |), t AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(trim(text), '\\s+')) AS ws,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS alpha_ratio,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b')) AS DOUBLE)
+       |      / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id,
+       |    alpha_ratio * 0.5 + least(stop_ratio * 5.0, 1.0) * 0.3
+       |      + least(CAST(ws AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality_score
+       |  FROM t
+       |), r AS (
+       |  SELECT q.doc_id, quality_score,
+       |    row_number() OVER (ORDER BY quality_score ASC, q.doc_id ASC) - 1
+       |      AS rk,
+       |    count(*) OVER () AS n,
+       |    CASE WHEN cl.doc_id IS NULL THEN 0 ELSE 1 END AS dup
+       |  FROM q LEFT JOIN cl ON cl.doc_id = q.doc_id
+       |), tot AS (
+       |  SELECT count(*) AS total_docs, sum(dup) AS total_dups FROM r
+       |)
+       |SELECT CAST((rk * 10) // n AS BIGINT) AS decile,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(dup) AS BIGINT) AS n_dups,
+       |  CAST(sum(dup) * 1000000 // count(*) AS BIGINT) AS dup_rate_ppm,
+       |  CAST((CAST(sum(dup) AS HUGEINT) * tot.total_docs * 1000000)
+       |    // (CAST(count(*) AS HUGEINT) * tot.total_dups) AS BIGINT)
+       |    AS lift_ppm
+       |FROM r CROSS JOIN tot
+       |GROUP BY 1, tot.total_docs, tot.total_dups""".stripMargin
+
   val q137Oracle: String =
     """WITH per AS (
       |  SELECT source, count(*) AS n_docs,

@@ -57,4 +57,23 @@ class PushdownSpec extends AnyFunSuite {
     assert(scans.nonEmpty && !scans.exists(_.contains("source")),
       s"documents scan unpruned: ${scans.mkString("; ")}")
   }
+
+  test("q134 spatial: the customer scan reads only the key column") {
+    val p = physical("q134_spatial_join")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty, "no ReadSchema in plan")
+    // coordinates derive from c_custkey; nothing else may be read
+    assert(!scans.exists(s => s.contains("c_name") ||
+        s.contains("c_acctbal") || s.contains("c_mktsegment")),
+      s"customer scan unpruned: ${scans.mkString("; ")}")
+  }
+
+  test("q138 co-purchase: the lineitem scan reads only order/part keys") {
+    val p = physical("q138_copurchase")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty, "no ReadSchema in plan")
+    assert(!scans.exists(s => s.contains("l_extendedprice") ||
+        s.contains("l_quantity") || s.contains("l_shipdate")),
+      s"lineitem scan unpruned: ${scans.mkString("; ")}")
+  }
 }

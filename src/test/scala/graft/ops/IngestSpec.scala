@@ -77,6 +77,40 @@ class IngestSpec extends AnyFunSuite {
     assertThrows[org.apache.spark.SparkException](failfast.collect())
   }
 
+  test("JSON-lines scan: pinned schema, nested fields, corrupt-record modes") {
+    val dir = tmpDir("jsonl_in")
+    Files.writeString(java.nio.file.Path.of(dir, "rows.jsonl"),
+      """{"id": 1, "meta": {"lang": "en", "score": 7}, "tags": ["a", "b"]}
+        |{"id": 2, "meta": {"lang": "de", "score": 3}, "tags": []}
+        |{this is not json
+        |{"id": 4, "meta": {"lang": "fr", "score": 9}, "tags": ["c"]}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("lang", StringType), StructField("score", LongType)))),
+      StructField("tags", ArrayType(StringType)),
+      StructField("_corrupt", StringType)))
+    // pinned schema — no inference pass (an extra full scan at 100 TB)
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir).cache()
+    assert(permissive.count() == 4)
+    assert(permissive.filter(col("_corrupt").isNotNull).count() == 1)
+    // nested projection works through the struct
+    assert(permissive.filter(col("meta.score") >= 7)
+      .select("meta.lang").collect().map(_.getString(0)).sorted
+      .sameElements(Array("en", "fr")))
+
+    val dropped = spark.read.schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.select("id", "meta", "tags").collect().length == 3)
+
+    val failfast = spark.read.schema(StructType(schema.dropRight(1)))
+      .option("mode", "FAILFAST").json(dir)
+    assertThrows[org.apache.spark.SparkException](failfast.collect())
+  }
+
   test("text scan + 9-field fixed-width parse (GHCN station-file shape)") {
     val dir = tmpDir("fw_in")
     // spec offsets from FIXTURES.md A.11 (1-indexed): id(1,11) lat(13,8)
