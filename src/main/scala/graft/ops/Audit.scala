@@ -633,6 +633,78 @@ object Audit {
         col("is_anomaly"))
   }
 
+  /** q142: CUSUM changepoint localization per event type — q135 flags
+    * WHICH days are anomalous; this finds WHERE the level shifted: the
+    * day maximizing |Σ_{j≤i}(x_j − μ)| over the daily revenue series,
+    * the classic CUSUM estimator for a single mean changepoint.
+    *
+    * Exactness: with P_i the prefix sum, i the day index, S/n the
+    * total/count, n·CUSUM_i = n·P_i − i·S is INTEGER — scaling by n
+    * preserves the argmax, so no rational mean is ever materialized.
+    * Computed in Decimal(38,0)/HUGEINT; the argmax is a struct-max
+    * hash aggregate over (|n·CUSUM|, −epoch_day) (ties → earliest
+    * day), not a ranking window.
+    *
+    * Scale shape: the corpus-sized pass is the partial-aggregatable
+    * daily sum; the prefix window runs per event type over the
+    * CALENDAR-BOUNDED daily frame (≤ |days| rows per group — the q131
+    * precedent), and the per-type totals ride a broadcast join. */
+  def q142Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100.0) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("s"))
+    daily
+      .withColumn("p", sum(col("cents")).over(w))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .join(broadcast(tot), Seq("event_type"))
+      .withColumn("ncusum", expr(
+        "CAST(n_days AS DECIMAL(38,0)) * p - CAST(i AS DECIMAL(38,0)) * s"))
+      .withColumn("abs_nc", expr("CAST(abs(ncusum) AS DECIMAL(38,0))"))
+      .withColumn("negday",
+        -datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("abs_nc"), col("negday"))).as("m"),
+        first(col("n_days")).as("n_days"))
+      .select(col("event_type"),
+        date_add(to_date(lit("1970-01-01")), (-col("m.negday")).cast("int"))
+          .as("cp_day"),
+        col("m.abs_nc").cast("long").as("max_abs_ncusum"),
+        col("n_days"))
+  }
+
+  val q142Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1, 2
+      |), pre AS (
+      |  SELECT event_type, day, cents,
+      |    sum(cents) OVER (PARTITION BY event_type ORDER BY day) AS p,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+      |    count(*) OVER (PARTITION BY event_type) AS n_days,
+      |    sum(cents) OVER (PARTITION BY event_type) AS s
+      |  FROM daily
+      |), nc AS (
+      |  SELECT event_type, day, n_days,
+      |    abs(CAST(n_days AS HUGEINT) * p - CAST(i AS HUGEINT) * s)
+      |      AS abs_nc
+      |  FROM pre
+      |), r AS (
+      |  SELECT event_type, day, n_days, abs_nc,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs_nc DESC, day ASC) AS rk
+      |  FROM nc
+      |)
+      |SELECT event_type, day AS cp_day,
+      |  CAST(abs_nc AS BIGINT) AS max_abs_ncusum,
+      |  CAST(n_days AS BIGINT) AS n_days
+      |FROM r WHERE rk = 1""".stripMargin
+
   /** q140: Gini concentration of revenue per event type — the
     * inequality audit (is 1 % of events producing 99 % of revenue?)
     * that flags monetization skew or bot inflation. Uses the

@@ -78,4 +78,61 @@ object Layout {
        |  (bx_max - bx_min + 1) * (by_max - by_min + 1) AS extent_area
        |FROM agg""".stripMargin
   }
+
+  /** Target rows per compacted output file (bin). */
+  val CompactTarget = 4096L
+
+  /** q143: compaction plan — the OPTIMIZE/bin-packing maintenance pass
+    * a lakehouse runs over small files: assign the q92 z-range
+    * "files" to [[CompactTarget]]-row output bins, packing by
+    * next-fit over the size-descending order (each file lands in the
+    * bin its exclusive prefix-sum START offset falls into — bins can
+    * overflow by at most one file, the q59/q60 chunk-boundary
+    * semantics). The prefix runs through [[Rank.globalPrefixSum]]'s
+    * bucketed two-phase plan — the plan stays distributed even when
+    * "files" means millions of them, exactly the real OPTIMIZE input
+    * (the frame here is already aggregate-sized; the primitive costs
+    * nothing extra). Output: each file's bin plus the bin's total
+    * rows and file count — the work manifest a compactor would
+    * execute. All-integer → bit-exact oracle. */
+  def q143CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = q92ZorderLayout(spark, dir)
+      .select(col("file_id"), col("n_rows"))
+      .withColumn("_negrows", -col("n_rows"))
+    val cum = Rank.globalPrefixSum(files, "_negrows", Seq("file_id"),
+      "n_rows", "cum")
+    val assigned = cum
+      .withColumn("bin_id", expr(s"(cum - n_rows) div ${CompactTarget}L"))
+      .select(col("file_id"), col("n_rows"), col("bin_id"))
+    val bins = assigned.groupBy(col("bin_id"))
+      .agg(sum(col("n_rows")).as("bin_rows"),
+        count(lit(1)).as("bin_files"))
+    assigned.join(broadcast(bins), Seq("bin_id"))
+      .select(col("file_id"), col("n_rows"), col("bin_id"),
+        col("bin_rows"), col("bin_files"))
+  }
+
+  val q143Oracle: String = {
+    val z = zInterleaveSql("bx", "yb", "//")
+    s"""WITH b AS (
+       |  SELECT l_partkey % 256 AS bx, l_suppkey % 256 AS yb FROM lineitem
+       |), f AS (
+       |  SELECT CAST($z // $ZTile AS BIGINT) AS file_id, count(*) AS n_rows
+       |  FROM b GROUP BY 1
+       |), c AS (
+       |  SELECT file_id, n_rows,
+       |    sum(n_rows) OVER (ORDER BY n_rows DESC, file_id ASC) AS cum
+       |  FROM f
+       |), a AS (
+       |  SELECT file_id, CAST(n_rows AS BIGINT) AS n_rows,
+       |    CAST((cum - n_rows) // $CompactTarget AS BIGINT) AS bin_id
+       |  FROM c
+       |)
+       |SELECT a.file_id, a.n_rows, a.bin_id,
+       |  g.bin_rows, g.bin_files
+       |FROM a JOIN (
+       |  SELECT bin_id, CAST(sum(n_rows) AS BIGINT) AS bin_rows,
+       |    count(*) AS bin_files
+       |  FROM a GROUP BY 1) g USING (bin_id)""".stripMargin
+  }
 }
