@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input behavior of the shared primitives: empty frames,
+  * singletons, and single-group shapes must yield empty/identity
+  * results — never throw — because at 100 TB a partition, source
+  * slice, or time window being empty is routine, not exceptional.
+  */
+class EdgeCasesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("groupRank on an empty frame returns an empty frame") {
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "v", "id")
+    val out = Rank.groupRank(empty, Seq("g"), "v", Seq("id"), "rk", "n")
+    assert(out.count() == 0)
+  }
+
+  test("groupRank on a single row ranks it 0 of 1") {
+    val one = Seq(("a", 5L, 1L)).toDF("g", "v", "id")
+    val r = Rank.groupRank(one, Seq("g"), "v", Seq("id"), "rk", "n")
+      .select("rk", "n").head
+    assert(r.getLong(0) == 0 && r.getLong(1) == 1)
+  }
+
+  test("globalPrefixSum on an empty frame returns an empty frame") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("v", "id", "d")
+    val out = Rank.globalPrefixSum(empty, "v", Seq("id"), "d", "cum")
+    assert(out.count() == 0)
+  }
+
+  test("radiusPairs: empty input, single point, and two coincident points") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("k", "lat", "lon")
+    assert(Spatial.radiusPairs(empty, 10L).count() == 0)
+
+    val one = Seq((1L, 5L, 5L)).toDF("k", "lat", "lon")
+    assert(Spatial.radiusPairs(one, 10L).count() == 0,
+      "a point is never paired with itself")
+
+    val coincident = Seq((1L, 5L, 5L), (2L, 5L, 5L)).toDF("k", "lat", "lon")
+    val rows = Spatial.radiusPairs(coincident, 10L).collect()
+    assert(rows.length == 1 && rows.head.getLong(2) == 0L,
+      "coincident points pair exactly once at distance 0")
+  }
+
+  test("cmsCells on an empty token frame is an empty sketch") {
+    val empty = Seq.empty[String].toDF("tok")
+    assert(Sketches.cmsCells(empty).count() == 0)
+  }
+
+  test("groupPrefixSum single-group singleton equals its own delta") {
+    val one = Seq(("g", 3L, 1L, 7L)).toDF("g", "v", "id", "d")
+    val r = Rank.groupPrefixSum(one, Seq("g"), "v", Seq("id"), "d", "cum")
+    assert(r.select("cum").head.getLong(0) == 7L)
+  }
+}
