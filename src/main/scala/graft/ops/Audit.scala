@@ -776,4 +776,67 @@ object Audit {
       |  (d.cents * st.n - st.s) * (d.cents * st.n - st.s)
       |    > 9 * (st.n * st.ss - st.s * st.s) AS is_anomaly
       |FROM d JOIN st USING (event_type, dow)""".stripMargin
+
+  /** q145: winsorized account-balance stats per nation — q129's
+    * trimmed mean DROPS the tails; winsorizing CLAMPS them to the
+    * [P05, P95] nearest-rank boundaries instead, the robustification
+    * used when every row must keep weight (billing reconciliation,
+    * feature clipping before training). Nearest-rank percentile at
+    * p = k/20: the value whose 1-based in-group rank is ceil(p·n) —
+    * pure integer arithmetic, no interpolation.
+    *
+    * Plan: [[Rank.groupRank]]'s bucketed two-phase rank (no per-nation
+    * single-task sort) feeds a NATION-COUNT-sized bounds aggregate
+    * (one row per group — broadcast is safe by construction); the
+    * clamp pass re-reads the raw table and joins the tiny bounds, so
+    * the corpus-sized side never carries rank machinery. The output
+    * stays in exact cents sums — no mean division, because balances
+    * (and thus group sums) can be negative and Spark's truncating
+    * integer div differs from DuckDB's flooring `//` below zero. */
+  def q145Winsorized(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100.0) AS BIGINT)").as("cents"))
+    val ranked = Rank.groupRank(cust, Seq("c_nationkey"), "cents",
+        Seq("c_custkey"), "rk", "n")
+      .withColumn("t", col("rk") + 1)
+    val kLo = expr("(n + 19) div 20")
+    val kHi = expr("(19 * n + 19) div 20")
+    val bounds = ranked
+      .where(col("t") === kLo || col("t") === kHi)
+      .groupBy(col("c_nationkey"))
+      .agg(min(when(col("t") === kLo, col("cents"))).as("lo_cents"),
+        min(when(col("t") === kHi, col("cents"))).as("hi_cents"))
+    cust.join(broadcast(bounds), Seq("c_nationkey"))
+      .groupBy(col("c_nationkey"), col("lo_cents"), col("hi_cents"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(greatest(col("lo_cents"), least(col("hi_cents"), col("cents"))))
+          .as("win_sum_cents"))
+      .select(col("c_nationkey"), col("n_customers"), col("lo_cents"),
+        col("hi_cents"), col("win_sum_cents"))
+  }
+
+  val q145Oracle: String =
+    """WITH v AS (
+      |  SELECT c_nationkey, c_custkey,
+      |    CAST(round(c_acctbal * 100.0) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY CAST(round(c_acctbal * 100.0) AS BIGINT) ASC,
+      |        c_custkey ASC) AS t,
+      |    count(*) OVER (PARTITION BY c_nationkey) AS n
+      |  FROM customer
+      |), b AS (
+      |  SELECT c_nationkey,
+      |    min(CASE WHEN t = (n + 19) // 20 THEN cents END) AS lo_cents,
+      |    min(CASE WHEN t = (19 * n + 19) // 20 THEN cents END) AS hi_cents
+      |  FROM v
+      |  WHERE t = (n + 19) // 20 OR t = (19 * n + 19) // 20
+      |  GROUP BY 1
+      |)
+      |SELECT v.c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+      |  b.lo_cents, b.hi_cents,
+      |  CAST(sum(greatest(b.lo_cents, least(b.hi_cents, v.cents)))
+      |    AS BIGINT) AS win_sum_cents
+      |FROM v JOIN b USING (c_nationkey)
+      |GROUP BY 1, 3, 4""".stripMargin
 }

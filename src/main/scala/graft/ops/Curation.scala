@@ -718,4 +718,89 @@ object Curation {
       |  sqrt(CAST(CAST((CAST(tot.total_tokens AS HUGEINT) * 1000000)
       |    // per.source_tokens AS BIGINT) AS DOUBLE)) AS temp_weight
       |FROM per CROSS JOIN tot""".stripMargin
+
+  /** q147: filter-funnel attrition report — the per-stage survival
+    * accounting every curation pipeline publishes alongside its
+    * output (what fraction of the crawl survived language ID, then
+    * length, then repetition, then the token band — and where did the
+    * volume go). Stages apply CUMULATIVELY (each counts docs that
+    * passed every earlier stage too), so `docs_in` of stage k equals
+    * `docs_out` of stage k−1 and the last `cum_survival_ppm` is the
+    * pipeline yield.
+    *
+    * Plan: ONE corpus scan computes all four per-doc predicates in a
+    * single codegen'd projection, one partial-aggregatable sum pass
+    * reduces them to a single row, and `stack` unfolds that row into
+    * the 4-row report — no per-stage scans, no joins, output
+    * aggregate-sized. Counts and ppm scores are exact integers; the
+    * zero-input division is guarded (NULL drop rate on an empty
+    * stage, identically in both engines). */
+  def q147FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.wsTokens(col("text"))
+    val flags = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .select(
+        (col("lang") === "en").as("p1"),
+        (col("n_chars") >= 150L).as("p2"),
+        (col("n_uniq") * 100L >= col("n_tok") * 35L).as("p3"),
+        (col("n_tok") <= 90L).as("p4"))
+      .select(col("p1").as("c1"),
+        (col("p1") && col("p2")).as("c2"),
+        (col("p1") && col("p2") && col("p3")).as("c3"),
+        (col("p1") && col("p2") && col("p3") && col("p4")).as("c4"))
+    val tallied = flags.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("c1"), 1L).otherwise(0L)).as("o1"),
+      sum(when(col("c2"), 1L).otherwise(0L)).as("o2"),
+      sum(when(col("c3"), 1L).otherwise(0L)).as("o3"),
+      sum(when(col("c4"), 1L).otherwise(0L)).as("o4"))
+    tallied.selectExpr(
+        """stack(4,
+          |  1L, 'lang_en',    total, o1,
+          |  2L, 'min_len',    o1,    o2,
+          |  3L, 'uniq_ratio', o2,    o3,
+          |  4L, 'tok_band',   o3,    o4
+          |) AS (stage_id, stage, docs_in, docs_out)""".stripMargin,
+        "total")
+      .select(col("stage_id"), col("stage"), col("docs_in"),
+        col("docs_out"),
+        expr("""CASE WHEN docs_in = 0 THEN NULL
+                |  ELSE ((docs_in - docs_out) * 1000000) div docs_in
+                |END""".stripMargin).as("drop_ppm"),
+        expr("(docs_out * 1000000) div total").as("cum_survival_ppm"))
+  }
+
+  val q147Oracle: String =
+    """WITH f AS (
+      |  SELECT (lang = 'en') AS p1, (n_chars >= 150) AS p2,
+      |    (len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+      |       * 100
+      |     >= len(string_split_regex(lower(trim(text)), '\s+')) * 35)
+      |      AS p3,
+      |    (len(string_split_regex(lower(trim(text)), '\s+')) <= 90) AS p4
+      |  FROM documents
+      |), t AS (
+      |  SELECT count(*) AS total,
+      |    sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS o1,
+      |    sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS o2,
+      |    sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS o3,
+      |    sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS o4
+      |  FROM f
+      |), s AS (
+      |  SELECT 1 AS stage_id, 'lang_en' AS stage, total AS docs_in,
+      |    o1 AS docs_out, total FROM t
+      |  UNION ALL SELECT 2, 'min_len', o1, o2, total FROM t
+      |  UNION ALL SELECT 3, 'uniq_ratio', o2, o3, total FROM t
+      |  UNION ALL SELECT 4, 'tok_band', o3, o4, total FROM t
+      |)
+      |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+      |  CAST(docs_in AS BIGINT) AS docs_in,
+      |  CAST(docs_out AS BIGINT) AS docs_out,
+      |  CAST(CASE WHEN docs_in = 0 THEN NULL
+      |    ELSE ((docs_in - docs_out) * 1000000) // docs_in
+      |  END AS BIGINT) AS drop_ppm,
+      |  CAST((docs_out * 1000000) // total AS BIGINT) AS cum_survival_ppm
+      |FROM s""".stripMargin
 }

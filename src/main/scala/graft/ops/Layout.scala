@@ -135,4 +135,57 @@ object Layout {
        |    count(*) AS bin_files
        |  FROM a GROUP BY 1) g USING (bin_id)""".stripMargin
   }
+
+  /** Target partition count for the q144 range-partition plan. */
+  val RangeSplits = 16L
+
+  /** q144: equi-depth range-partition planner — the EXACT version of
+    * what `RangePartitioner` / `repartitionByRange` estimate by
+    * sampling: the [[RangeSplits]]−1 split values that divide lineitem
+    * (ordered by price cents, then the (orderkey, linenumber) total
+    * order) into equal-row ranges. A skew-proof layout needs true
+    * equi-depth boundaries — equi-WIDTH splits put most rows in a few
+    * partitions whenever the value distribution is heavy-tailed.
+    *
+    * Boundary i (1-based, i < B) is the row whose 1-based global rank
+    * t = ceil(i·n/B). Rather than joining a splits table against the
+    * corpus (a nested-loop over every row), each ranked row decides
+    * LOCALLY whether it is a boundary: i₀ = (B·t) div n is the only
+    * candidate split for rank t, and t = ceil(i₀·n/B) ⟺
+    * B·(t−1) < i₀·n — a codegen'd integer filter on top of
+    * [[Rank.groupRank]]'s bucketed global rank (no single-task window,
+    * no driver pass over data; the mapping t→i₀ is injective for
+    * n > B, which holds from sf0.001 up). All-integer → bit-exact
+    * oracle. */
+  def q144PartitionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val B = RangeSplits
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)").as("cents"))
+    Rank.groupRank(li, Nil, "cents", Seq("l_orderkey", "l_linenumber"),
+        "rk", "n")
+      .withColumn("t", col("rk") + 1)
+      .withColumn("split_id", expr(s"(${B}L * t) div n"))
+      .where(col("split_id") >= 1 && col("split_id") <= (B - 1) &&
+        expr(s"${B}L * (t - 1) < split_id * n"))
+      .select(col("split_id"), col("t").as("rows_le"),
+        col("cents").as("boundary_cents"), col("n").as("n_rows"))
+  }
+
+  val q144Oracle: String =
+    s"""WITH v AS (
+       |  SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents,
+       |    row_number() OVER (
+       |      ORDER BY CAST(round(l_extendedprice * 100.0) AS BIGINT) ASC,
+       |        l_orderkey ASC, l_linenumber ASC) AS t,
+       |    count(*) OVER () AS n
+       |  FROM lineitem
+       |)
+       |SELECT CAST(($RangeSplits * t) // n AS BIGINT) AS split_id,
+       |  CAST(t AS BIGINT) AS rows_le, cents AS boundary_cents,
+       |  CAST(n AS BIGINT) AS n_rows
+       |FROM v
+       |WHERE ($RangeSplits * t) // n BETWEEN 1 AND ${RangeSplits - 1}
+       |  AND $RangeSplits * (t - 1) < (($RangeSplits * t) // n) * n"""
+      .stripMargin
 }

@@ -717,4 +717,64 @@ object Sessions {
        |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
        |    AS revenue_cents
        |FROM attr WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
+
+  /** q146: audience-overlap matrix — exact pairwise Jaccard and
+    * overlap coefficient between the user audiences of every
+    * event-type pair (the segment-overlap report behind "users who
+    * search also purchase"; the exact ground truth the q30/q101 HLL
+    * sketches approximate at scale).
+    *
+    * Scale shape: the intersection self-join keys on `user_id`, and a
+    * user belongs to at most |event types| audiences, so the join
+    * emits ≤ C(|types|, 2) pairs PER USER — linear in users, never
+    * quadratic (the q138 basket-bound argument). Audience sizes are a
+    * |types|-row aggregate, safely broadcast to the pair frame. All
+    * counts integer, scores integer ppm → bit-exact oracle. */
+  def q146AudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val aud = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = aud.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_aud"))
+    val inter = aud.as("a")
+      .join(aud.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n_aud", "n_a")), Seq("type_a"))
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n_aud", "n_b")), Seq("type_b"))
+      .withColumn("jaccard_ppm",
+        expr("(n_inter * 1000000) div (n_a + n_b - n_inter)"))
+      .withColumn("overlap_ppm",
+        expr("(n_inter * 1000000) div least(n_a, n_b)"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("jaccard_ppm"), col("overlap_ppm"))
+  }
+
+  val q146Oracle: String =
+    """WITH aud AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |), sz AS (
+      |  SELECT event_type, count(*) AS n_aud FROM aud GROUP BY 1
+      |), pr AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n_inter
+      |  FROM aud a JOIN aud b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT pr.type_a, pr.type_b,
+      |  CAST(sa.n_aud AS BIGINT) AS n_a, CAST(sb.n_aud AS BIGINT) AS n_b,
+      |  CAST(pr.n_inter AS BIGINT) AS n_inter,
+      |  CAST((pr.n_inter * 1000000)
+      |    // (sa.n_aud + sb.n_aud - pr.n_inter) AS BIGINT) AS jaccard_ppm,
+      |  CAST((pr.n_inter * 1000000)
+      |    // least(sa.n_aud, sb.n_aud) AS BIGINT) AS overlap_ppm
+      |FROM pr
+      |JOIN sz sa ON sa.event_type = pr.type_a
+      |JOIN sz sb ON sb.event_type = pr.type_b""".stripMargin
 }

@@ -96,7 +96,11 @@ class InvarianceSpec extends AnyFunSuite {
     ("q136 PMI collocations (tie-broken TakeOrdered top-20)",
       () => TextOps.q136PmiCollocations(spark, TestSpark.sfDir)),
     ("q140 Gini (two-phase rank-weighted exact sum)",
-      () => Audit.q140Gini(spark, TestSpark.sfDir)))
+      () => Audit.q140Gini(spark, TestSpark.sfDir)),
+    ("q144 partition planner (rank-local boundary filter)",
+      () => Layout.q144PartitionPlan(spark, TestSpark.sfDir)),
+    ("q145 winsorized stats (two-phase nearest-rank bounds)",
+      () => Audit.q145Winsorized(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
