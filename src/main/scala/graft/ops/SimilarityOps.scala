@@ -939,4 +939,66 @@ object SimilarityOps {
       |FROM pairs
       |JOIN n2 na ON na.label = pairs.label_a
       |JOIN n2 nb ON nb.label = pairs.label_b""".stripMargin
+
+  /** q149: contrastive hard-positive mining — for every embedding, the
+    * most-similar OTHER member of its own label (the anchor→positive
+    * pairs a contrastive/triplet trainer consumes; "hard" because the
+    * nearest positive carries the most gradient). Exact cosine via the
+    * sequential-fold [[graft.functions.DotProduct]] (bit-equal to the
+    * oracle's same-order list_reduce); top-1 per anchor is a struct-MAX
+    * hash aggregate (cosine DESC, pos_id ASC via negated id) — the
+    * map-side-combinable shape that replaced every row_number top-1
+    * window in round 4, never a per-anchor sort.
+    *
+    * Scale shape: label-blocked self-join — candidates bounded by the
+    * largest label block, the q25/q63 documented-quadratic class. This
+    * exact form is the oracle-able yardstick; at 100 TB the same
+    * anchor→argmax contract runs per label over the q37-trained IVF
+    * probe (q56) instead of the full block. */
+  def q149HardPositives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    emb.as("a")
+      .join(emb.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.label").as("label"), col("a.vec_id").as("anchor_id"),
+        col("b.vec_id").as("cand_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine"))
+      .groupBy(col("label"), col("anchor_id"))
+      .agg(max(struct(col("cosine"), (-col("cand_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("label"), col("anchor_id"), (-col("m.nid")).as("pos_id"),
+        col("m.cosine").as("cosine"), col("n_candidates"))
+  }
+
+  val q149Oracle: String =
+    """WITH e AS (
+      |  SELECT label, vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT label, vec_id, v,
+      |    sqrt(list_reduce(list_prepend(0.0,
+      |      list_transform(v, x -> x * x)), (a,b) -> a + b)) AS nrm
+      |  FROM e
+      |), scored AS (
+      |  SELECT a.label, a.vec_id AS anchor_id, b.vec_id AS cand_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v),
+      |        p -> p[1] * p[2])), (x,y) -> x + y) / (a.nrm * b.nrm)
+      |      AS cosine
+      |  FROM n a JOIN n b
+      |    ON a.label = b.label AND a.vec_id <> b.vec_id
+      |), ranked AS (
+      |  SELECT label, anchor_id, cand_id, cosine,
+      |    row_number() OVER (PARTITION BY anchor_id
+      |      ORDER BY cosine DESC, cand_id ASC) AS rk,
+      |    count(*) OVER (PARTITION BY anchor_id) AS n_candidates
+      |  FROM scored
+      |)
+      |SELECT label, anchor_id, cand_id AS pos_id, cosine,
+      |  CAST(n_candidates AS BIGINT) AS n_candidates
+      |FROM ranked WHERE rk = 1""".stripMargin
 }

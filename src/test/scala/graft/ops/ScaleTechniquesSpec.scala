@@ -88,6 +88,23 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(got.values.exists(_._7 > 1))
   }
 
+  test("q148 join-size advisor predicts the executed self-join exactly") {
+    import spark.implicits._
+    val got = SkewJoin.q148JoinSize(spark, TestSpark.sfDir)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // predicted Σc² must equal the cardinality of the actual self-join
+    val ev = Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("user_id").as("k"))
+    val executed = ev.as("a")
+      .join(ev.as("b"), col("a.k") === col("b.k")).count()
+    val (_, _, n, _, sj, pairs, _, hotSq, sharePpm) =
+      got(("events", "user_id"))
+    assert(sj == executed)
+    assert(pairs == (sj - n) / 2)
+    assert(hotSq <= sj && sharePpm == hotSq * 1000000L / sj)
+  }
+
   test("q113 window suite: gaps, frame values, rank ratios per user") {
     import spark.implicits._
     val rows = graft.ops.Extended.q113WindowSuite(spark, TestSpark.sfDir)

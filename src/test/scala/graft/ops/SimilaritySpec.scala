@@ -189,4 +189,34 @@ class SimilaritySpec extends AnyFunSuite {
       assert(cos >= -1.0 - 1e-12 && cos <= 1.0 + 1e-12)
     }
   }
+
+  test("q149 hard positives match a driver-side brute-force argmax") {
+    import spark.implicits._
+    val got = SimilarityOps.q149HardPositives(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    val emb = graft.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select("label", "vec_id", "embedding")
+      .as[(Int, Long, Array[Float])].collect()
+      .map { case (l, id, vf) => (l, id, vf.map(_.toDouble)) }
+    def norm(v: Array[Double]) =
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    val byLabel = emb.groupBy(_._1)
+    assert(got.size == emb.length)
+    byLabel.values.foreach { members =>
+      members.foreach { case (_, id, v) =>
+        val best = members.filter(_._2 != id)
+          .map { case (_, cid, cv) =>
+            val d = v.zip(cv).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+            (d / (norm(v) * norm(cv)), cid)
+          }
+          // struct-max tie-break: cosine DESC, then SMALLEST cand id
+          .maxBy { case (c, cid) => (c, -cid) }
+        val (_, _, posId, cos, nCand) = got(id)
+        assert(nCand == members.length - 1L)
+        assert(posId == best._2, s"anchor $id: $posId vs ${best._2}")
+        assert(math.abs(cos - best._1) < 1e-12)
+      }
+    }
+  }
 }
