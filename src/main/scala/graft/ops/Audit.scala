@@ -839,4 +839,63 @@ object Audit {
       |    AS BIGINT) AS win_sum_cents
       |FROM v JOIN b USING (c_nationkey)
       |GROUP BY 1, 3, 4""".stripMargin
+
+  /** q151: cross-group quantile normalization — map every event's
+    * value onto the GLOBAL value distribution at its within-type
+    * percentile (the calibration step before mixing heterogeneous
+    * per-source scores: a p90 "scroll" value becomes the global p90
+    * value, so thresholds mean the same thing across groups). The
+    * normalized value is the global order statistic at nearest-rank
+    * ceil(t_s·N/n_s) — all-integer, no interpolation.
+    *
+    * Plan: two bucketed [[Rank.groupRank]] passes (within-type and
+    * global — neither a single-task sort), a 1-row count broadcast,
+    * and one linear equi-join on the integer target rank; the rank
+    * product runs in Decimal(38,0) (t·N overflows int64 at 10¹²-row
+    * corpora). Every row keeps its identity — this is a value
+    * TRANSFORM, not an aggregate, so the output is corpus-sized by
+    * design. */
+  def q151QuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))
+    val nTot = ev.agg(count(lit(1)).as("n_tot"))
+    val within = Rank.groupRank(ev, Seq("event_type"), "cents",
+        Seq("event_id"), "rk_s", "n_s")
+      .withColumn("t_s", col("rk_s") + 1)
+    val global = Rank.groupRank(ev, Nil, "cents", Seq("event_id"),
+        "rk_g", "n_g")
+      .select((col("rk_g") + 1).as("t_g"), col("cents").as("norm_cents"))
+    within.crossJoin(broadcast(nTot))
+      .withColumn("t_target", expr(
+        """CAST((t_s * CAST(n_tot AS DECIMAL(38,0)) + n_s - 1) div n_s
+          |  AS BIGINT)""".stripMargin))
+      .join(global, col("t_target") === col("t_g"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        expr("(t_s * 1000000) div n_s").as("pct_ppm"),
+        col("norm_cents"))
+  }
+
+  val q151Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 100.0) AS BIGINT) AS cents
+      |  FROM events
+      |), s AS (
+      |  SELECT event_id, event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cents ASC, event_id ASC) AS t_s,
+      |    count(*) OVER (PARTITION BY event_type) AS n_s
+      |  FROM e
+      |), g AS (
+      |  SELECT cents AS norm_cents,
+      |    row_number() OVER (ORDER BY cents ASC, event_id ASC) AS t_g
+      |  FROM e
+      |), n AS (SELECT count(*) AS n_tot FROM e)
+      |SELECT s.event_id, s.event_type, s.cents,
+      |  CAST((t_s * 1000000) // n_s AS BIGINT) AS pct_ppm,
+      |  g.norm_cents
+      |FROM s CROSS JOIN n
+      |JOIN g ON g.t_g =
+      |  (t_s * CAST(n_tot AS HUGEINT) + n_s - 1) // n_s""".stripMargin
 }

@@ -100,7 +100,9 @@ class InvarianceSpec extends AnyFunSuite {
     ("q144 partition planner (rank-local boundary filter)",
       () => Layout.q144PartitionPlan(spark, TestSpark.sfDir)),
     ("q145 winsorized stats (two-phase nearest-rank bounds)",
-      () => Audit.q145Winsorized(spark, TestSpark.sfDir)))
+      () => Audit.q145Winsorized(spark, TestSpark.sfDir)),
+    ("q151 quantile normalization (two two-phase ranks + rank join)",
+      () => Audit.q151QuantileNorm(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
