@@ -14,16 +14,25 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-    // default; read nanos as long (runtime-settable legacy conf) and
-    // normalize to Spark's native microsecond TimestampType so every
-    // downstream operator sees an ordinary timestamp column.
+    // events.parquet's `ts` physical type varies by generator version:
+    // TIMESTAMP(NANOS) (Spark rejects by default → read nanos as long)
+    // or TIMESTAMP_MICROS without isAdjustedToUTC (Spark reads as
+    // TIMESTAMP_NTZ, which unix_millis/window etc. reject). Normalize
+    // both to Spark's native microsecond TimestampType — sessions run
+    // with spark.sql.session.timeZone=UTC, so the NTZ→TZ cast keeps the
+    // stored wall-clock == the epoch instant every oracle sees.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    } else df
   }
 
   /** Registers every table as a temp view so `spark.sql` / `expr` can

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.{TextFunctions => TF}
 
 /** q64: declarative data-quality audit (the Deequ-style check suite a
   * lakehouse runs before promoting a batch): per-table constraint
@@ -898,4 +899,166 @@ object Audit {
       |FROM s CROSS JOIN n
       |JOIN g ON g.t_g =
       |  (t_s * CAST(n_tot AS HUGEINT) + n_s - 1) // n_s""".stripMargin
+
+  /** q152: exact tie-corrected ROC-AUC per source — does document
+    * length predict exact-duplicate membership? The Mann–Whitney
+    * identity AUC = (R₁ − n₁(n₁+1)/2) / (n₁n₀) with ties resolved by
+    * AVERAGE ranks is evaluated without any per-row rank at all:
+    * group rows by (source, score value), exclusive-prefix-sum the
+    * value counts per source, and each value group's doubled average
+    * rank is the integer 2·cum_before + cnt + 1 — so 2·R₁ (and hence
+    * 2·U₁) is a sum of integer products and the AUC is one correctly
+    * rounded ppm division at the end. This is the evaluation-metric
+    * shape every filter-model comparison needs (CCNet-style quality
+    * classifiers): exact, no sort of the corpus, no 0.5-tie
+    * approximation.
+    *
+    * Plan: one digest shuffle for the label (q17's md5 content
+    * digest), one (source, value) hash aggregate, then
+    * [[Rank.groupPrefixSum]] over the value-grouped frame (bucketed —
+    * no per-source single-task window even when a score column is
+    * near-continuous), and a sources-sized final aggregate. The big
+    * products run in Decimal(38,0)/HUGEINT: 2·R₁ ≤ 2n² overflows
+    * int64 past ~3·10⁹ rows per source. Sources with no positives or
+    * no negatives yield NULL auc_ppm (0/0 is undefined, not 500000). */
+  def q152Auc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(TF.normText(col("text"))).as("h"))
+    // label: the digest appears more than once corpus-wide (q17's
+    // exact-dup signal). Digest counts join back on the digest — a
+    // plain hash join; the digest table is corpus-sized, never
+    // broadcast.
+    val dupCnt = docs.groupBy(col("h")).agg(count(lit(1)).as("hc"))
+    val labeled = docs.join(dupCnt, Seq("h"))
+      .select(col("source"), col("n_chars"),
+        when(col("hc") > 1, 1L).otherwise(0L).as("pos"))
+    val byValue = labeled.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("posc"))
+    val withCum = Rank.groupPrefixSum(byValue, Seq("source"), "n_chars",
+        Nil, "cnt", "cum")
+      .withColumn("r2", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L)
+    withCum.groupBy(col("source"))
+      .agg(
+        sum(expr("CAST(posc AS DECIMAL(38,0)) * r2")).as("ranksum2"),
+        sum(col("posc")).as("n_pos"),
+        sum(col("cnt") - col("posc")).as("n_neg"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        expr(
+          """CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+            |  ((ranksum2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
+            |    * 1000000)
+            |  div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)
+            |END AS BIGINT)""".stripMargin).as("auc_ppm"))
+  }
+
+  val q152Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+      |  FROM documents
+      |), l AS (
+      |  SELECT source, n_chars,
+      |    CASE WHEN count(*) OVER (PARTITION BY h) > 1
+      |      THEN 1 ELSE 0 END AS pos
+      |  FROM d
+      |), vc AS (
+      |  SELECT source, n_chars, count(*) AS cnt, sum(pos) AS posc
+      |  FROM l GROUP BY 1, 2
+      |), c AS (
+      |  SELECT source, cnt, posc,
+      |    coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before
+      |  FROM vc
+      |), a AS (
+      |  SELECT source,
+      |    sum(CAST(posc AS HUGEINT) * (2 * cum_before + cnt + 1))
+      |      AS ranksum2,
+      |    sum(posc) AS n_pos, sum(cnt - posc) AS n_neg
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(n_neg AS BIGINT) AS n_neg,
+      |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    ((ranksum2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000)
+      |    // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+      |  END AS BIGINT) AS auc_ppm
+      |FROM a""".stripMargin
+
+  /** q155: exact two-sample Kolmogorov–Smirnov drift per source — the
+    * distribution-shift monitor a corpus pipeline runs when a new
+    * source lands: sup-distance between each source's document-length
+    * distribution and the REST of the corpus. The supremum over real
+    * thresholds is attained at a step of the pooled empirical CDF, so
+    * evaluating the integer statistic |n_rest·cum_s(v) − n_s·cum_rest(v)|
+    * at every pooled distinct value is exact — no binning, no
+    * transcendentals, one correctly rounded ppm division at the end
+    * (D = max/(n_s·n_rest)).
+    *
+    * Plan: per-value and per-(source, value) hash-aggregated counts;
+    * the pooled-value frame gets its global CDF via
+    * [[Rank.globalPrefixSum]] and is then crossed with the
+    * sources-sized totals (broadcast — |sources| rows) and left-joined
+    * against the per-source counts so every source's CDF is defined at
+    * every pooled step; [[Rank.groupPrefixSum]] forms cum_s without a
+    * per-source single-task window. The frame is |values|·|sources| —
+    * values-scale, not corpus-scale. Products in Decimal(38,0)/HUGEINT
+    * (n_rest·cum_s ≤ n² overflows int64 past ~3·10⁹ rows). */
+  def q155KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars"))
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val nTot = docs.agg(count(lit(1)).as("n_tot"))
+    val perValue = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c_v"))
+    val valueCdf = Rank.globalPrefixSum(perValue, "n_chars", Nil,
+      "c_v", "cum_all")
+    val perSourceValue = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c_sv"))
+    val grid = valueCdf.crossJoin(broadcast(totals))
+      .join(perSourceValue, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c_sv"))
+    val cums = Rank.groupPrefixSum(grid, Seq("source"), "n_chars",
+      Nil, "c_sv", "cum_s")
+    cums.crossJoin(broadcast(nTot))
+      .withColumn("diff", expr(
+        """abs(CAST(n_tot - n_s AS DECIMAL(38,0)) * cum_s
+          |  - CAST(n_s AS DECIMAL(38,0)) * (cum_all - cum_s))""".stripMargin))
+      .groupBy(col("source"), col("n_s"), col("n_tot"))
+      .agg(max(col("diff")).as("d_num"))
+      .select(col("source"), col("n_s"),
+        (col("n_tot") - col("n_s")).as("n_rest"),
+        expr(
+          """CAST((d_num * 1000000)
+            |  div (CAST(n_s AS DECIMAL(38,0)) * (n_tot - n_s))
+            |  AS BIGINT)""".stripMargin).as("ks_ppm"))
+  }
+
+  val q155Oracle: String =
+    """WITH d AS (SELECT source, n_chars FROM documents),
+      |t AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+      |n AS (SELECT count(*) AS n_tot FROM d),
+      |va AS (SELECT n_chars, count(*) AS c_v FROM d GROUP BY 1),
+      |vc AS (SELECT n_chars,
+      |  sum(c_v) OVER (ORDER BY n_chars ASC) AS cum_all FROM va),
+      |sv AS (SELECT source, n_chars, count(*) AS c_sv
+      |  FROM d GROUP BY 1, 2),
+      |g AS (
+      |  SELECT t.source, t.n_s, vc.n_chars, vc.cum_all,
+      |    coalesce(sv.c_sv, 0) AS c_sv
+      |  FROM vc CROSS JOIN t
+      |  LEFT JOIN sv ON sv.source = t.source AND sv.n_chars = vc.n_chars
+      |), c AS (
+      |  SELECT source, n_s, n_chars, cum_all,
+      |    sum(c_sv) OVER (PARTITION BY source ORDER BY n_chars ASC)
+      |      AS cum_s
+      |  FROM g
+      |)
+      |SELECT source, CAST(n_s AS BIGINT) AS n_s,
+      |  CAST(n_tot - n_s AS BIGINT) AS n_rest,
+      |  CAST(max(abs(CAST(n_tot - n_s AS HUGEINT) * cum_s
+      |      - CAST(n_s AS HUGEINT) * (cum_all - cum_s))) * 1000000
+      |    // (CAST(n_s AS HUGEINT) * (n_tot - n_s)) AS BIGINT) AS ks_ppm
+      |FROM c CROSS JOIN n
+      |GROUP BY source, n_s, n_tot""".stripMargin
 }

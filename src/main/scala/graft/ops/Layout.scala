@@ -188,4 +188,60 @@ object Layout {
        |WHERE ($RangeSplits * t) // n BETWEEN 1 AND ${RangeSplits - 1}
        |  AND $RangeSplits * (t - 1) < (($RangeSplits * t) // n) * n"""
       .stripMargin
+
+  /** q154: zone-map overlap depth — the clustering-quality metric
+    * behind OPTIMIZE decisions: at each point of the bx key domain,
+    * how many of the q92 z-range files' [bx_min, bx_max] extents
+    * cover it — i.e. how many files a point predicate on that value
+    * must read. A perfectly clustered layout has depth ≈ files/domain;
+    * overlap depth growing with file count means the zone maps have
+    * stopped pruning and a re-cluster pays for itself. Classic sweep
+    * line: +1 at each extent start, −1 past each end, prefix-summed
+    * over the position order; reported at every change point (depth is
+    * constant between them), with the per-position start/end counts
+    * that localize WHICH compaction created the pile-up.
+    *
+    * Plan: the boundary-event frame is 2 rows per file, hash-aggregated
+    * by position (map-side combinable), then [[Rank.globalPrefixSum]]'s
+    * bucketed two-phase sweep — no single-task global window even when
+    * "files" means millions of them and the key domain is a full
+    * column range rather than q92's 256 buckets. */
+  def q154OverlapDepth(spark: SparkSession, dir: String): DataFrame = {
+    val files = q92ZorderLayout(spark, dir)
+      .select(col("file_id"), col("bx_min"), col("bx_max"))
+    val events = files
+      .select(col("bx_min").as("bx_pos"), lit(1L).as("delta"))
+      .unionAll(files.select((col("bx_max") + 1L).as("bx_pos"),
+        lit(-1L).as("delta")))
+    val grouped = events.groupBy(col("bx_pos"))
+      .agg(sum(col("delta")).as("net"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("files_start"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("files_end"))
+    Rank.globalPrefixSum(grouped, "bx_pos", Nil, "net", "depth")
+      .select(col("bx_pos"), col("files_start"), col("files_end"),
+        col("depth"))
+  }
+
+  val q154Oracle: String = {
+    val z = zInterleaveSql("bx", "yb", "//")
+    s"""WITH b AS (
+       |  SELECT l_partkey % 256 AS bx, l_suppkey % 256 AS yb FROM lineitem
+       |), f AS (
+       |  SELECT CAST($z // $ZTile AS BIGINT) AS file_id,
+       |    min(bx) AS bx_min, max(bx) AS bx_max
+       |  FROM b GROUP BY 1
+       |), e AS (
+       |  SELECT bx_min AS bx_pos, 1 AS delta FROM f
+       |  UNION ALL SELECT bx_max + 1, -1 FROM f
+       |), g AS (
+       |  SELECT bx_pos, sum(delta) AS net,
+       |    sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS files_start,
+       |    sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS files_end
+       |  FROM e GROUP BY 1
+       |)
+       |SELECT bx_pos, CAST(files_start AS BIGINT) AS files_start,
+       |  CAST(files_end AS BIGINT) AS files_end,
+       |  CAST(sum(net) OVER (ORDER BY bx_pos ASC) AS BIGINT) AS depth
+       |FROM g""".stripMargin
+  }
 }

@@ -879,4 +879,61 @@ object TextOps {
       |CROSS JOIN n
       |WHERE pc.pair_count >= 3
       |ORDER BY pmi_ppm DESC, pc.w1 ASC, pc.w2 ASC LIMIT 20""".stripMargin
+
+  /** q153: vocabulary growth curve (Heaps-law audit) — distinct
+    * vocabulary size after each decile of the corpus in doc_id order,
+    * the diminishing-returns measurement behind "how much new data do
+    * we need for new tokens". Each token contributes at its FIRST
+    * document only (min doc_id per term — one token shuffle), so the
+    * curve is a monotone count over first-appearance positions, not a
+    * per-prefix distinct scan (10 passes of COUNT DISTINCT would read
+    * the corpus 10 times; this reads it once).
+    *
+    * The decile boundary documents come from [[Rank.groupRank]]'s
+    * bucketed global rank with q144's LOCAL boundary test (rank t is
+    * the d-th decile boundary iff d = (10t) div n ≥ 1 and
+    * 10(t−1) < d·n — no splits-table nested loop, injective for
+    * n > 10); first-seen terms then join the 10-row boundary frame by
+    * broadcast and aggregate — one narrow pass over the term table. */
+  def q153HeapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val ranked = Rank.groupRank(docs.select(col("doc_id")), Nil,
+        "doc_id", Nil, "rk", "n")
+      .withColumn("t", col("rk") + 1L)
+    val bounds = ranked
+      .withColumn("d", expr("(10 * t) div n"))
+      .where(col("d") >= 1 && expr("10 * (t - 1) < d * n"))
+      .select(col("d").as("decile"), col("t").as("docs_cum"),
+        col("doc_id").as("bound_doc"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(TF.wsTokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+    firstSeen.crossJoin(broadcast(bounds))
+      .where(col("first_doc") <= col("bound_doc"))
+      .groupBy(col("decile"), col("docs_cum"), col("bound_doc"))
+      .agg(count(lit(1)).as("vocab_size"))
+      .select(col("decile"), col("docs_cum"), col("bound_doc"),
+        col("vocab_size"))
+  }
+
+  val q153Oracle: String =
+    """WITH dn AS (SELECT count(*) AS n FROM documents),
+      |r AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY doc_id ASC) AS t, n
+      |  FROM documents CROSS JOIN dn
+      |), b AS (
+      |  SELECT (10 * t) // n AS decile, t AS docs_cum, doc_id AS bound_doc
+      |  FROM r
+      |  WHERE (10 * t) // n >= 1 AND 10 * (t - 1) < ((10 * t) // n) * n
+      |), fs AS (
+      |  SELECT term, min(doc_id) AS first_doc FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |    FROM documents) tok
+      |  GROUP BY 1
+      |)
+      |SELECT b.decile, b.docs_cum, b.bound_doc,
+      |  count(*) AS vocab_size
+      |FROM fs JOIN b ON fs.first_doc <= b.bound_doc
+      |GROUP BY 1, 2, 3""".stripMargin
 }
