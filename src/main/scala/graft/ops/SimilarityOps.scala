@@ -1001,4 +1001,98 @@ object SimilarityOps {
       |SELECT label, anchor_id, cand_id AS pos_id, cosine,
       |  CAST(n_candidates AS BIGINT) AS n_candidates
       |FROM ranked WHERE rk = 1""".stripMargin
+
+  /** q159: ANN index-quality evaluation — recall@10 of the IVF search
+    * (q36) against the exact brute-force ground truth (q21), per
+    * query. This is the harness every vector-index deployment runs
+    * before trusting an approximate index at corpus scale: ground
+    * truth on a query SAMPLE (here the q21 query set), then
+    * n_hits/n_exact as integer ppm. SimilaritySpec asserts the same
+    * recall inline; registering it makes index quality a first-class,
+    * oracle-checked pipeline output instead of test-only evidence.
+    *
+    * Plan: both sides are the existing top-10 frames (per-query
+    * windows over broadcast-scored candidates); the recall join keys
+    * on (query_id, neighbor_id) over ≤ 10·|queries| rows — evaluation
+    * cost scales with the query sample, never the corpus. */
+  def q159AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q21KnnCosine(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = q36IvfSearch(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        expr("(n_hits * 1000000) div n_exact").as("recall_ppm"))
+  }
+
+  /** The q21 and q36 pipelines fused into one CTE chain (shared
+    * e/n/q prefixes), reduced to the per-query overlap count. */
+  val q159Oracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a,b) -> a + b)) AS nrm
+       |  FROM e
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5
+       |), ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |    FROM (
+       |      SELECT q.query_id, n.vec_id AS neighbor_id,
+       |        list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, n.v),
+       |            p -> p[1] * p[2])), (a,b) -> a + b) / (q.qnrm * n.nrm) AS cosine
+       |      FROM q, n WHERE n.vec_id <> q.query_id) s) t
+       |  WHERE rank <= 10
+       |), c AS (
+       |  SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $IvfCells
+       |), assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT n.vec_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv),
+       |            p -> p[1] * p[2])), (x,y) -> x + y) / (n.nrm * c.cnrm) DESC,
+       |        c.cell_id ASC) AS rk
+       |    FROM n, c) t
+       |  WHERE rk = 1
+       |), probes AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT q.query_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, c.cv),
+       |            p -> p[1] * p[2])), (x,y) -> x + y) / (q.qnrm * c.cnrm) DESC,
+       |        c.cell_id ASC) AS prk
+       |    FROM q, c) t
+       |  WHERE prk <= $IvfProbes
+       |), ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |    FROM (
+       |      SELECT p.query_id, a.vec_id AS neighbor_id,
+       |        list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, n.v),
+       |            p2 -> p2[1] * p2[2])), (x,y) -> x + y) / (q.qnrm * n.nrm) AS cosine
+       |      FROM probes p
+       |      JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+       |      JOIN n ON n.vec_id = a.vec_id
+       |      JOIN q ON q.query_id = p.query_id) s) t
+       |  WHERE rank <= 10
+       |)
+       |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN ivf.neighbor_id IS NULL THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST((sum(CASE WHEN ivf.neighbor_id IS NULL THEN 0 ELSE 1 END)
+       |    * 1000000) // count(*) AS BIGINT) AS recall_ppm
+       |FROM ex LEFT JOIN ivf
+       |  ON ivf.query_id = ex.query_id AND ivf.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id""".stripMargin
 }
