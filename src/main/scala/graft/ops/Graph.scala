@@ -453,4 +453,78 @@ object Graph {
        |  CAST(cost AS BIGINT) AS cost
        |FROM d$SpMaxHops""".stripMargin
   }
+
+  /** q160: degree assortativity of the supply graph — the Pearson
+    * correlation of endpoint degrees over the symmetrized edge list
+    * (Newman's r): negative means hubs attach to leaves
+    * (hub-and-spoke, the typical bipartite trade shape), positive
+    * means like attaches to like. The single scalar a graph pipeline
+    * tracks release-over-release to notice structural drift that node
+    * and edge counts miss.
+    *
+    * Exactness: degrees are integers, so every moment up to
+    * n·Σxy − ΣxΣy stays in Decimal(38,0)/HUGEINT exactly (the q72
+    * discipline); only the last three terms become doubles, and
+    * sqrt / × / ÷ are IEEE correctly-rounded in both engines.
+    *
+    * Plan: one distinct fact shuffle builds the edges, a per-node
+    * hash-aggregate computes degrees, the edge list joins the degree
+    * table on each endpoint key (both high-cardinality hash joins),
+    * and everything reduces to ONE exact-moment row. No windows, no
+    * collect, no quadratic stage. */
+  def q160Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"))
+      .distinct()
+    val sym = base.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(base.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val pairs = sym
+      .join(deg, "src").withColumnRenamed("d", "dx")
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+      .select(col("dx").cast(dec).as("x"), col("dy").cast(dec).as("y"))
+    pairs
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast("long").as("n_edges"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("assortativity"))
+  }
+
+  val q160Oracle: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT l.l_suppkey * 2 AS a, o.o_custkey * 2 + 1 AS b
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), sym AS (
+      |  SELECT a AS src, b AS dst FROM e0
+      |  UNION ALL SELECT b, a FROM e0
+      |), deg AS (
+      |  SELECT src, count(*) AS d FROM sym GROUP BY src
+      |), pairs AS (
+      |  SELECT CAST(dx.d AS HUGEINT) AS x, CAST(dy.d AS HUGEINT) AS y
+      |  FROM sym
+      |  JOIN deg dx ON dx.src = sym.src
+      |  JOIN deg dy ON dy.src = sym.dst
+      |), m AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM pairs
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_edges,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+      |FROM m""".stripMargin
 }

@@ -295,4 +295,63 @@ object Relational {
       |JOIN singles sb ON sb.l_partkey = p.part_b
       |CROSS JOIN n
       |ORDER BY p.support_ab DESC, p.part_a ASC, p.part_b ASC LIMIT 100""".stripMargin
+
+  /** q161: shipping-priority top-k — the TPC-H Q3 plan shape, the
+    * canonical "selective dimension filter × two date range filters ×
+    * 3-way join × grouped revenue × global top-k" OLAP query: revenue
+    * still unshipped as of the cutoff for one market segment, highest
+    * 10 orders first.
+    *
+    * Exactness: revenue = Σ extendedprice·(1 − discount) accumulates
+    * as integer 10⁻⁴-dollar units (cents × percent — the q90/q133
+    * integer formulation) in Decimal(38,0)/HUGEINT; ties on revenue
+    * break by order key, so the LIMIT is deterministic.
+    *
+    * Plan: the segment filter reaches the customer scan and the date
+    * filters reach both fact scans as pushed parquet predicates;
+    * customer (filtered, dimension-sized) broadcasts into orders,
+    * the orders→lineitem join shuffles on the key both sides already
+    * group by, and the global top-10 is a TakeOrdered over the
+    * aggregate — never a full sort of the fact. */
+  val Q161Segment = "BUILDING"
+  val Q161Cutoff = "1997-07-01"
+
+  def q161ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === Q161Segment)
+      .select(col("c_custkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit(Q161Cutoff).cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(Q161Cutoff).cast("date"))
+      .select(col("l_orderkey"),
+        (Exact.units(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.units(col("l_discount"), 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("rev_u4"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev_u4")).as("rev"), count(lit(1)).as("n_items"))
+      .select(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("rev").cast("long").as("revenue_u4"), col("n_items"))
+      .orderBy(col("revenue_u4").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q161Oracle: String =
+    s"""SELECT l.l_orderkey,
+       |  CAST(o.o_orderdate AS DATE) AS order_date,
+       |  CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS HUGEINT) *
+       |    (100 - CAST(round(l.l_discount * 100.0) AS BIGINT)))
+       |    AS BIGINT) AS revenue_u4,
+       |  count(*) AS n_items
+       |FROM customer c
+       |JOIN orders o ON o.o_custkey = c.c_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |WHERE c.c_mktsegment = '$Q161Segment'
+       |  AND o.o_orderdate < TIMESTAMP '$Q161Cutoff 00:00:00'
+       |  AND l.l_shipdate > TIMESTAMP '$Q161Cutoff 00:00:00'
+       |GROUP BY 1, 2
+       |ORDER BY revenue_u4 DESC, l.l_orderkey ASC LIMIT 10""".stripMargin
 }
