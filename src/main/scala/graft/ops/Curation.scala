@@ -624,6 +624,114 @@ object Curation {
         col("share_ppm"), col("inv_share_ppm"), col("temp_weight"))
   }
 
+  /** q162: token-budget water-filling allocator — the mixture PLANNER
+    * that turns q137's per-source token inventory into an executable
+    * sampling plan: spend a token budget B = [[Q162BudgetEpochs]]×(total
+    * corpus tokens) across sources so that every source gets an EQUAL
+    * token allocation (upweighting small sources) except that no source
+    * may repeat more than [[Q162MaxEpochs]] epochs of itself — the
+    * repetition cap LLM data work treats as a quality cliff. The
+    * optimum is classic water-filling: sources whose capacity
+    * cap·T_s sits below the water level saturate at their cap; the
+    * rest split the remaining budget evenly.
+    *
+    * All integer and closed-form — no iteration: sort sources by
+    * capacity ascending (ties by name); prefix sums give, for each
+    * source, the budget left after saturating every smaller source
+    * (B − prefix_{i−1}); source i saturates iff even handing ALL
+    * remaining sources its capacity is affordable
+    * (c_i·(n−i+1) ≤ B − prefix_{i−1} — monotone in i, so the
+    * saturated set is a prefix). Unsaturated sources get
+    * R* div m tokens (R* = budget after all saturations, m = their
+    * count), with the leftover R* mod m spread one token each to the
+    * first m-by-capacity-order — Σ allocated == B EXACTLY (asserted
+    * in CurationSpec).
+    *
+    * Plan: one corpus scan for the token tally; the planning frame is
+    * |sources| rows — prefix sums through [[Rank.globalPrefixSum]]
+    * (lint-clean even if |sources| grew to millions), totals as a
+    * 1-row broadcast. */
+  val Q162MaxEpochs = 4L
+  val Q162BudgetEpochs = 2L
+
+  def q162TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(graft.functions.TextFunctions.wsTokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens"))
+      .withColumn("capacity", col("tokens") * Q162MaxEpochs)
+    val tot = per.agg(sum(col("tokens")).as("t"), count(lit(1)).as("n"))
+      .select((col("t") * Q162BudgetEpochs).as("budget"), col("n"))
+    val ranked = Rank.groupRank(per, Seq.empty, "capacity", Seq("source"),
+        "_r", "_nsrc")
+      .drop("_nsrc")
+    val pre = Rank.globalPrefixSum(ranked, "capacity", Seq("source"),
+        "capacity", "prefix")
+      .crossJoin(broadcast(tot))
+      .withColumn("i", col("_r") + 1L) // 1-based position
+      .withColumn("sat",
+        col("capacity") * (col("n") - col("_r")) <=
+          col("budget") - (col("prefix") - col("capacity")))
+    val satStats = pre.agg(
+      sum(when(col("sat"), 1L).otherwise(0L)).as("k"),
+      sum(when(col("sat"), col("capacity")).otherwise(0L)).as("sat_total"))
+    pre.crossJoin(broadcast(satStats))
+      .withColumn("m", col("n") - col("k"))
+      .withColumn("rstar", col("budget") - col("sat_total"))
+      .withColumn("allocated",
+        when(col("sat"), col("capacity")).otherwise(
+          expr("rstar div m") +
+            when(col("i") - col("k") <= col("rstar") % col("m"), 1L)
+              .otherwise(0L)))
+      .select(col("source"), col("tokens"), col("capacity"),
+        col("allocated"), col("sat").as("saturated"),
+        expr("(allocated * 1000000) div tokens").as("repeat_ppm"))
+  }
+
+  val q162Oracle: String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+       |      AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1
+       |), cap AS (
+       |  SELECT source, tokens, tokens * $Q162MaxEpochs AS capacity FROM per
+       |), tot AS (
+       |  SELECT CAST(sum(tokens) * $Q162BudgetEpochs AS BIGINT) AS budget,
+       |    count(*) AS n
+       |  FROM cap
+       |), r AS (
+       |  SELECT cap.*, tot.budget, tot.n,
+       |    row_number() OVER (ORDER BY capacity ASC, source ASC) AS i,
+       |    sum(capacity) OVER (ORDER BY capacity ASC, source ASC
+       |      ROWS UNBOUNDED PRECEDING) AS prefix
+       |  FROM cap CROSS JOIN tot
+       |), s AS (
+       |  SELECT *,
+       |    capacity * (n - i + 1) <= budget - (prefix - capacity) AS sat
+       |  FROM r
+       |), ks AS (
+       |  SELECT sum(CASE WHEN sat THEN 1 ELSE 0 END) AS k,
+       |    CAST(sum(CASE WHEN sat THEN capacity ELSE 0 END) AS BIGINT)
+       |      AS sat_total
+       |  FROM s
+       |)
+       |SELECT source, tokens, capacity,
+       |  CAST(CASE WHEN sat THEN capacity
+       |    ELSE (budget - sat_total) // (n - k)
+       |      + (CASE WHEN i - k <= (budget - sat_total) % (n - k)
+       |         THEN 1 ELSE 0 END)
+       |  END AS BIGINT) AS allocated,
+       |  sat AS saturated,
+       |  CAST((CASE WHEN sat THEN capacity
+       |    ELSE (budget - sat_total) // (n - k)
+       |      + (CASE WHEN i - k <= (budget - sat_total) % (n - k)
+       |         THEN 1 ELSE 0 END)
+       |  END * 1000000) // tokens AS BIGINT) AS repeat_ppm
+       |FROM s CROSS JOIN ks""".stripMargin
+
   /** q141: quality-decile duplicate-lift table — the calibration
     * report that answers "does the quality score predict boilerplate
     * duplication?" (the cross-signal sanity check a curation pipeline

@@ -134,4 +134,27 @@ class CurationSpec extends AnyFunSuite {
         s"replica $r mean $m far from $meanAll")
     }
   }
+
+  test("q162 water-filling spends the budget exactly under the epoch cap") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Curation.q162TokenBudget(spark, TestSpark.sfDir)
+      .select($"tokens", $"capacity", $"allocated", $"saturated")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_._1).sum
+    val budget = totalTokens * Curation.Q162BudgetEpochs
+    assert(rows.map(_._3).sum == budget,
+      s"allocations ${rows.map(_._3).sum} != budget $budget")
+    rows.foreach { case (t, c, a, sat) =>
+      assert(c == t * Curation.Q162MaxEpochs)
+      assert(a <= c, s"allocation $a exceeds capacity $c")
+      assert(sat == (a == c), "saturated flag must mean allocation == cap")
+    }
+    // unsaturated sources sit within one token of a shared water level
+    val unsat = rows.filter(!_._4).map(_._3)
+    if (unsat.nonEmpty)
+      assert(unsat.max - unsat.min <= 1,
+        s"water level not level: ${unsat.min}..${unsat.max}")
+  }
 }
