@@ -1095,4 +1095,62 @@ object SimilarityOps {
        |FROM ex LEFT JOIN ivf
        |  ON ivf.query_id = ex.query_id AND ivf.neighbor_id = ex.neighbor_id
        |GROUP BY ex.query_id""".stripMargin
+
+  /** q163: reciprocal-rank fusion — the standard hybrid-retrieval
+    * combiner (Cormack et al.): fuse two rankings of the same
+    * candidate space by summing 1/(60+rank) per list, here the exact
+    * cosine ranking (q21) and the IVF ranking (q36). The score is
+    * kept integer — floor(10⁹/(60+rank)) — so the fused ORDER is
+    * deterministic and the oracle bit-exact (the float RRF sum would
+    * differ in last ulps across engines for ties). A candidate
+    * missing from one list contributes 0 from it. Top-5 fused per
+    * query, ties by neighbor id.
+    *
+    * Plan: both inputs are the existing top-10 frames; the fusion is
+    * a full-outer equi-join + per-query window over ≤ 20 candidate
+    * rows per query — cost scales with the query sample. */
+  val RrfK = 60L
+
+  def q163RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val ex = q21KnnCosine(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_exact"))
+    val ivf = q36IvfSearch(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_ivf"))
+    val score =
+      coalesce(expr(s"1000000000 div ($RrfK + rank_exact)"), lit(0L)) +
+        coalesce(expr(s"1000000000 div ($RrfK + rank_ivf)"), lit(0L))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+    ex.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_score", score)
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= 5)
+      .select(col("query_id"), col("fused_rank"), col("neighbor_id"),
+        col("rrf_score"))
+  }
+
+  /** q159's fused CTE chain with ranks retained, plus the integer RRF
+    * full-outer combine. */
+  val q163Oracle: String = {
+    val prefix = q159Oracle.substring(0, q159Oracle.indexOf("\nSELECT ex.query_id"))
+      .replace("SELECT query_id, neighbor_id FROM (",
+        "SELECT query_id, neighbor_id, rank FROM (")
+    s"""$prefix, fused AS (
+       |  SELECT coalesce(ex.query_id, ivf.query_id) AS query_id,
+       |    coalesce(ex.neighbor_id, ivf.neighbor_id) AS neighbor_id,
+       |    coalesce(1000000000 // ($RrfK + ex.rank), 0)
+       |      + coalesce(1000000000 // ($RrfK + ivf.rank), 0) AS rrf_score
+       |  FROM ex FULL OUTER JOIN ivf
+       |    ON ivf.query_id = ex.query_id AND ivf.neighbor_id = ex.neighbor_id
+       |)
+       |SELECT query_id, fused_rank, neighbor_id,
+       |  CAST(rrf_score AS BIGINT) AS rrf_score
+       |FROM (
+       |  SELECT query_id, neighbor_id, rrf_score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_score DESC, neighbor_id ASC) AS BIGINT)
+       |      AS fused_rank
+       |  FROM fused) t
+       |WHERE fused_rank <= 5""".stripMargin
+  }
 }

@@ -167,6 +167,43 @@ class EquivalenceSpec extends AnyFunSuite {
     assert(batch.nonEmpty && batch == streaming)
   }
 
+  test("native session_window aggregate: batch equals streaming after watermark flush") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two users; user 1 has a 31-minute gap (two sessions), user 2 a
+    // single dense run; one boundary pair exactly 29 minutes apart
+    // stays merged in both modes
+    val fixture = Seq(
+      (ts(0), 1L, 1.00), (ts(10), 1L, 2.00), (ts(39), 1L, 0.50),
+      (ts(71), 1L, 4.00),
+      (ts(5), 2L, 3.25), (ts(15), 2L, 1.75))
+    def sessions(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.ops.Exact.units(col("value"), 2)).as("cents"))
+        .select(col("session_window.start").as("ss"),
+          col("session_window.end").as("se"),
+          col("user_id"), col("n"), col("cents"))
+
+    val batch = sessions(fixture.toDF("ts", "user_id", "value"))
+      .as[(Timestamp, Timestamp, Long, Long, Long)].collect().toSet
+
+    val ev = MemoryStream[(Timestamp, Long, Double)]
+    val out = sessions(
+      Streams.watermarked(ev.toDF().toDF("ts", "user_id", "value"), "ts"))
+    val q = out.writeStream.format("memory").queryName("equiv_sess_win")
+      .outputMode("append").start()
+    ev.addData(fixture: _*)
+    q.processAllAvailable()
+    ev.addData((ts(600), 99L, 0.0)) // advance watermark past every session
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val streaming = spark.table("equiv_sess_win")
+      .as[(Timestamp, Timestamp, Long, Long, Long)].collect()
+      .filter(_._3 != 99L).toSet
+
+    assert(batch.nonEmpty && batch == streaming)
+  }
+
   test("batch first-seen-day user counts equal streaming dedup-by-user counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -74,4 +74,61 @@ class StreamingSketchSpec extends AnyFunSuite {
       .as[(String, Long, Int)].collect().toSet
     assert(batchViaOp == q49)
   }
+
+  test("streaming KMV registers equal the oracle-checked batch q156 state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"), substring(md5(
+        graft.functions.TextFunctions.normText(col("text"))), 1, 15).as("h"))
+      .as[(String, String)].collect()
+
+    val in = MemoryStream[(String, String)]
+    val out = KmvStream.registers(in.toDS().toDF("source", "h15"))
+    val acc = new scala.collection.concurrent.TrieMap[String, Seq[String]]()
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[KmvStream.KmvRegister], _: Long) =>
+          df.collect().foreach(r => acc.put(r.source, r.register))
+      }.start()
+    // uneven micro-batches INCLUDING a duplicate replay of the first
+    // chunk — union-then-take-k is idempotent, so replays must not
+    // change any register
+    val chunks =
+      Seq(rows.take(50), rows.slice(50, 51), rows.drop(51), rows.take(50))
+    chunks.filter(_.nonEmpty).foreach { c =>
+      in.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+
+    val expected = graft.ops.Kmv.q156KmvSketch(spark, sf)
+      .select($"source", $"register_md5").as[(String, String)].collect().toMap
+    assert(acc.nonEmpty && acc.keySet == expected.keySet)
+    acc.foreach { case (src, reg) =>
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(reg.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(md5hex == expected(src),
+        s"$src: streaming register diverges from batch q156 state")
+    }
+  }
+
+  test("KmvStream.registers on a batch frame reproduces the q156 registers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val batchRows = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"), substring(md5(
+        graft.functions.TextFunctions.normText(col("text"))), 1, 15).as("h15"))
+    val viaState = KmvStream.registers(batchRows).collect()
+      .map(r => r.source -> r.register.mkString(",")).toMap
+    val expected = graft.ops.Kmv.q156KmvSketch(spark, sf)
+      .select($"source", $"register_md5").as[(String, String)].collect().toMap
+    assert(viaState.keySet == expected.keySet)
+    viaState.foreach { case (src, reg) =>
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(reg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md5hex == expected(src))
+    }
+  }
 }
