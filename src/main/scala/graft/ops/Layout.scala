@@ -244,4 +244,81 @@ object Layout {
        |  CAST(sum(net) OVER (ORDER BY bx_pos ASC) AS BIGINT) AS depth
        |FROM g""".stripMargin
   }
+
+  /** q164 file width under each candidate ordering. */
+  val AdvisorRowsPerFile = 4096L
+
+  /** q164: sort-order advisor — the decision OPTIMIZE/cluster-by has
+    * to make, answered by measurement instead of folklore: lay the
+    * fact table out under three candidate orderings (cluster by x,
+    * cluster by y, z-order both), cut each layout into
+    * [[AdvisorRowsPerFile]]-row files, and report each layout's
+    * zone-map quality per probe dimension — the average fraction of
+    * the value domain a file's [min, max] extent covers, which IS the
+    * probability a random point probe on that column fails to skip
+    * the file. Single-column clustering gives ~perfect skipping on
+    * its own column and none on the other; z-order pays a small
+    * factor on both — the advisor makes that trade-off a number.
+    *
+    * Plan: each layout's file assignment is a bucketed two-phase
+    * global rank ([[Rank.groupRank]] — no single-task corpus sort,
+    * unlike a naive row_number() OVER (ORDER BY …)), followed by a
+    * per-file zone aggregate and a |files|-sized rollup; the three
+    * layouts are one scan each, unioned at aggregate size. All-integer
+    * ppm output. */
+  def q164SortAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "lineitem")
+      .select((col("l_partkey") % 256).as("bx"),
+        (col("l_suppkey") % 256).as("yb"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("z", expr(zInterleaveSql("bx", "yb", "div")).cast("long"))
+    def layout(name: String, orderCol: String): DataFrame = {
+      val ranked = Rank.groupRank(base, Seq.empty, orderCol,
+        Seq("l_orderkey", "l_linenumber"), "_rk", "_n")
+      ranked
+        .select(expr(s"_rk div $AdvisorRowsPerFile").as("file_id"),
+          col("bx"), col("yb"))
+        .groupBy(col("file_id"))
+        .agg((max(col("bx")) - min(col("bx")) + 1L).as("wx"),
+          (max(col("yb")) - min(col("yb")) + 1L).as("wy"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("wx")).as("sx"), sum(col("wy")).as("sy"))
+        .select(lit(name).as("layout"), col("n_files"),
+          expr("(sx * 1000000) div (n_files * 256)").as("x_hit_ppm"),
+          expr("(sy * 1000000) div (n_files * 256)").as("y_hit_ppm"))
+    }
+    layout("cluster_x", "bx")
+      .unionByName(layout("cluster_y", "yb"))
+      .unionByName(layout("zorder", "z"))
+  }
+
+  val q164Oracle: String = {
+    val z = zInterleaveSql("bx", "yb", "//")
+    // per-file zone widths then one rollup row per layout
+    def lay(name: String, orderCol: String) =
+      s"""SELECT '$name' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST((sum(wx) * 1000000) // (count(*) * 256) AS BIGINT)
+         |    AS x_hit_ppm,
+         |  CAST((sum(wy) * 1000000) // (count(*) * 256) AS BIGINT)
+         |    AS y_hit_ppm
+         |FROM (
+         |  SELECT file_id, max(bx) - min(bx) + 1 AS wx,
+         |    max(yb) - min(yb) + 1 AS wy
+         |  FROM (
+         |    SELECT (row_number() OVER (ORDER BY $orderCol ASC,
+         |        l_orderkey ASC, l_linenumber ASC) - 1)
+         |        // $AdvisorRowsPerFile AS file_id, bx, yb
+         |    FROM b) a
+         |  GROUP BY file_id) f""".stripMargin
+    s"""WITH b AS (
+       |  SELECT l_partkey % 256 AS bx, l_suppkey % 256 AS yb,
+       |    CAST($z AS BIGINT) AS z, l_orderkey, l_linenumber
+       |  FROM lineitem
+       |)
+       |${lay("cluster_x", "bx")}
+       |UNION ALL
+       |${lay("cluster_y", "yb")}
+       |UNION ALL
+       |${lay("zorder", "z")}""".stripMargin
+  }
 }
