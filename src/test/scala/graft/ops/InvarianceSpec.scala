@@ -102,7 +102,19 @@ class InvarianceSpec extends AnyFunSuite {
     ("q145 winsorized stats (two-phase nearest-rank bounds)",
       () => Audit.q145Winsorized(spark, TestSpark.sfDir)),
     ("q151 quantile normalization (two two-phase ranks + rank join)",
-      () => Audit.q151QuantileNorm(spark, TestSpark.sfDir)))
+      () => Audit.q151QuantileNorm(spark, TestSpark.sfDir)),
+    ("q152 exact AUC (value-grouped prefix ranks)",
+      () => Audit.q152Auc(spark, TestSpark.sfDir)),
+    ("q156 KMV sketch (two-phase min-k rank + sorted register)",
+      () => Kmv.q156KmvSketch(spark, TestSpark.sfDir)),
+    ("q157 KMV set ops (pair-merged sketch ranking)",
+      () => Kmv.q157KmvSetops(spark, TestSpark.sfDir)),
+    ("q158 survivorship (min-struct attribute modes over CC labels)",
+      () => DedupOps.q158Survivorship(spark, TestSpark.sfDir)),
+    ("q162 token budget (global prefix-sum water-filling)",
+      () => Curation.q162TokenBudget(spark, TestSpark.sfDir)),
+    ("q164 sort advisor (three bucketed global rank layouts)",
+      () => Layout.q164SortAdvisor(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
