@@ -67,6 +67,42 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the plan)") {
+    import spark.implicits._
+    // one key carries ~all left rows — the classic hot-key join. With
+    // AQE skew handling forced on (tiny thresholds so test-sized data
+    // qualifies), the executed SortMergeJoin must be marked skew=true:
+    // the runtime re-plan that replaces manual salting at 100 TB.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 60000)
+        .select(when(col("id") % 3 =!= 0, lit(7L))
+          .otherwise(col("id") % 5000).as("k"), col("id").as("payload"))
+      val right = spark.range(0, 5000).select(col("id").as("k"),
+        (col("id") * 2).as("r"))
+      val joined = left.join(right, "k")
+      // execute THIS DataFrame's QueryExecution so the adaptive plan
+      // finalizes (count() would plan a separate aggregate query)
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split join in the adaptive plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q112 skew advisor matches a driver-side count profile") {
     import spark.implicits._
     val got = SkewJoin.q112SkewAdvisor(spark, TestSpark.sfDir)
