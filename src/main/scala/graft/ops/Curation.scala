@@ -732,6 +732,103 @@ object Curation {
        |  END * 1000000) // tokens AS BIGINT) AS repeat_ppm
        |FROM s CROSS JOIN ks""".stripMargin
 
+  /** q165: dataset card — the datasheet row a corpus release ships
+    * (corpus size, composition, duplication, central tendency) as ONE
+    * query, melted to (metric, value) rows so a release pipeline can
+    * diff cards across versions with a plain anti-join. Everything is
+    * an exact integer: counts, ppm shares, and a nearest-rank median
+    * through the bucketed global rank (no single-task sort). The
+    * duplication metrics reuse the engine's own signals — q17's
+    * content digest (exact) and q33's cluster membership (near) — so
+    * the card can't drift from what the dedup pipeline would actually
+    * do.
+    *
+    * Plan: one corpus scan feeds the token/char/doc tallies and the
+    * rank pass; digests aggregate on the digest key; the q33 label
+    * frame joins nothing (its row count is the metric); the final
+    * frame is a dozen 1-row aggregates unioned at aggregate size. */
+  def q165DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(TF.wsTokens(col("text"))).cast("long").as("n_tokens"),
+        md5(TF.normText(col("text"))).as("h"))
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("n_chars")).as("total_chars"))
+    val dupDocs = docs.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("exact_dup_docs"))
+    val nearDocs = DedupOps.q33DedupClusters(spark, dir)
+      .agg(count(lit(1)).as("near_dup_docs"))
+    val topShare = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("top_source_docs"))
+    val medianTok = Rank.groupRank(docs.select(col("doc_id"), col("n_tokens")),
+        Seq.empty, "n_tokens", Seq("doc_id"), "_rk", "_n")
+      .filter(col("_rk") === expr("(_n - 1) div 2"))
+      .select(col("n_tokens").as("median_doc_tokens"))
+    val one = base.crossJoin(broadcast(dupDocs))
+      .crossJoin(broadcast(nearDocs))
+      .crossJoin(broadcast(topShare))
+      .crossJoin(broadcast(medianTok))
+    one.select(expr(
+      """stack(9,
+        |  'n_docs', n_docs,
+        |  'n_sources', n_sources,
+        |  'n_langs', n_langs,
+        |  'total_tokens', total_tokens,
+        |  'total_chars', total_chars,
+        |  'median_doc_tokens', median_doc_tokens,
+        |  'exact_dup_ppm', (exact_dup_docs * 1000000) div n_docs,
+        |  'near_dup_ppm', (near_dup_docs * 1000000) div n_docs,
+        |  'top_source_ppm', (top_source_docs * 1000000) div n_docs
+        |) AS (metric, value)""".stripMargin))
+  }
+
+  val q165Oracle: String =
+    s"""${DedupOps.ClusterCtePrefix}, d AS (
+       |  SELECT doc_id, source, lang, length(text) AS n_chars,
+       |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+       |  FROM documents
+       |), base AS (
+       |  SELECT count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+       |    count(DISTINCT lang) AS n_langs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |  FROM d
+       |), dups AS (
+       |  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS exact_dup_docs
+       |  FROM (SELECT count(*) AS c FROM d GROUP BY h HAVING count(*) > 1)
+       |), nears AS (
+       |  SELECT count(*) AS near_dup_docs
+       |  FROM (SELECT DISTINCT a FROM reach WHERE a <> b)
+       |), tops AS (
+       |  SELECT max(c) AS top_source_docs
+       |  FROM (SELECT count(*) AS c FROM d GROUP BY source)
+       |), med AS (
+       |  SELECT n_tokens AS median_doc_tokens FROM (
+       |    SELECT n_tokens, row_number() OVER (ORDER BY n_tokens ASC,
+       |      doc_id ASC) - 1 AS rk, count(*) OVER () AS n
+       |    FROM d) t
+       |  WHERE rk = (n - 1) // 2
+       |)
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  SELECT unnest(['n_docs', 'n_sources', 'n_langs', 'total_tokens',
+       |      'total_chars', 'median_doc_tokens', 'exact_dup_ppm',
+       |      'near_dup_ppm', 'top_source_ppm']) AS metric,
+       |    unnest([n_docs, n_sources, n_langs, total_tokens, total_chars,
+       |      median_doc_tokens,
+       |      (exact_dup_docs * 1000000) // n_docs,
+       |      (near_dup_docs * 1000000) // n_docs,
+       |      (top_source_docs * 1000000) // n_docs]) AS value
+       |  FROM base CROSS JOIN dups CROSS JOIN nears
+       |  CROSS JOIN tops CROSS JOIN med) u""".stripMargin
+
   /** q141: quality-decile duplicate-lift table — the calibration
     * report that answers "does the quality score predict boilerplate
     * duplication?" (the cross-signal sanity check a curation pipeline
