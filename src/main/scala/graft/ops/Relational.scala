@@ -354,4 +354,52 @@ object Relational {
        |  AND l.l_shipdate > TIMESTAMP '$Q161Cutoff 00:00:00'
        |GROUP BY 1, 2
        |ORDER BY revenue_u4 DESC, l.l_orderkey ASC LIMIT 10""".stripMargin
+
+  /** q166: large-volume customers — the TPC-H Q18 plan shape: an
+    * aggregate-with-HAVING over the fact derives a key set that
+    * SEMI-joins back to restrict a multi-way dimension join. The
+    * HAVING aggregate and the re-join both key on the order key, so
+    * Catalyst reuses one exchange for the groupBy and the join, and
+    * the qualifying key set (a few hundred orders) broadcasts into
+    * the dimension chain rather than shuffling it.
+    *
+    * Quantity is a fixed-point(2) column — summed in integer
+    * centi-units (the Exact discipline) and emitted scaled, so the
+    * HAVING threshold and the output hash are engine-exact. */
+  val Q166MinQtyCenti = 15000L // HAVING sum(l_quantity) > 150.00
+
+  def q166BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), Exact.units(col("l_quantity"), 2).as("qc"))
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("qc")).as("qty_centi"))
+      .filter(col("qty_centi") > Q166MinQtyCenti)
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        Exact.units(col("o_totalprice"), 2).as("price_cents"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        col("price_cents"), col("qty_centi"))
+  }
+
+  val q166Oracle: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey,
+       |    CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+       |      AS qty_centi
+       |  FROM lineitem GROUP BY 1
+       |  HAVING sum(CAST(round(l_quantity * 100.0) AS BIGINT))
+       |    > $Q166MinQtyCenti
+       |)
+       |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       |  CAST(o.o_orderdate AS DATE) AS order_date,
+       |  CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS price_cents,
+       |  big.qty_centi
+       |FROM orders o
+       |JOIN big ON big.l_orderkey = o.o_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey""".stripMargin
 }
