@@ -60,6 +60,22 @@ object Streams {
     left.join(right, equiCond && band, "left_outer")
   }
 
+  /** FULL OUTER stream-stream interval join — both sides null-pad
+    * their unmatched rows once the watermark closes the band (the
+    * reconciliation shape: two feeds that SHOULD match, where a row
+    * missing on either side is itself the signal). Same state-eviction
+    * math as the left variant: the band plus both watermarks bound the
+    * join state on BOTH sides. */
+  def intervalJoinFull(
+      left: DataFrame, right: DataFrame,
+      equiCond: Column,
+      leftTime: String, rightTime: String,
+      lower: String, upper: String): DataFrame = {
+    val band = expr(s"$rightTime >= $leftTime - interval $lower") &&
+      expr(s"$rightTime <= $leftTime + interval $upper")
+    left.join(right, equiCond && band, "full_outer")
+  }
+
   /** Change-data-feed model for a Parquet-only engine (SURVEY.md §7.3):
     * an append stream carrying (_change_type, _commit_version,
     * _commit_timestamp) columns, as Delta CDF would emit. Applying it

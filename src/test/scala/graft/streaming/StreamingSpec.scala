@@ -77,6 +77,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Map(1 -> Some("InBand"), 2 -> None, 3 -> None))
   }
 
+  test("stream-stream FULL OUTER interval join: both sides null-pad after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val a = MemoryStream[(Int, Int, Timestamp)] // (a_id, key, a_time)
+    val b = MemoryStream[(Int, Int, Timestamp)] // (b_id, key, b_time)
+    val l = Streams.watermarked(a.toDF().toDF("a_id", "a_key", "a_time"), "a_time")
+    val r = Streams.watermarked(b.toDF().toDF("b_id", "b_key", "b_time"), "b_time")
+    val joined = Streams.intervalJoinFull(
+      l, r, col("a_key") === col("b_key"),
+      leftTime = "a_time", rightTime = "b_time",
+      lower = "2 minutes", upper = "2 minutes")
+      .select(col("a_id"), col("b_id"))
+    val q = joined.writeStream.format("memory").queryName("full_out")
+      .outputMode("append").start()
+    // key 1: matched in band; key 2: only left feed; key 3: only right
+    a.addData((1, 1, ts(10)), (2, 2, ts(10)))
+    b.addData((11, 1, ts(11)), (13, 3, ts(11)))
+    q.processAllAvailable()
+    // push both watermarks far past the band so unmatched rows emit
+    a.addData((90, 90, ts(40))); b.addData((91, 91, ts(40)))
+    q.processAllAvailable()
+    a.addData((92, 92, ts(55))); b.addData((93, 93, ts(55)))
+    runToCompletion(q)
+    val rows = spark.table("full_out").as[(Option[Int], Option[Int])].collect()
+      .filter(r => r._1.exists(_ <= 3) || r._2.exists(_ <= 13)).toSet
+    assert(rows == Set(
+      (Some(1), Some(11)),  // matched pair
+      (Some(2), None),      // left-only row null-pads right
+      (None, Some(13))))    // right-only row null-pads left
+  }
+
   test("3-way stream-stream LEFT interval join chain (fact_sales shape)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
