@@ -56,4 +56,22 @@ class EdgeCasesSpec extends AnyFunSuite {
     val r = Rank.groupPrefixSum(one, Seq("g"), "v", Seq("id"), "d", "cum")
     assert(r.select("cum").head.getLong(0) == 7L)
   }
+
+  test("KmvStream.registers: empty frame is empty, singleton is its own register") {
+    val empty = Seq.empty[(String, String)].toDF("source", "h15")
+    assert(graft.streaming.KmvStream.registers(empty).count() == 0)
+
+    val one = Seq(("s", "0123456789abcde")).toDF("source", "h15")
+    val r = graft.streaming.KmvStream.registers(one).collect()
+    assert(r.length == 1 && r.head.register == Seq("0123456789abcde"))
+  }
+
+  test("KmvStream.registers truncates past K and dedupes replayed hashes") {
+    val rows = ((0 until graft.ops.Kmv.K + 5).map(i =>
+      ("s", f"$i%015x")) ++ Seq(("s", f"${0}%015x"))) // replay smallest
+    val r = graft.streaming.KmvStream.registers(rows.toDF("source", "h15"))
+      .collect().head.register
+    assert(r.length == graft.ops.Kmv.K)
+    assert(r == (0 until graft.ops.Kmv.K).map(i => f"$i%015x"))
+  }
 }
