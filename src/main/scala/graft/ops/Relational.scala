@@ -402,4 +402,64 @@ object Relational {
        |FROM orders o
        |JOIN big ON big.l_orderkey = o.o_orderkey
        |JOIN customer c ON c.c_custkey = o.o_custkey""".stripMargin
+
+  /** q167: local-supplier volume — the TPC-H Q5 plan shape and the
+    * only CYCLIC join graph in the registry: lineitem joins orders
+    * (key), orders joins customer (key), lineitem joins supplier
+    * (key), and the cycle closes with the co-location predicate
+    * c_nationkey = s_nationkey — revenue only counts when the
+    * customer bought from a supplier of their own nation. Region
+    * filter via two broadcast dimension hops (nation → region).
+    *
+    * Plan: the fact chain shuffles on its join keys once each;
+    * customer and supplier are dimension-sized joins carrying the
+    * nation keys; nation (25 rows, region-filtered) broadcasts; the
+    * closing equality is a residual predicate on an already-keyed
+    * join, not an extra shuffle. Revenue in exact 10⁻⁴-dollar units
+    * (q161's integer formulation). */
+  val Q167Region = "ASIA"
+
+  def q167LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.load(spark, dir, "nation").as("n")
+      .join(Tables.load(spark, dir, "region").as("r"),
+        col("n.n_regionkey") === col("r.r_regionkey"))
+      .filter(col("r.r_name") === Q167Region)
+      .select(col("n.n_nationkey").as("nk"), col("n.n_name").as("nation"))
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("nk"))
+      .select(col("c_custkey"), col("c_nationkey"), col("nation"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (Exact.units(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.units(col("l_discount"), 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("rev_u4"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("nation"))
+      .agg(sum(col("rev_u4")).as("rev"), count(lit(1)).as("n_lines"))
+      .select(col("nation"), col("rev").cast("long").as("revenue_u4"),
+        col("n_lines"))
+  }
+
+  val q167Oracle: String =
+    s"""SELECT n.n_name AS nation,
+       |  CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS HUGEINT) *
+       |    (100 - CAST(round(l.l_discount * 100.0) AS BIGINT)))
+       |    AS BIGINT) AS revenue_u4,
+       |  count(*) AS n_lines
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  AND c.c_nationkey = s.s_nationkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = '$Q167Region'
+       |GROUP BY 1""".stripMargin
 }
