@@ -22,6 +22,10 @@ object Tables {
     // with spark.sql.session.timeZone=UTC, so the NTZ→TZ cast keeps the
     // stored wall-clock == the epoch instant every oracle sees.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TZ cast below is only wall-clock-preserving under UTC;
+    // enforce the invariant where it is relied upon rather than trusting
+    // every entry point to have set it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -44,7 +44,9 @@ object Audit {
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("lineitem_orphan_orders"))
     val custOrphan = orders
-      .join(broadcast(cust.select(col("c_custkey"))),
+      // customer keys grow with SF — no fixed hint; the anti-join
+      // auto-broadcasts from size stats while the key set fits
+      .join(cust.select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("orders_orphan_customers"))
 

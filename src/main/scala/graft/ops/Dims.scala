@@ -110,7 +110,8 @@ object Dims {
     val cust = customer.as("c")
     li
       .join(ord, col("l.l_orderkey") === col("o.o_orderkey"), "left")
-      .join(broadcast(cust), col("o.o_custkey") === col("c.c_custkey"), "left")
+      // customer: SF-growing — no fixed hint (auto-converts while it fits)
+      .join(cust, col("o.o_custkey") === col("c.c_custkey"), "left")
       .select(
         concat(col("l.l_orderkey").cast("string"), lit("_"),
           col("l.l_linenumber").cast("string")).as("sales_key"),

@@ -64,7 +64,10 @@ object Relational {
     val kinds = Seq("VIEW", "CLICK", "PURCHASE", "SIGNUP")
     val daily = ev
       .filter(col("event_type").isin("view", "click", "purchase", "signup"))
-      .join(broadcast(cust), ev("user_id") === cust("c_custkey"), "inner")
+      // customer: SF-growing — no fixed hint; size stats / AQE pick
+      // broadcast while it fits, so the events fact still never
+      // shuffles below the threshold
+      .join(cust, ev("user_id") === cust("c_custkey"), "inner")
       .groupBy(
         col("c_mktsegment").as("segment"),
         to_date(col("ts")).as("obs_date"),
@@ -202,7 +205,8 @@ object Relational {
       .select(col("n_nationkey"), col("n_name"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      // supplier: SF-growing — no hint, auto-converts while it fits
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
         col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
       .join(broadcast(nat.select(col("n_nationkey").as("snk"),
@@ -329,7 +333,7 @@ object Relational {
         (Exact.units(col("l_extendedprice"), 2) *
           (lit(100L) - Exact.units(col("l_discount"), 2)))
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("rev_u4"))
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(cust, col("o_custkey") === col("c_custkey")) // SF-growing: no hint
       .join(li, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(col("rev_u4")).as("rev"), count(lit(1)).as("n_items"))
@@ -380,7 +384,7 @@ object Relational {
     val cust = Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"))
     ord.join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey")) // SF-growing: no hint
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("order_date"),
         col("price_cents"), col("qty_centi"))
@@ -439,7 +443,10 @@ object Relational {
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("rev_u4"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      // no broadcast hint: supplier grows with SF and outgrows a
+      // broadcast at 100 TB (the q138 argument); size stats / AQE
+      // convert this equi-join to a broadcast while it actually fits
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("nation"))
       .agg(sum(col("rev_u4")).as("rev"), count(lit(1)).as("n_lines"))

@@ -28,7 +28,11 @@ object SimilarityOps {
 
   /** Brute-force cosine top-10: query vectors (vec_id < 5) broadcast
     * against all others; rank by cosine desc with vec_id tiebreak. The
-    * data never shuffles for scoring — only the tiny top-k window does. */
+    * data never shuffles for scoring, and the ranking is a BOUNDED
+    * top-k aggregate ([[graft.functions.BoundedTopK]]) — each scan
+    * task keeps a ≤10-row heap per query and ships only that, where a
+    * `Window.partitionBy(query_id)` would funnel the whole scored
+    * corpus into |queries| single-task sorts at 100 TB. */
   def q21KnnCosine(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -41,12 +45,29 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+    topKPerGroup(scored, Seq("query_id"),
+      sortCols = Seq("cosine" -> true, "neighbor_id" -> false), k = 10)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Shared rank shape: per-group bounded top-k in window emit order —
+    * `row_number() OVER (PARTITION BY group ORDER BY sort) <= k`
+    * without the per-group corpus sort. Output = group columns, `rank`
+    * (1-based), and every non-group input column. The sort key must
+    * end in a unique tiebreak column so the selection is a total order
+    * (= partitioning-independent, hash-stable). */
+  private[ops] def topKPerGroup(
+      df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val sortNames = sortCols.map(_._1)
+    val payload = df.columns.toSeq
+      .filterNot(c => groupCols.contains(c) || sortNames.contains(c))
+    val s = struct((sortNames ++ payload).map(col): _*)
+    val tk = graft.functions.BoundedTopK.topK(s, k, sortCols.map(_._2))
+    df.groupBy(groupCols.map(col): _*).agg(tk.as("tk"))
+      .select(groupCols.map(col) :+ posexplode(col("tk")): _*)
+      .withColumn("rank", (col("pos") + 1).cast("long"))
+      .select(groupCols.map(col) ++ Seq(col("rank"), col("col.*")): _*)
   }
 
   val q21Oracle: String =
@@ -178,7 +199,7 @@ object SimilarityOps {
     * candidate generation is a semi-join against the probed cell ids
     * (≅ partition pruning when the corpus is clustered by cell); only
     * nprobe/nCells of the data is scored, and the final top-k is a
-    * per-query window over candidates. */
+    * bounded per-task heap aggregate, never a per-query sort. */
   val IvfProbes = 4
 
   def q36IvfSearch(spark: SparkSession, dir: String): DataFrame = {
@@ -211,11 +232,10 @@ object SimilarityOps {
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+    // bounded top-k, not a per-query window: candidates are still a
+    // nprobe/nCells FRACTION of the corpus — corpus-sized at scale
+    topKPerGroup(scored, Seq("query_id"),
+      sortCols = Seq("cosine" -> true, "neighbor_id" -> false), k = 10)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
@@ -582,11 +602,10 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dot(col("qqs"), col("qs")).cast("long").as("q_dot"),
         col("qv"), col("qnrm"), col("v"), col("nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("q_dot").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+    // bounded top-k (not a per-query window): the coarse integer rank
+    // reduces map-side to ≤10 rows/query/task; floats ride as payload
+    topKPerGroup(scored, Seq("query_id"),
+      sortCols = Seq("q_dot" -> true, "neighbor_id" -> false), k = 10)
       // exact refine on the 50 surviving rows only
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("q_dot"),
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
@@ -732,8 +751,16 @@ object SimilarityOps {
     * neighbor ASC); the oracle replays training, tables and fold
     * bit-for-bit. */
   def q104PqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the trained codes feed THREE downstream subtrees (the
+    // books rebuild, the scored scan, and transitively the broadcast
+    // LUT) — without materialization each one re-runs the full
+    // M × iters training cascade (measured 35 s → ~3 s at sf0.1).
+    // codes is corpus-rows × M of (long, long, long) — cache-trivial;
+    // released by the consumer via clearCache/releaseAll like q84.
     val codes = q103PqCodes(spark, dir)
       .select(col("vec_id"), col("subspace"), col("code"))
+      .persist()
+    codes.count() // materialize ONCE before the three-way fan-out
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     // rebuild the trained codebooks: q103's final centroids are the
@@ -752,6 +779,7 @@ object SimilarityOps {
           aggregate(col("ms"), zero,
             (acc, e) => zip_with(acc, e.getField("sv"), _ + _)),
           s => s / col("cnt")).as("cv"))
+      .persist() // M·K = 16 rows; read by the LUT build AND broadcast
     val queries = subs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("subspace"), col("sv"))
     val lut = queries.join(broadcast(books), "subspace")
@@ -766,10 +794,8 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"),
         aggregate(col("ds"), lit(0.0), (acc, e) => acc + e.getField("d2"))
           .as("adc_d2"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+    topKPerGroup(scored, Seq("query_id"),
+      sortCols = Seq("adc_d2" -> false, "neighbor_id" -> false), k = 10)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_d2"))
   }
 
@@ -1030,8 +1056,12 @@ object SimilarityOps {
   }
 
   /** The q21 and q36 pipelines fused into one CTE chain (shared
-    * e/n/q prefixes), reduced to the per-query overlap count. */
-  val q159Oracle: String =
+    * e/n/q prefixes), ending at top-10 `ex` / `ivf` CTEs WITH ranks
+    * retained. Shared verbatim by [[q159Oracle]] (which ignores the
+    * rank column) and [[q163Oracle]] (which fuses on it) — a named
+    * constant, not post-hoc string surgery, so edits to one oracle
+    * cannot silently corrupt the other. */
+  private val AnnRankedCtePrefix: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
@@ -1042,7 +1072,7 @@ object SimilarityOps {
        |), q AS (
        |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5
        |), ex AS (
-       |  SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, rank FROM (
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id
        |                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -1073,7 +1103,7 @@ object SimilarityOps {
        |    FROM q, c) t
        |  WHERE prk <= $IvfProbes
        |), ivf AS (
-       |  SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, rank FROM (
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id
        |                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -1086,7 +1116,10 @@ object SimilarityOps {
        |      JOIN n ON n.vec_id = a.vec_id
        |      JOIN q ON q.query_id = p.query_id) s) t
        |  WHERE rank <= 10
-       |)
+       |)""".stripMargin
+
+  val q159Oracle: String =
+    s"""$AnnRankedCtePrefix
        |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
        |  CAST(sum(CASE WHEN ivf.neighbor_id IS NULL THEN 0 ELSE 1 END)
        |    AS BIGINT) AS n_hits,
@@ -1129,13 +1162,10 @@ object SimilarityOps {
         col("rrf_score"))
   }
 
-  /** q159's fused CTE chain with ranks retained, plus the integer RRF
+  /** [[AnnRankedCtePrefix]]'s ex/ivf rankings, plus the integer RRF
     * full-outer combine. */
   val q163Oracle: String = {
-    val prefix = q159Oracle.substring(0, q159Oracle.indexOf("\nSELECT ex.query_id"))
-      .replace("SELECT query_id, neighbor_id FROM (",
-        "SELECT query_id, neighbor_id, rank FROM (")
-    s"""$prefix, fused AS (
+    s"""$AnnRankedCtePrefix, fused AS (
        |  SELECT coalesce(ex.query_id, ivf.query_id) AS query_id,
        |    coalesce(ex.neighbor_id, ivf.neighbor_id) AS neighbor_id,
        |    coalesce(1000000000 // ($RrfK + ex.rank), 0)

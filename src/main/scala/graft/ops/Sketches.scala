@@ -84,11 +84,23 @@ object Sketches {
       .select(explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("tok"))
     val buckets = array((0 until CmsDepth).map(j =>
       expr(cmsBucketSql(j, "h", "instr"))): _*)
-    val sketch = cmsCells(toks)
+    // CMS is a LINEAR sketch: cell (j,b) = Σ exact_cnt over the tokens
+    // hashing there — so both the sketch and the yardstick derive from
+    // ONE per-token aggregate. The corpus is scanned and the token
+    // stream shuffled exactly once (map-side combined), the md5 runs
+    // per DISTINCT token instead of per occurrence, and the persisted
+    // frame is vocabulary-sized (scale-safe; released by the
+    // consumer's clearCache). The per-occurrence build stays in
+    // [[cmsCells]], which the streaming twin needs — a stream can't
+    // wait for final exact counts.
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
-    exact
+      .persist()
+    val occ = exact
       .withColumn("h", expr(cmsHexSql("tok")))
       .select(col("tok"), col("exact_cnt"), posexplode(buckets).as(Seq("j", "bucket")))
+    val sketch = occ.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("exact_cnt")).as("bucket_cnt"))
+    occ
       .join(broadcast(sketch), Seq("j", "bucket"))
       .groupBy(col("tok"), col("exact_cnt"))
       .agg(min(col("bucket_cnt")).as("est_cnt"))

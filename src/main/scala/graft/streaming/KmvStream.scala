@@ -36,8 +36,18 @@ object KmvStream {
       .groupByKey(_.source)
       .mapGroupsWithState[Seq[String], KmvRegister](GroupStateTimeout.NoTimeout) {
         (src, it, state) =>
-          val merged = (state.getOption.getOrElse(Seq.empty) ++ it.map(_.h15))
-            .distinct.sorted.take(k)
+          // Fold the batch incrementally into a size-capped sorted set:
+          // peak memory is O(k) per key regardless of micro-batch size
+          // (a hot key's rows never materialize as one buffer).
+          val set = scala.collection.mutable.TreeSet.empty[String]
+          state.getOption.getOrElse(Seq.empty).foreach(set += _)
+          it.foreach { r =>
+            if (set.size < k) set += r.h15
+            else if (r.h15 < set.max && !set.contains(r.h15)) {
+              set -= set.max; set += r.h15
+            }
+          }
+          val merged = set.toSeq
           state.update(merged)
           KmvRegister(src, merged)
       }

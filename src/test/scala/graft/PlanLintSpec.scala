@@ -62,6 +62,60 @@ class PlanLintSpec extends AnyFunSuite {
     assert(unpartitionedWindows(miss).isEmpty)
   }
 
+  // queries whose plans legitimately contain a window partitioned by a
+  // trivial-cardinality key — in every case the window INPUT is already
+  // aggregate-sized (a fused pair of top-10 frames, probe selections
+  // over |queries|×|cells| rows), so the per-partition sort is bounded
+  // by construction, not by luck.
+  private val smallPartitionWindowAllowed = Set(
+    "q163_rrf_fusion",          // fuses two ≤10-row-per-query rankings
+    "q36_ivf_search",           // probe window over queries×cells rows
+    "q56_ivf_search_trained",   // same probe window, trained centroids
+    "q159_ann_recall",          // recall join of two top-10 frames
+    "q97_gap_fill_locf")        // LOCF over the RESAMPLED grid: its size
+                                // is hours×types (time-range bounded),
+                                // independent of corpus row count
+
+  /** Empirical companion to the textual lint: for every Window node in
+    * the ANALYZED plan, measure its input — rows and distinct partition
+    * keys — on the test data. A window whose key collapses a large
+    * input into a handful of partitions is the q21-shape scale killer
+    * (each partition becomes one corpus-sized single-task sort at
+    * 100×); the textual detector can't see it because the window IS
+    * partitioned. Thresholds: flag when input ≥ 500 rows funnel into
+    * ≤ 16 partitions averaging ≥ 100 rows each. */
+  private def trivialPartitionWindows(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.functions.{count_distinct, lit, struct, count => fcount}
+    def touchesBkt(w: LWindow): Boolean =
+      (w.partitionSpec ++ w.orderSpec.map(_.child)).exists(_.exists {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+          a.name == "_bkt"
+        case _ => false
+      }) ||
+        // phase-2 group-total windows neither partition nor order by
+        // _bkt, but they RUN OVER the (group, _bkt) counts table — the
+        // marker column is in the child's output
+        w.child.output.exists(_.name == "_bkt")
+    df.queryExecution.analyzed.collect {
+      // `_bkt` marks the two-phase Rank primitive: its windows are
+      // bounded BY CONSTRUCTION (phase 2 runs over the ≤ groups×256
+      // counts table; phase 3 partitions each group into 256 bucket
+      // slices — tiny test data can degenerate to few occupied buckets,
+      // but the fan-out is data-scaled, not fixed-trivial)
+      case w: LWindow if w.partitionSpec.nonEmpty && !touchesBkt(w) =>
+        val child = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, w.child)
+        val keys = w.partitionSpec.map(org.apache.spark.sql.graft.ColumnBridge.toColumn)
+        val row = child.agg(fcount(lit(1)), count_distinct(struct(keys: _*))).head()
+        (row.getLong(0), row.getLong(1), w.partitionSpec.map(_.sql).mkString(", "))
+    }.collect {
+      case (rows, parts, keys)
+          if rows >= 500 && parts <= 16 && rows / math.max(parts, 1) >= 100 =>
+        s"window over $rows rows partitioned into $parts groups by ($keys)"
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plan has no cartesian product or stray global window") {
       val plan = fn(spark, TestSpark.sfDir)
@@ -73,6 +127,12 @@ class PlanLintSpec extends AnyFunSuite {
       if (!globalWindowAllowed.contains(name))
         assert(stray.isEmpty,
           s"$name has an unpartitioned Window: ${stray.headOption.getOrElse("")}")
+      if (!smallPartitionWindowAllowed.contains(name)) {
+        val trivial = trivialPartitionWindows(fn(spark, TestSpark.sfDir))
+        assert(trivial.isEmpty,
+          s"$name funnels a large input through a trivial-cardinality " +
+            s"window partition: ${trivial.headOption.getOrElse("")}")
+      }
     }
   }
 }

@@ -7,7 +7,7 @@ from oracle_sql.json in DuckDB (with each test table registered as a view
 over its parquet file), sorts columns by name, sorts rows, and compares
 values exactly (floats: bit-exact after both sides' round()).
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 import pandas as pd
 import numpy as np
@@ -24,6 +24,7 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 failures = 0
+proxy_times = {}  # per-oracle DuckDB wall seconds -> PROXY json artifact
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
@@ -35,7 +36,9 @@ for name in sorted(os.listdir(out_dir)):
         if len(got) == 0:
             failures += 1
         continue
+    t0 = time.monotonic()
     exp = con.sql(oracles[name]).df()
+    proxy_times[name] = round(time.monotonic() - t0, 4)
     def norm(df):
         df = df[sorted(df.columns)].copy()
         for c in df.columns:
@@ -80,4 +83,13 @@ if not os.environ.get("SPARK_GRAFT_ONLY"):
     for m in sorted(missing):
         failures += 1
         print(f"[FAIL] {m}: oracle declared but no result parquet")
+
+# Per-query proxy wall times (the 2x-per-query grading is otherwise only
+# auditable in aggregate). PROXY_OUT overrides the destination.
+proxy_out = os.environ.get("PROXY_OUT", os.path.join(out_dir, "proxy_times.json"))
+with open(proxy_out, "w") as f:
+    json.dump({"sf": sf_dir, "total_sec": round(sum(proxy_times.values()), 3),
+               "queries": proxy_times}, f, indent=0, sort_keys=True)
+print(f"[proxy] {len(proxy_times)} oracle timings -> {proxy_out} "
+      f"(total {sum(proxy_times.values()):.1f}s)")
 sys.exit(1 if failures else 0)
