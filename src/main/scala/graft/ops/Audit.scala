@@ -1063,4 +1063,68 @@ object Audit {
       |    // (CAST(n_s AS HUGEINT) * (n_tot - n_s)) AS BIGINT) AS ks_ppm
       |FROM c CROSS JOIN n
       |GROUP BY source, n_s, n_tot""".stripMargin
+
+  /** q176: total-variation drift per event type between the first and
+    * second half of the event stream — the binned distribution-shift
+    * monitor that complements q155's KS statistic: PSI's binning with a
+    * rational statistic (TV = ½·Σ|p−q|) instead of PSI's logarithm, so
+    * the ppm output is exact integer arithmetic end to end (no
+    * transcendentals to diverge between engines).
+    *
+    * Plan: ONE grouped pass over events produces per-(type, bin)
+    * counts for both halves via conditional aggregation; per-type
+    * totals are a second aggregate over that (bins-sized) frame,
+    * joined back broadcast. |c_a·n_b − c_b·n_a| keeps the comparison
+    * in cross-multiplied integer space; products go Decimal(38,0)
+    * (c·n ≤ n² overflows int64 past ~3·10⁹ events). Bins-sized
+    * everywhere after the first shuffle. */
+  val Q176SplitTs = "2024-01-16"
+  val Q176BinWidth = 50.0
+
+  def q176TvDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") / Q176BinWidth).cast("long").as("bin"),
+        (col("ts") < lit(Q176SplitTs)).as("is_a"))
+    val perBin = ev.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
+    val totals = perBin.groupBy(col("event_type"))
+      .agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    perBin.join(broadcast(totals), Seq("event_type"))
+      .withColumn("diff", expr(
+        """abs(CAST(c_a AS DECIMAL(38,0)) * n_b
+          |  - CAST(c_b AS DECIMAL(38,0)) * n_a)""".stripMargin))
+      .groupBy(col("event_type"), col("n_a"), col("n_b"))
+      .agg(sum(col("diff")).as("tv_num"), count(lit(1)).as("n_bins"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("n_bins"),
+        expr(
+          """CAST((tv_num * 500000)
+            |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
+            .stripMargin).as("tv_ppm"))
+  }
+
+  val q176Oracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    CAST(floor(value / $Q176BinWidth) AS BIGINT) AS bin,
+       |    ts < TIMESTAMP '$Q176SplitTs' AS is_a
+       |  FROM events
+       |), per_bin AS (
+       |  SELECT event_type, bin,
+       |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS c_a,
+       |    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS c_b
+       |  FROM ev GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT event_type, sum(c_a) AS n_a, sum(c_b) AS n_b
+       |  FROM per_bin GROUP BY 1
+       |)
+       |SELECT p.event_type, CAST(t.n_a AS BIGINT) AS n_a,
+       |  CAST(t.n_b AS BIGINT) AS n_b,
+       |  count(*) AS n_bins,
+       |  CAST(sum(abs(CAST(p.c_a AS HUGEINT) * t.n_b
+       |      - CAST(p.c_b AS HUGEINT) * t.n_a)) * 500000
+       |    // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS tv_ppm
+       |FROM per_bin p JOIN tot t USING (event_type)
+       |GROUP BY p.event_type, t.n_a, t.n_b""".stripMargin
 }

@@ -1,0 +1,390 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Classic decision-support shapes the reference's warehouse layer would
+  * run over the sales star (reference: aw_gold_layer_sales notebooks build
+  * exactly these aggregate/share/distribution reports over fact_sales —
+  * aw_gold_layer_sales/src/notebook.ipynb). Each query is a canonical
+  * TPC-H-derived plan shape the engine must keep efficient at 100 TB:
+  * market share (Q8), promo share (Q14), top-supplier argmax (Q15),
+  * customer order-count distribution (Q13), correlated small-quantity
+  * revenue (Q17), disjunctive predicate pushdown (Q19), sole-supplier
+  * attribution (Q21 flavor), and idle-rich-customer anti join (Q22).
+  *
+  * All money/quantity arithmetic is in exact integer units ([[Exact]]),
+  * shares as ppm integer divisions, so every oracle hash-matches.
+  */
+object Classic {
+
+  /** q168: national market share (TPC-H Q8 shape). Within AMERICA-region
+    * customers' revenue, the ppm share supplied by NATION_1, per order
+    * year. Two dimension hops (nation→region) broadcast onto customer;
+    * supplier carries its nation key; the fact chain
+    * lineitem⋈orders⋈customer shuffles once per key. The share is a
+    * conditional sum over the SAME aggregated frame — numerator and
+    * denominator in one pass, no second scan, no self-join. */
+  val Q168Region = "AMERICA"
+  val Q168SuppNation = "NATION_1"
+
+  def q168MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val natAm = Tables.load(spark, dir, "nation").as("n")
+      .join(Tables.load(spark, dir, "region").as("r"),
+        col("n.n_regionkey") === col("r.r_regionkey"))
+      .filter(col("r.r_name") === Q168Region)
+      .select(col("n.n_nationkey").as("cust_nk"))
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(natAm), col("c_nationkey") === col("cust_nk"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.load(spark, dir, "nation")
+      .filter(col("n_name") === Q168SuppNation)
+      .select(col("n_nationkey").as("supp_nk"))
+    // supplier grows with SF: no fixed hint, AQE converts while it fits
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(suppNation), col("s_nationkey") === col("supp_nk"),
+        "left")
+      .select(col("s_suppkey"), col("supp_nk").isNotNull.as("is_target"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (Exact.units(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.units(col("l_discount"), 2)))
+          .cast(DecimalType(38, 0)).as("rev_u4"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("is_target"), col("rev_u4")).otherwise(lit(0)))
+          .as("nat_rev"),
+        sum(col("rev_u4")).as("tot_rev"))
+      .select(col("o_year"),
+        col("nat_rev").cast("long").as("nation_rev_u4"),
+        col("tot_rev").cast("long").as("total_rev_u4"),
+        ((col("nat_rev") * 1000000L) / col("tot_rev"))
+          .cast("long").as("share_ppm"))
+  }
+
+  val q168Oracle: String =
+    s"""WITH am_cust AS (
+       |  SELECT c_custkey FROM customer c
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  WHERE r.r_name = '$Q168Region'
+       |), s AS (
+       |  SELECT s_suppkey,
+       |    s_nationkey = (SELECT n_nationkey FROM nation
+       |                   WHERE n_name = '$Q168SuppNation') AS is_target
+       |  FROM supplier
+       |), a AS (
+       |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       |    sum(CASE WHEN s.is_target THEN
+       |      CAST(round(l.l_extendedprice * 100.0) AS HUGEINT) *
+       |      (100 - CAST(round(l.l_discount * 100.0) AS BIGINT))
+       |      ELSE 0 END) AS nat_rev,
+       |    sum(CAST(round(l.l_extendedprice * 100.0) AS HUGEINT) *
+       |      (100 - CAST(round(l.l_discount * 100.0) AS BIGINT))) AS tot_rev
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN am_cust ON o.o_custkey = am_cust.c_custkey
+       |  JOIN s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1
+       |)
+       |SELECT o_year, CAST(nat_rev AS BIGINT) AS nation_rev_u4,
+       |  CAST(tot_rev AS BIGINT) AS total_rev_u4,
+       |  CAST((nat_rev * 1000000) // tot_rev AS BIGINT) AS share_ppm
+       |FROM a""".stripMargin
+
+  /** q169: promo revenue share per ship month (TPC-H Q14 shape). The
+    * part catalog join carries only a boolean (is the part PROMO), so
+    * the join payload is minimal; numerator and denominator come out of
+    * ONE grouped pass via conditional aggregation. part has no fixed
+    * broadcast hint — it grows with SF (q138's argument); AQE converts
+    * the equi-join while the pruned two-column projection fits. */
+  def q169PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        (Exact.units(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.units(col("l_discount"), 2)))
+          .cast(DecimalType(38, 0)).as("rev_u4"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_month"))
+      .agg(
+        sum(when(col("is_promo"), col("rev_u4")).otherwise(lit(0)))
+          .as("promo_rev"),
+        sum(col("rev_u4")).as("tot_rev"))
+      .select(col("ship_month"),
+        col("promo_rev").cast("long").as("promo_rev_u4"),
+        col("tot_rev").cast("long").as("total_rev_u4"),
+        ((col("promo_rev") * 1000000L) / col("tot_rev"))
+          .cast("long").as("promo_ppm"))
+  }
+
+  val q169Oracle: String =
+    """WITH a AS (
+      |  SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+      |    sum(CASE WHEN p.p_type = 'PROMO' THEN
+      |      CAST(round(l.l_extendedprice * 100.0) AS HUGEINT) *
+      |      (100 - CAST(round(l.l_discount * 100.0) AS BIGINT))
+      |      ELSE 0 END) AS promo_rev,
+      |    sum(CAST(round(l.l_extendedprice * 100.0) AS HUGEINT) *
+      |      (100 - CAST(round(l.l_discount * 100.0) AS BIGINT))) AS tot_rev
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1
+      |)
+      |SELECT ship_month, CAST(promo_rev AS BIGINT) AS promo_rev_u4,
+      |  CAST(tot_rev AS BIGINT) AS total_rev_u4,
+      |  CAST((promo_rev * 1000000) // tot_rev AS BIGINT) AS promo_ppm
+      |FROM a""".stripMargin
+
+  /** q170: top supplier(s) by revenue in a quarter (TPC-H Q15 shape).
+    * The per-supplier revenue aggregate is supplier-count-sized; the
+    * argmax is a scalar-subquery max over THAT aggregate joined back —
+    * never a global sort, and ties surface as multiple rows exactly as
+    * Q15 specifies. The quarter filter prunes the fact scan before the
+    * shuffle (PushedFilters on l_shipdate). */
+  val Q170From = "1997-01-01"
+  val Q170To = "1997-04-01"
+
+  def q170TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(Q170From) &&
+        col("l_shipdate") < lit(Q170To))
+      .select(col("l_suppkey"),
+        (Exact.units(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.units(col("l_discount"), 2)))
+          .cast(DecimalType(38, 0)).as("rev_u4"))
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(sum(col("rev_u4")).cast("long").as("total_rev_u4"))
+    val top = rev.agg(max(col("total_rev_u4")).as("max_rev"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    rev.join(broadcast(top), col("total_rev_u4") === col("max_rev"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_u4"))
+  }
+
+  val q170Oracle: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    CAST(sum(CAST(round(l_extendedprice * 100.0) AS HUGEINT) *
+       |      (100 - CAST(round(l_discount * 100.0) AS BIGINT)))
+       |      AS BIGINT) AS total_rev_u4
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$Q170From'
+       |    AND l_shipdate < TIMESTAMP '$Q170To'
+       |  GROUP BY 1
+       |)
+       |SELECT s.s_suppkey, s.s_name, rev.total_rev_u4
+       |FROM rev
+       |JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+       |WHERE rev.total_rev_u4 = (SELECT max(total_rev_u4) FROM rev)""".stripMargin
+
+  /** q171: customer order-count distribution (TPC-H Q13 shape). LEFT
+    * join so zero-order customers land in the c_count=0 bucket; two
+    * cascaded hash aggregates (orders per customer, then customers per
+    * count) — the second input is customer-sized, the output is
+    * distinct-count-sized. The left join shuffles both sides on
+    * custkey once; no window, no sort. */
+  def q171OrderCountDist(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer").select(col("c_custkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q171Oracle: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1
+      |)
+      |GROUP BY 1""".stripMargin
+
+  /** q172: small-quantity revenue per brand (TPC-H Q17 shape). The
+    * correlated per-part average-quantity subquery becomes a grouped
+    * aggregate joined back onto the fact — one extra shuffle on
+    * partkey, not a per-row subquery. The `qty < avg/2` comparison is
+    * cross-multiplied into integer space (2·qty·n < Σqty) so no
+    * division touches the predicate and the oracle is bit-exact. */
+  def q172SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        Exact.units(col("l_quantity"), 2).as("qty_centi"),
+        Exact.units(col("l_extendedprice"), 2).as("price_cents"))
+    val avgQ = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty_centi")).as("sum_qty"), count(lit(1)).as("n_li"))
+      .select(col("l_partkey").as("ap_partkey"), col("sum_qty"),
+        col("n_li"))
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    li.join(avgQ, col("l_partkey") === col("ap_partkey"))
+      .filter(col("qty_centi") * 2 * col("n_li") < col("sum_qty"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("price_cents")).cast("long").as("rev_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q172Oracle: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |    CAST(round(l_quantity * 100.0) AS BIGINT) AS qty_centi,
+      |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_cents
+      |  FROM lineitem
+      |), avg_q AS (
+      |  SELECT l_partkey AS ap_partkey, sum(qty_centi) AS sum_qty,
+      |    count(*) AS n_li
+      |  FROM li GROUP BY 1
+      |)
+      |SELECT p.p_brand,
+      |  CAST(sum(li.price_cents) AS BIGINT) AS rev_cents,
+      |  count(*) AS n_lines
+      |FROM li
+      |JOIN avg_q ON li.l_partkey = avg_q.ap_partkey
+      |JOIN part p ON li.l_partkey = p.p_partkey
+      |WHERE li.qty_centi * 2 * avg_q.n_li < avg_q.sum_qty
+      |GROUP BY 1""".stripMargin
+
+  /** q173: disjunctive multi-band predicate revenue (TPC-H Q19 shape).
+    * Three OR'd (brand, size-range, qty-range) bands. The brand/size
+    * half of each band prunes the part catalog BEFORE the join (the
+    * scan reads only matching parts); the residual qty half evaluates
+    * post-join. One row out: the predicate-pushdown stress test. */
+  def q173DisjunctiveBands(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50)))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        Exact.units(col("l_quantity"), 0).as("qty"),
+        (Exact.units(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.units(col("l_discount"), 2)))
+          .cast(DecimalType(38, 0)).as("rev_u4"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("qty").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("qty").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("qty").between(20, 50)))
+      .agg(sum(col("rev_u4")).cast("long").as("revenue_u4"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q173Oracle: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS HUGEINT) *
+      |    (100 - CAST(round(l.l_discount * 100.0) AS BIGINT)))
+      |    AS BIGINT) AS revenue_u4,
+      |  count(*) AS n_lines
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE
+      |  (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+      |    AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 20)
+      |  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+      |    AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10 AND 30)
+      |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+      |    AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 20 AND 50)""".stripMargin
+
+  /** q174: sole-supplier attribution (TPC-H Q21 flavor without the
+    * receipt/commit dates this schema lacks). Per order: line count and
+    * distinct-supplier count in one grouped pass (min(supp) doubles as
+    * the attribution key when distinct=1); multi-line single-supplier
+    * orders credit that supplier. Two cascaded hash aggregates — the
+    * anti-join-heavy original decorrelates to the same plan. */
+  def q174SoleSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        min(col("l_suppkey")).as("the_supp"))
+      .filter(col("n_lines") >= 2 && col("n_supp") === 1)
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    perOrder.groupBy(col("the_supp"))
+      .agg(count(lit(1)).as("n_sole_orders"),
+        sum(col("n_lines")).cast("long").as("n_lines_total"))
+      .join(supp, col("the_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_sole_orders"),
+        col("n_lines_total"))
+  }
+
+  val q174Oracle: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey, count(*) AS n_lines,
+      |    count(DISTINCT l_suppkey) AS n_supp,
+      |    min(l_suppkey) AS the_supp
+      |  FROM lineitem GROUP BY 1
+      |  HAVING count(*) >= 2 AND count(DISTINCT l_suppkey) = 1
+      |)
+      |SELECT s.s_suppkey, s.s_name,
+      |  count(*) AS n_sole_orders,
+      |  CAST(sum(n_lines) AS BIGINT) AS n_lines_total
+      |FROM per_order
+      |JOIN supplier s ON per_order.the_supp = s.s_suppkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q175: idle rich customers (TPC-H Q22 shape). Customers whose
+    * balance exceeds the positive-balance average and who have no
+    * RECENT orders (none since [[Q175Cutoff]]), reported per market
+    * segment. The global average is a 1-row broadcast; the no-recent-
+    * orders condition is a LEFT ANTI join on custkey (the decorrelated
+    * NOT EXISTS) whose right side is date-pruned at the scan; the
+    * threshold comparison is cross-multiplied into cents·count integer
+    * space — no division in the predicate. */
+  val Q175Cutoff = "2000-01-01"
+
+  def q175IdleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        Exact.units(col("c_acctbal"), 2).as("bal_cents"))
+    val posAvg = cust.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    val recent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(Q175Cutoff))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(posAvg))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("bal_cents")).cast("long").as("bal_cents_total"))
+  }
+
+  val q175Oracle: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_mktsegment,
+       |    CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+       |  FROM customer
+       |), pos AS (
+       |  SELECT sum(bal_cents) AS sum_pos, count(*) AS n_pos
+       |  FROM cust WHERE bal_cents > 0
+       |)
+       |SELECT c.c_mktsegment, count(*) AS n_cust,
+       |  CAST(sum(c.bal_cents) AS BIGINT) AS bal_cents_total
+       |FROM cust c CROSS JOIN pos
+       |WHERE c.bal_cents * pos.n_pos > pos.sum_pos
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |                  WHERE o.o_custkey = c.c_custkey
+       |                    AND o.o_orderdate >= TIMESTAMP '$Q175Cutoff')
+       |GROUP BY 1""".stripMargin
+}

@@ -87,6 +87,52 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked == exhaustive)
   }
 
+  test("q177 prefix-blocked containment finds exactly the exhaustive pairs") {
+    // the prefix theorem applied to the SMALLER doc only — assert the
+    // blocking loses nothing against a full all-pairs verify on the
+    // real corpus (same way q18/q57 pin their blocked ≡ exhaustive)
+    val arr = DedupOps.shingleArrayDf(
+      graft.Tables.load(spark, TestSpark.sfDir, "documents"))
+    val ids = arr.select(col("doc_id"))
+    val allCand = ids.select(col("doc_id").as("doc_id_1"))
+      .crossJoin(ids.select(col("doc_id").as("doc_id_2")))
+      .filter(col("doc_id_1") < col("doc_id_2"))
+    val a1 = arr.select(col("doc_id").as("doc_id_1"),
+      col("hshs").as("h1"), col("n").as("n1"))
+    val a2 = arr.select(col("doc_id").as("doc_id_2"),
+      col("hshs").as("h2"), col("n").as("n2"))
+    val exhaustive = allCand.join(a1, "doc_id_1").join(a2, "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"),
+        (size(array_intersect(col("h1"), col("h2"))) * lit(1.0) /
+          least(col("n1"), col("n2"))).as("c"))
+      .filter(col("c") >= DedupOps.ContainmentThreshold)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    val blocked = DedupOps.q177Containment(spark, TestSpark.sfDir)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(exhaustive.nonEmpty, "corpus should contain containment dups")
+    assert(blocked == exhaustive)
+  }
+
+  test("q177 catches a planted subset doc that Jaccard misses") {
+    // doc 2 = doc 1's text embedded in 3x the content: containment 1.0
+    // (every shingle of doc 1 appears in doc 2), Jaccard well under 0.5
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = s"one two three four five six seven $small " +
+      "eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    Seq((1L, small), (2L, big), (3L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val contained = DedupOps.q177Containment(spark, dir)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(contained.map(r => (r._1, r._2)).toSet == Set((1L, 2L)),
+      s"got ${contained.toSeq}")
+    val (c, j) = (contained.head._3, contained.head._4)
+    assert(c == 1.0, s"containment of planted subset should be 1.0, got $c")
+    assert(j < DedupOps.JaccardThreshold,
+      s"planted pair must be invisible to Jaccard dedup (j=$j)")
+  }
+
   test("q76 member join carries no static broadcast hint (corpus-scale side)") {
     // the near-dup member set grows with the duplicate count, so q76
     // must leave the join strategy to AQE (runtime size) rather than

@@ -114,7 +114,11 @@ class InvarianceSpec extends AnyFunSuite {
     ("q162 token budget (global prefix-sum water-filling)",
       () => Curation.q162TokenBudget(spark, TestSpark.sfDir)),
     ("q164 sort advisor (three bucketed global rank layouts)",
-      () => Layout.q164SortAdvisor(spark, TestSpark.sfDir)))
+      () => Layout.q164SortAdvisor(spark, TestSpark.sfDir)),
+    ("q176 TV drift (cross-multiplied integer binned distance)",
+      () => Audit.q176TvDrift(spark, TestSpark.sfDir)),
+    ("q177 containment pairs (prefix-blocked smaller-side join)",
+      () => DedupOps.q177Containment(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {

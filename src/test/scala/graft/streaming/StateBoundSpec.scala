@@ -73,4 +73,61 @@ class StateBoundSpec extends AnyFunSuite {
       q.awaitTermination()
     }
   }
+
+  test("interval-join state stays band-bounded over a 10x soak on the RocksDB provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production state-store provider: the 100 TB streaming-state
+    // argument measured where it would actually run, over a feed 10x
+    // the HDFS-provider soak above
+    val prev = Streams.useRocksDbStateStore(spark)
+    def tsLong(minute: Int): Timestamp =
+      Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(minute.toLong))
+    val left = MemoryStream[(Int, Int, Timestamp)]
+    val right = MemoryStream[(Int, String, Timestamp)]
+    val l = Streams.watermarked(
+      left.toDF().toDF("id", "key_fk", "l_time"), "l_time", "5 minutes")
+    val r = Streams.watermarked(
+      right.toDF().toDF("key", "tag", "r_time"), "r_time", "5 minutes")
+    val joined = Streams.intervalJoinLeft(l, r,
+      col("key_fk") === col("key"),
+      leftTime = "l_time", rightTime = "r_time",
+      lower = "2 minutes", upper = "2 minutes")
+    val q = joined.writeStream.format("memory").queryName("soak_rocksdb_out")
+      .outputMode("append").start()
+    try {
+      val rounds = 80
+      val perBatch = 100
+      val stateSizes = (0 until rounds).map { round =>
+        val base = round * 20
+        left.addData((0 until perBatch).map(i => (round * perBatch + i, i, tsLong(base))): _*)
+        right.addData((0 until perBatch).map(i => (i, s"r$round", tsLong(base + 1))): _*)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.head.numRowsTotal
+      }
+      assert(spark.table("soak_rocksdb_out").count() >= (rounds - 1).toLong * perBatch)
+      // band-bounded at EVERY round, not just on average: the peak over
+      // an 80-round feed stays within the same small multiple of one
+      // round's rows the 8-round soak allows — state is a sliding
+      // window however long the stream runs
+      val peak = stateSizes.max
+      assert(peak <= 6L * perBatch,
+        s"state never evicted on rocksdb: peak $peak " +
+          s"(sizes ${stateSizes.take(10).mkString(",")}...)")
+      assert(stateSizes.last <= 6L * perBatch)
+      // late half of the soak must look like the early half (no creep)
+      val firstHalfMax = stateSizes.slice(2, rounds / 2).max
+      val secondHalfMax = stateSizes.drop(rounds / 2).max
+      assert(secondHalfMax <= firstHalfMax + 2L * perBatch,
+        s"state creeps across the soak: $firstHalfMax -> $secondHalfMax")
+    } finally {
+      q.stop()
+      q.awaitTermination()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
