@@ -936,4 +936,69 @@ object TextOps {
       |  count(*) AS vocab_size
       |FROM fs JOIN b ON fs.first_doc <= b.bound_doc
       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q179: vocabulary coverage curve — for each candidate vocabulary
+    * size K, the ppm of corpus token OCCURRENCES covered by the K most
+    * frequent types (frequency desc, token asc tie-break): the
+    * capacity-planning curve a tokenizer design reads to pick a vocab
+    * size / predict OOV rate. Zipf makes the interesting K range
+    * exponential, so K doubles per row.
+    *
+    * Plan: the type-frequency table is one hash aggregate (the only
+    * corpus-sized shuffle); ranking and the cumulative occurrence
+    * count run on the TYPES frame via [[Rank.groupRank]] +
+    * [[Rank.globalPrefixSum]] (bucketed — no single-task sort over
+    * the vocabulary, which at web scale is 10⁸+ types); the K grid
+    * joins by rank equality. Rank ordering uses the negated frequency
+    * (the primitive ranks ASC), tie token asc. */
+  val Q179VocabSizes: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+  def q179VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .withColumn("neg_freq", -col("freq"))
+    val ranked = Rank.groupRank(freq, Seq.empty, "neg_freq", Seq("token"),
+      "rk", "n_types")
+    val cum = Rank.globalPrefixSum(
+      ranked.select(col("token"), col("neg_freq"), col("freq"),
+        col("rk"), col("n_types")),
+      "rk", Nil, "freq", "cum_freq")
+    val tot = cum.agg(max(col("cum_freq")).as("total_occ"))
+    val spark2 = spark
+    import spark2.implicits._
+    val ks = Q179VocabSizes.toDF("vocab_size")
+    cum.join(broadcast(ks), col("rk") === col("vocab_size") - 1)
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"), col("n_types"),
+        col("cum_freq").as("covered_occ"),
+        col("total_occ"),
+        expr("""(CAST(cum_freq AS DECIMAL(38,0)) * 1000000)
+               |  div total_occ""".stripMargin)
+          .cast("long").as("coverage_ppm"))
+  }
+
+  val q179Oracle: String = {
+    val ks = Q179VocabSizes.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+       |  FROM documents
+       |), f AS (
+       |  SELECT token, count(*) AS freq FROM tok GROUP BY 1
+       |), r AS (
+       |  SELECT token, freq,
+       |    row_number() OVER (ORDER BY freq DESC, token ASC) - 1 AS rk,
+       |    count(*) OVER () AS n_types,
+       |    sum(freq) OVER (ORDER BY freq DESC, token ASC) AS cum_freq,
+       |    sum(freq) OVER () AS total_occ
+       |  FROM f
+       |)
+       |SELECT k.vocab_size, CAST(r.n_types AS BIGINT) AS n_types,
+       |  CAST(r.cum_freq AS BIGINT) AS covered_occ,
+       |  CAST(r.total_occ AS BIGINT) AS total_occ,
+       |  CAST((CAST(r.cum_freq AS HUGEINT) * 1000000) // r.total_occ
+       |    AS BIGINT) AS coverage_ppm
+       |FROM r JOIN (SELECT unnest([$ks]) AS vocab_size) k
+       |  ON r.rk = k.vocab_size - 1""".stripMargin
+  }
 }

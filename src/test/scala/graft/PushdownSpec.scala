@@ -68,6 +68,33 @@ class PushdownSpec extends AnyFunSuite {
       s"customer scan unpruned: ${scans.mkString("; ")}")
   }
 
+  test("q170 top supplier: the quarter window is pushed to the lineitem scan") {
+    val p = physical("q170_top_supplier")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"),
+      "shipdate quarter bounds did not reach the scan")
+  }
+
+  test("q173 disjunctive bands: the OR'd brand/size predicate is pushed to the part scan") {
+    val p = physical("q173_disjunctive_bands")
+    // the disjunction of (brand, size-range) conjuncts must reach the
+    // part scan as an Or pushed filter, not evaluate post-scan
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(l => l.contains("Or(") && l.contains("p_brand")),
+      s"OR predicate not pushed: ${pushed.mkString("; ")}")
+  }
+
+  test("q175 idle rich: the recency cutoff is pushed to the orders scan") {
+    val p = physical("q175_idle_rich_customers")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "o_orderdate cutoff did not reach the scan")
+    // the customer scan reads only the three columns the query uses
+    val scans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("c_custkey")).toSeq
+    assert(scans.nonEmpty && !scans.exists(_.contains("c_name")),
+      s"customer scan unpruned: ${scans.mkString("; ")}")
+  }
+
   test("q138 co-purchase: the lineitem scan reads only order/part keys") {
     val p = physical("q138_copurchase")
     val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq

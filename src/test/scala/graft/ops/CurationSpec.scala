@@ -157,4 +157,32 @@ class CurationSpec extends AnyFunSuite {
       assert(unsat.max - unsat.min <= 1,
         s"water level not level: ${unsat.min}..${unsat.max}")
   }
+
+  test("q178 systematic PPS draws exactly K samples and oversamples big docs") {
+    val rows = Curation.q178SystematicSample(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    // the defining invariant of systematic sampling: multiplicities
+    // sum to exactly the K grid points, however the weights fall
+    val drawn = rows.map(_.getAs[Long]("multiplicity")).sum
+    assert(drawn == Curation.Q178SampleTarget.toLong,
+      s"drew $drawn of ${Curation.Q178SampleTarget}")
+    // every selected doc's weight span really contains >= 1 grid point
+    rows.foreach(r => assert(r.getAs[Long]("multiplicity") >= 1L))
+  }
+
+  test("q179 coverage curve is monotone and ends at full coverage for K >= vocab") {
+    val rows = TextOps.q179VocabCoverage(spark, TestSpark.sfDir)
+      .orderBy(org.apache.spark.sql.functions.col("vocab_size")).collect()
+    assert(rows.nonEmpty)
+    val cov = rows.map(_.getAs[Long]("coverage_ppm"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+      s"coverage not monotone: ${cov.toSeq}")
+    cov.foreach(c => assert(c >= 0 && c <= 1000000L))
+    // rows only exist for K <= n_types; the largest feasible K's
+    // cumulative count must cover every occurrence when K == n_types
+    val nTypes = rows.head.getAs[Long]("n_types")
+    rows.find(_.getAs[Int]("vocab_size").toLong == nTypes).foreach { last =>
+      assert(last.getAs[Long]("coverage_ppm") == 1000000L)
+    }
+  }
 }

@@ -118,7 +118,11 @@ class InvarianceSpec extends AnyFunSuite {
     ("q176 TV drift (cross-multiplied integer binned distance)",
       () => Audit.q176TvDrift(spark, TestSpark.sfDir)),
     ("q177 containment pairs (prefix-blocked smaller-side join)",
-      () => DedupOps.q177Containment(spark, TestSpark.sfDir)))
+      () => DedupOps.q177Containment(spark, TestSpark.sfDir)),
+    ("q178 systematic PPS sample (bucketed global prefix sum)",
+      () => Curation.q178SystematicSample(spark, TestSpark.sfDir)),
+    ("q179 vocab coverage curve (type-frame rank + prefix sum)",
+      () => TextOps.q179VocabCoverage(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
