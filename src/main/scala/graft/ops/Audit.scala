@@ -1081,14 +1081,24 @@ object Audit {
   val Q176SplitTs = "2024-01-16"
   val Q176BinWidth = 50.0
 
-  def q176TvDrift(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+  /** The maintainable half of q176: per-(type, bin) reference/current
+    * counts. Counts are a mergeable monoid, so this SAME aggregate runs
+    * as live streaming state (graft.streaming.DriftStream) — the cells
+    * frame is |types|·|bins| rows however long the stream runs. Works
+    * on batch AND streaming frames with (event_type, ts, value). */
+  def q176Cells(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
         floor(col("value") / Q176BinWidth).cast("long").as("bin"),
         (col("ts") < lit(Q176SplitTs)).as("is_a"))
-    val perBin = ev.groupBy(col("event_type"), col("bin"))
+      .groupBy(col("event_type"), col("bin"))
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c_a"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
+
+  /** The finishing half: exact TV statistic over a cells frame —
+    * cells-sized input, so it runs per micro-batch (foreachBatch) or
+    * as the batch tail of q176 itself. */
+  def q176Finish(perBin: DataFrame): DataFrame = {
     val totals = perBin.groupBy(col("event_type"))
       .agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
     perBin.join(broadcast(totals), Seq("event_type"))
@@ -1103,6 +1113,9 @@ object Audit {
             |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
             .stripMargin).as("tv_ppm"))
   }
+
+  def q176TvDrift(spark: SparkSession, dir: String): DataFrame =
+    q176Finish(q176Cells(Tables.load(spark, dir, "events")))
 
   val q176Oracle: String =
     s"""WITH ev AS (

@@ -131,4 +131,41 @@ class StreamingSketchSpec extends AnyFunSuite {
       assert(md5hex == expected(src))
     }
   }
+
+  test("streaming TV-drift cells (Complete mode) equal batch q176 cells, and the finisher reproduces q176") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.Tables.load(spark, sf, "events")
+      .select("event_type", "ts", "value")
+      .as[(String, java.sql.Timestamp, Double)].collect()
+
+    val ev = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val out = DriftStream.cells(ev.toDS().toDF("event_type", "ts", "value"))
+    val q = out.writeStream.format("memory").queryName("drift_stream")
+      .outputMode("complete").start()
+    // uneven micro-batches straddling the split timestamp arbitrarily
+    val chunks = Seq(rows.take(997), rows.slice(997, 998), rows.drop(998))
+    chunks.filter(_.nonEmpty).foreach { c =>
+      ev.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val streaming = spark.table("drift_stream")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val batch = graft.ops.Audit.q176Cells(
+        graft.Tables.load(spark, sf, "events"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty && streaming == batch)
+
+    // the cells-sized finisher over the STREAMED state reproduces the
+    // oracle-checked q176 output bit-exactly (cells re-materialized as
+    // a local frame: the finisher self-joins, and joining a memory-sink
+    // view to its own aggregate trips conflicting-reference resolution)
+    val cellsDf = streaming.toSeq
+      .toDF("event_type", "bin", "c_a", "c_b")
+    val finished = graft.ops.Audit.q176Finish(cellsDf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val q176 = graft.ops.Audit.q176TvDrift(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(finished == q176)
+  }
 }
