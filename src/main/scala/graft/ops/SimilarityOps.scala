@@ -1183,4 +1183,178 @@ object SimilarityOps {
        |  FROM fused) t
        |WHERE fused_rank <= 5""".stripMargin
   }
+
+  /** q180: k-NN label-agreement evaluation — the label-quality audit a
+    * training pipeline runs over annotated embeddings: for each vector
+    * of a FIXED evaluation panel, its [[Q180K]] nearest neighbors
+    * (cosine, neighbor-id tiebreak) vote on its label; the panel row
+    * reports the majority prediction (ties → smaller label), how many
+    * neighbors agree with the TRUE label, and whether the vote is
+    * correct. Low agreement flags mislabeled or boundary vectors.
+    *
+    * Scale shape: the panel is constant-sized (vec_id < [[Q180Panel]])
+    * so it broadcasts at any corpus size; scoring is one corpus scan
+    * (no shuffle); the ranking is the bounded top-k aggregate (q21's
+    * plan — no per-query corpus sort); the vote is an aggregate over
+    * panel·k rows. */
+  val Q180Panel = 50
+  val Q180K = 5
+
+  def q180KnnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val panel = emb.filter(col("vec_id") < Q180Panel)
+      .select(col("vec_id").as("query_id"),
+        col("label").as("true_label"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = emb
+      .crossJoin(broadcast(panel))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+    val topk = topKPerGroup(scored, Seq("query_id"),
+      sortCols = Seq("cosine" -> true, "neighbor_id" -> false), k = Q180K)
+    val counts = topk.groupBy(col("query_id"), col("true_label"),
+        col("n_label"))
+      .agg(count(lit(1)).as("c"))
+    // majority label via the min-struct trick over the panel·k-sized
+    // counts frame: min((-count, label)) = (most votes, smallest label)
+    val votes = counts.groupBy(col("query_id"), col("true_label"))
+      .agg(min(struct((-col("c")).as("nc"), col("n_label").as("lbl")))
+          .as("m"),
+        coalesce(sum(when(col("n_label") === col("true_label"), col("c"))),
+          lit(0L)).as("n_agree"))
+    votes.select(col("query_id"), col("true_label"),
+      col("m.lbl").as("pred_label"), col("n_agree"),
+      (col("m.lbl") === col("true_label")).as("correct"))
+  }
+
+  val q180Oracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a,b) -> a + b)) AS nrm
+       |  FROM e
+       |), q AS (
+       |  SELECT vec_id AS query_id, label AS true_label, v AS qv, nrm AS qnrm
+       |  FROM n WHERE vec_id < $Q180Panel
+       |), scored AS (
+       |  SELECT q.query_id, q.true_label, n.vec_id AS neighbor_id,
+       |    n.label AS n_label,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, n.v),
+       |        p -> p[1] * p[2])), (a,b) -> a + b) / (q.qnrm * n.nrm) AS cosine
+       |  FROM q, n WHERE n.vec_id <> q.query_id
+       |), topk AS (
+       |  SELECT query_id, true_label, n_label FROM (
+       |    SELECT query_id, true_label, n_label,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cosine DESC, neighbor_id ASC) AS rk
+       |    FROM scored) t
+       |  WHERE rk <= $Q180K
+       |), votes AS (
+       |  SELECT query_id, true_label, n_label, count(*) AS c
+       |  FROM topk GROUP BY 1, 2, 3
+       |), pred AS (
+       |  SELECT query_id, true_label, n_label AS pred_label FROM (
+       |    SELECT query_id, true_label, n_label,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY c DESC, n_label ASC) AS rk
+       |    FROM votes) t
+       |  WHERE rk = 1
+       |), agree AS (
+       |  SELECT query_id,
+       |    CAST(coalesce(sum(CASE WHEN n_label = true_label THEN 1 END), 0)
+       |      AS BIGINT) AS n_agree
+       |  FROM topk GROUP BY 1
+       |)
+       |SELECT p.query_id, p.true_label, p.pred_label, a.n_agree,
+       |  p.pred_label = p.true_label AS correct
+       |FROM pred p JOIN agree a USING (query_id)""".stripMargin
+
+  /** q181: per-source embedding-centroid drift — which SOURCE's
+    * embedding distribution deviates from the corpus: cosine between
+    * each source's centroid and the global centroid, in q115's
+    * quantized-integer space so every sum is an exact commutative
+    * integer aggregate (order-independent under any partitioning) and
+    * the single division/sqrt at the end is IEEE-exact. The data-QA
+    * complement to q176's scalar drift: it monitors the EMBEDDING
+    * distribution per provenance slice.
+    *
+    * Plan: one vec_id=doc_id key join to attach provenance, codes
+    * explode to (source, pos, c), one hash aggregate to the
+    * |sources|×64 sum table; the global centroid is a second aggregate
+    * OVER THAT table; everything after the first aggregate is
+    * sources-sized. */
+  def q181SourceCentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("scale") > 0.0)
+      .join(src, col("vec_id") === col("doc_id"))
+    val codes = emb.select(col("source"),
+        posexplode(transform(col("v"),
+          x => floor(x / col("scale") * 127.0 + 0.5).cast("long"))))
+      .toDF("source", "pos", "c")
+    val sums = codes.groupBy(col("source"), col("pos"))
+      .agg(sum(col("c")).as("sv"), count(lit(1)).as("nv"))
+    val glob = sums.groupBy(col("pos")).agg(sum(col("sv")).as("gv"))
+    val joined = sums.join(broadcast(glob), "pos")
+    // products in Decimal(38,0): sv·gv ≈ (127·n_src)·(127·n_corpus)
+    // overflows int64 past ~10⁹ vectors (the q155 discipline)
+    joined.groupBy(col("source"))
+      .agg(max(col("nv")).as("n_vecs"),
+        sum(expr("CAST(sv AS DECIMAL(38,0)) * gv")).as("dot"),
+        sum(expr("CAST(sv AS DECIMAL(38,0)) * sv")).as("n2_src"),
+        sum(expr("CAST(gv AS DECIMAL(38,0)) * gv")).as("n2_glob"))
+      .select(col("source"), col("n_vecs"),
+        col("dot").cast("long").as("dot"),
+        col("n2_src").cast("long").as("n2_src"),
+        col("n2_glob").cast("long").as("n2_glob"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2_src").cast("double")) *
+            sqrt(col("n2_glob").cast("double")))).as("cosine"))
+  }
+
+  val q181Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), sc AS (
+      |  SELECT vec_id, v,
+      |    coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS scale
+      |  FROM e
+      |), j AS (
+      |  SELECT d.source, sc.v, sc.scale FROM sc
+      |  JOIN documents d ON sc.vec_id = d.doc_id
+      |  WHERE sc.scale > 0.0
+      |), codes AS (
+      |  SELECT source,
+      |    unnest([{'pos': CAST(i - 1 AS BIGINT),
+      |             'c': CAST(floor(v[i] / scale * 127.0 + 0.5) AS BIGINT)}
+      |            for i in generate_series(1, len(v))], recursive := true)
+      |  FROM j
+      |), sums AS (
+      |  SELECT source, pos, CAST(sum(c) AS BIGINT) AS sv,
+      |    count(*) AS nv
+      |  FROM codes GROUP BY 1, 2
+      |), gsum AS (
+      |  SELECT pos, CAST(sum(sv) AS BIGINT) AS gv FROM sums GROUP BY 1
+      |)
+      |SELECT s.source, CAST(max(s.nv) AS BIGINT) AS n_vecs,
+      |  CAST(sum(s.sv * g.gv) AS BIGINT) AS dot,
+      |  CAST(sum(s.sv * s.sv) AS BIGINT) AS n2_src,
+      |  CAST(sum(g.gv * g.gv) AS BIGINT) AS n2_glob,
+      |  CAST(sum(s.sv * g.gv) AS DOUBLE) /
+      |    (sqrt(CAST(sum(s.sv * s.sv) AS DOUBLE)) *
+      |     sqrt(CAST(sum(g.gv * g.gv) AS DOUBLE))) AS cosine
+      |FROM sums s JOIN gsum g USING (pos)
+      |GROUP BY 1""".stripMargin
 }

@@ -122,7 +122,11 @@ class InvarianceSpec extends AnyFunSuite {
     ("q178 systematic PPS sample (bucketed global prefix sum)",
       () => Curation.q178SystematicSample(spark, TestSpark.sfDir)),
     ("q179 vocab coverage curve (type-frame rank + prefix sum)",
-      () => TextOps.q179VocabCoverage(spark, TestSpark.sfDir)))
+      () => TextOps.q179VocabCoverage(spark, TestSpark.sfDir)),
+    ("q180 kNN label eval (bounded top-k + min-struct vote)",
+      () => SimilarityOps.q180KnnLabelEval(spark, TestSpark.sfDir)),
+    ("q181 source centroid drift (integer-quantized centroid sums)",
+      () => SimilarityOps.q181SourceCentroidDrift(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {

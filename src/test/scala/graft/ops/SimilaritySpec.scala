@@ -219,4 +219,58 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q180: vote bookkeeping is internally consistent and agreement bounded") {
+    val rows = SimilarityOps.q180KnnLabelEval(spark, TestSpark.sfDir).collect()
+    assert(rows.length == SimilarityOps.Q180Panel ||
+      rows.length > 0 && rows.length <= SimilarityOps.Q180Panel)
+    rows.foreach { r =>
+      val agree = r.getAs[Long]("n_agree")
+      assert(agree >= 0 && agree <= SimilarityOps.Q180K.toLong)
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getAs[Long]("pred_label") == r.getAs[Long]("true_label")))
+      // the majority label must hold at least as many votes as the
+      // true label received
+      if (!r.getAs[Boolean]("correct"))
+        assert(agree <= SimilarityOps.Q180K.toLong / 2 + 1,
+          s"true label outvoted the majority pick: $r")
+    }
+  }
+
+  test("q180 on planted separable clusters predicts every label perfectly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("knneval").toString
+    // two orthogonal clusters with tiny within-cluster jitter in a
+    // different dimension: neighbors always share the cluster label
+    val rows = (0 until 20).map { i =>
+      val lbl = i % 2
+      val v = Array.fill(4)(0.0f)
+      v(lbl) = 1.0f
+      v(2 + lbl) = 0.01f * (i / 2).toFloat
+      (i.toLong, v.toSeq, lbl.toLong)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityOps.q180KnnLabelEval(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Boolean]("correct") &&
+      r.getAs[Long]("n_agree") == SimilarityOps.Q180K.toLong, s"$r"))
+  }
+
+  test("q181: cosine bounded, vector population conserved across sources") {
+    val rows = SimilarityOps.q181SourceCentroidDrift(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12, s"cosine oob: $r")
+      assert(r.getAs[Long]("n2_glob") > 0)
+    }
+    val totalVecs = rows.map(_.getAs[Long]("n_vecs")).sum
+    val expected = graft.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .join(graft.Tables.load(spark, TestSpark.sfDir, "documents"),
+        org.apache.spark.sql.functions.col("vec_id") ===
+          org.apache.spark.sql.functions.col("doc_id")).count()
+    assert(totalVecs == expected, s"$totalVecs != $expected")
+  }
 }
