@@ -1001,4 +1001,113 @@ object TextOps {
        |FROM r JOIN (SELECT unnest([$ks]) AS vocab_size) k
        |  ON r.rk = k.vocab_size - 1""".stripMargin
   }
+
+  /** q182: BM25 top-k retrieval for a fixed query panel — the lexical
+    * retrieval operator (the sparse half of hybrid search next to
+    * q21's dense kNN; q163 fuses such rankings), scored EXACTLY in
+    * integer arithmetic: the standard BM25 (k1 = 6/5, b = 3/4) with
+    * the log-idf replaced by its odds core (N − df + ½)/(df + ½) —
+    * the same monotone df ordering without ln (ppm-truncated integer,
+    * so both engines agree bit-for-bit; the q136 no-logs discipline).
+    * Per-term score, cross-multiplied to clear every division:
+    *
+    *   score_t = ⌊10⁶ · (2N−2df+1) · 22·T·tf /
+    *                    ((2df+1) · (10·T·tf + 3·T + 9·dl·N))⌋
+    *
+    * where T = total corpus tokens, N = docs, dl = doc length (the
+    * 22/10/3/9 constants are k1, b and avgdl = T/N cleared of
+    * denominators). Doc score = Σ_t score_t — an integer sum.
+    *
+    * Plan: the postings (doc, term, tf) aggregate is the only
+    * corpus-sized shuffle and is PRUNED to panel terms before it (the
+    * panel is a broadcast semi-join against the token stream); df and
+    * the corpus totals are term-/1-row-sized broadcasts; ranking is
+    * the bounded top-k aggregate. Products in Decimal(38,0)/HUGEINT
+    * (10⁶·2N·22·T·tf ≈ 10³⁴ at a 100 TB corpus). */
+  val Q182Queries: Seq[(String, Seq[String])] = Seq(
+    "hash_join" -> Seq("hash", "join"),
+    "dup_scan" -> Seq("dup", "scan"),
+    "stream_agg" -> Seq("window", "agg", "stream"))
+  val Q182K = 10
+
+  def q182Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark
+    import s2.implicits._
+    val panel = Q182Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val tok = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val corpus = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+    val totals = corpus.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_tokens"))
+    // prune the token stream to panel terms BEFORE the postings
+    // aggregate: the explode output shrinks to |panel-term| postings
+    val panelTerms = panel.select(col("term")).distinct()
+    val tf = tok.join(broadcast(panelTerms), "term")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(panel), "term")
+      .join(broadcast(df_), "term")
+      .join(corpus, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_ppm", expr(
+        """CAST((CAST(2 * n_docs - 2 * df + 1 AS DECIMAL(38,0))
+          |       * 22 * t_tokens * tf * 1000000)
+          |  div (CAST(2 * df + 1 AS DECIMAL(38,0))
+          |       * (10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs))
+          |  AS BIGINT)""".stripMargin))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_ppm")).as("score_ppm"),
+        count(lit(1)).as("n_terms_hit"))
+    SimilarityOps.topKPerGroup(scored, Seq("query_id"),
+      sortCols = Seq("score_ppm" -> true, "doc_id" -> false), k = Q182K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_ppm"), col("n_terms_hit"))
+  }
+
+  val q182Oracle: String = {
+    val panelRows = Q182Queries
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    s"""WITH panel(query_id, term) AS (VALUES $panelRows),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), corpus AS (
+       |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+       |), tot AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_tokens
+       |  FROM corpus
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN (SELECT DISTINCT term FROM panel)
+       |  GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), scored AS (
+       |  SELECT p.query_id, tf.doc_id,
+       |    CAST(sum((CAST(2 * t.n_docs - 2 * df.df + 1 AS HUGEINT)
+       |           * 22 * t.t_tokens * tf.tf * 1000000)
+       |      // (CAST(2 * df.df + 1 AS HUGEINT)
+       |           * (10 * t.t_tokens * tf.tf + 3 * t.t_tokens
+       |              + 9 * c.dl * t.n_docs))) AS BIGINT) AS score_ppm,
+       |    count(*) AS n_terms_hit
+       |  FROM tf
+       |  JOIN panel p USING (term)
+       |  JOIN df USING (term)
+       |  JOIN corpus c ON c.doc_id = tf.doc_id
+       |  CROSS JOIN tot t
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, rank, doc_id, score_ppm, n_terms_hit FROM (
+       |  SELECT query_id, doc_id, score_ppm, n_terms_hit,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $Q182K""".stripMargin
+  }
 }

@@ -126,7 +126,9 @@ class InvarianceSpec extends AnyFunSuite {
     ("q180 kNN label eval (bounded top-k + min-struct vote)",
       () => SimilarityOps.q180KnnLabelEval(spark, TestSpark.sfDir)),
     ("q181 source centroid drift (integer-quantized centroid sums)",
-      () => SimilarityOps.q181SourceCentroidDrift(spark, TestSpark.sfDir)))
+      () => SimilarityOps.q181SourceCentroidDrift(spark, TestSpark.sfDir)),
+    ("q182 BM25 top-k (integer-ppm scores, bounded top-k)",
+      () => TextOps.q182Bm25TopK(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
