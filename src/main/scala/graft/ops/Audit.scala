@@ -1117,6 +1117,55 @@ object Audit {
   def q176TvDrift(spark: SparkSession, dir: String): DataFrame =
     q176Finish(q176Cells(Tables.load(spark, dir, "events")))
 
+  /** q183: within-group percentile-rank normalization — every event's
+    * value mapped to its exact strict-rank percentile (ppm) within its
+    * event type: the rank-based feature transform (the per-group face
+    * of q151's cross-distribution quantile map). pct = |{v' < v}| /
+    * (n_g − 1), exact integers end to end.
+    *
+    * Plan: q152's value-grouping trick — counts aggregate per (type,
+    * value), the EXCLUSIVE prefix count comes from
+    * [[Rank.groupPrefixSum]] over the per-value frame (values-scale,
+    * no per-event window, no group-sized sort), and events join back
+    * on (type, value): every tied event shares one rank row. Group
+    * totals are a |types|-row broadcast. */
+  def q183PercentileRank(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        Exact.units(col("value"), 2).as("value_centi"))
+    val perValue = ev.groupBy(col("event_type"), col("value_centi"))
+      .agg(count(lit(1)).as("c_v"))
+    val cum = Rank.groupPrefixSum(perValue, Seq("event_type"),
+        "value_centi", Nil, "c_v", "cum_le")
+      .withColumn("cnt_lt", col("cum_le") - col("c_v"))
+    val totals = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_g"))
+    ev.join(cum.select(col("event_type"), col("value_centi"),
+        col("cnt_lt")), Seq("event_type", "value_centi"))
+      .join(broadcast(totals), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value_centi"),
+        expr("""CAST(CASE WHEN n_g > 1 THEN
+               |  (cnt_lt * 1000000) div (n_g - 1)
+               |  ELSE 0 END AS BIGINT)""".stripMargin).as("pct_ppm"))
+  }
+
+  val q183Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 100.0) AS BIGINT) AS value_centi
+      |  FROM events
+      |), r AS (
+      |  SELECT event_id, event_type, value_centi,
+      |    count(*) OVER (PARTITION BY event_type) AS n_g,
+      |    rank() OVER (PARTITION BY event_type
+      |                 ORDER BY value_centi ASC) - 1 AS cnt_lt
+      |  FROM ev
+      |)
+      |SELECT event_id, event_type, value_centi,
+      |  CAST(CASE WHEN n_g > 1 THEN (cnt_lt * 1000000) // (n_g - 1)
+      |    ELSE 0 END AS BIGINT) AS pct_ppm
+      |FROM r""".stripMargin
+
   val q176Oracle: String =
     s"""WITH ev AS (
        |  SELECT event_type,

@@ -1110,4 +1110,68 @@ object TextOps {
        |  FROM scored) t
        |WHERE rank <= $Q182K""".stripMargin
   }
+
+  /** q184: token-frequency drift movers — the lexical face of q176's
+    * distribution drift: which TOKENS shifted most between two corpus
+    * slices (here the deterministic doc_id-parity split; in production
+    * the old/new crawl). Per token with pooled support ≥
+    * [[Q184MinSupport]], the rate shift |c_a/n_a − c_b/n_b| in
+    * cross-multiplied exact integers (|c_a·n_b − c_b·n_a|·10⁶ div
+    * n_a·n_b — the q176 discipline), top [[Q184TopK]] movers by
+    * (shift desc, token asc).
+    *
+    * Plan: ONE token-stream aggregate with conditional half counts
+    * (no second corpus scan); the support filter shrinks the types
+    * frame before the shift arithmetic; the final selection is a
+    * tie-broken TakeOrdered over the types frame (the q136 top-20
+    * shape — bounded, never a global sort materialization). Products
+    * in Decimal(38,0): c·n overflows int64 past ~3·10⁹ tokens. */
+  val Q184MinSupport = 10L
+  val Q184TopK = 20
+
+  def q184TokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.load(spark, dir, "documents")
+      .select((col("doc_id") % 2 === 0).as("is_a"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val perTok = tok.groupBy(col("token"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
+      .filter(col("c_a") + col("c_b") >= Q184MinSupport)
+    val totals = tok.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+    perTok.crossJoin(broadcast(totals))
+      .select(col("token"), col("c_a"), col("c_b"),
+        expr("""CAST((abs(CAST(c_a AS DECIMAL(38,0)) * n_b
+               |        - CAST(c_b AS DECIMAL(38,0)) * n_a) * 1000000)
+               |  div (CAST(n_a AS DECIMAL(38,0)) * n_b)
+               |  AS BIGINT)""".stripMargin).as("shift_ppm"))
+      .orderBy(col("shift_ppm").desc, col("token").asc)
+      .limit(Q184TopK)
+  }
+
+  val q184Oracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id % 2 = 0 AS is_a,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+       |  FROM documents
+       |), per_tok AS (
+       |  SELECT token,
+       |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS c_a,
+       |    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS c_b
+       |  FROM tok GROUP BY 1
+       |  HAVING sum(CASE WHEN is_a THEN 1 ELSE 0 END)
+       |       + sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)
+       |     >= $Q184MinSupport
+       |), tot AS (
+       |  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+       |    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b
+       |  FROM tok
+       |)
+       |SELECT token, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+       |  CAST((abs(CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+       |        * 1000000)
+       |    // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS shift_ppm
+       |FROM per_tok CROSS JOIN tot
+       |ORDER BY shift_ppm DESC, token ASC LIMIT $Q184TopK""".stripMargin
 }

@@ -37,6 +37,31 @@ class DriftSpec extends AnyFunSuite {
     assert(out("moved") == 1000000L, s"disjoint halves not full drift: $out")
   }
 
+  test("q183: percentile ranks are bounded, min is 0, max is 1e6 per group") {
+    val rows = Audit.q183PercentileRank(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      val ps = rs.map(_.getAs[Long]("pct_ppm"))
+      assert(ps.min == 0L, s"$t: min pct ${ps.min}")
+      assert(ps.max == 1000000L || rs.length == 1, s"$t: max pct ${ps.max}")
+      // monotone with value: sort by value, pct must be nondecreasing
+      val sorted = rs.sortBy(_.getAs[Long]("value_centi"))
+        .map(_.getAs[Long]("pct_ppm"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("q184: movers carry the largest shifts and respect the support floor") {
+    val rows = TextOps.q184TokenDrift(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= TextOps.Q184TopK)
+    val shifts = rows.map(_.getAs[Long]("shift_ppm"))
+    assert(shifts.zip(shifts.tail).forall { case (a, b) => a >= b },
+      "movers not in descending shift order")
+    rows.foreach(r => assert(
+      r.getAs[Long]("c_a") + r.getAs[Long]("c_b") >= TextOps.Q184MinSupport))
+  }
+
   test("tv_ppm is bounded on the real corpus and both halves are populated") {
     val rows = Audit.q176TvDrift(spark, TestSpark.sfDir).collect()
     assert(rows.nonEmpty)

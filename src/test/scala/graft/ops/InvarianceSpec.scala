@@ -128,7 +128,11 @@ class InvarianceSpec extends AnyFunSuite {
     ("q181 source centroid drift (integer-quantized centroid sums)",
       () => SimilarityOps.q181SourceCentroidDrift(spark, TestSpark.sfDir)),
     ("q182 BM25 top-k (integer-ppm scores, bounded top-k)",
-      () => TextOps.q182Bm25TopK(spark, TestSpark.sfDir)))
+      () => TextOps.q182Bm25TopK(spark, TestSpark.sfDir)),
+    ("q183 percentile-rank normalization (value-grouped prefix counts)",
+      () => Audit.q183PercentileRank(spark, TestSpark.sfDir)),
+    ("q184 token drift movers (tie-broken TakeOrdered)",
+      () => TextOps.q184TokenDrift(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
