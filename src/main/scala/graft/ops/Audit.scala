@@ -1166,6 +1166,61 @@ object Audit {
       |    ELSE 0 END AS BIGINT) AS pct_ppm
       |FROM r""".stripMargin
 
+  /** q185: seasonal-naive forecast error (the MASE shape) — how
+    * predictable is each event type's hourly volume? The capacity-
+    * planning baseline check: compare the day-ago seasonal-naive
+    * forecast (count at hour h−24) against the hour-ago naive (count
+    * at h−1); mase_ppm < 10⁶ means daily seasonality beats trend.
+    * Entirely integer: counts, absolute differences, one ppm division.
+    *
+    * Plan: ONE corpus-sized aggregate to the (type, hour) frame
+    * (≤ |types|·|hours| rows); both baselines are self-joins over that
+    * aggregate keyed on (type, hour−lag) — aggregate-scale, no
+    * windows; the evaluation restricts to hours where both forecasts
+    * exist so the two MAEs average over the SAME support. */
+  def q185SeasonalError(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val cur = hourly.select(col("event_type"), col("h"), col("c"))
+    val day = hourly.select(col("event_type"),
+      (col("h") + 24).as("h"), col("c").as("c_day"))
+    val prev = hourly.select(col("event_type"),
+      (col("h") + 1).as("h"), col("c").as("c_prev"))
+    cur.join(day, Seq("event_type", "h"))
+      .join(prev, Seq("event_type", "h"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("c") - col("c_day"))).as("mae_seasonal_num"),
+        sum(abs(col("c") - col("c_prev"))).as("mae_naive_num"))
+      .select(col("event_type"), col("n_hours"),
+        col("mae_seasonal_num"), col("mae_naive_num"),
+        expr("""CAST(CASE WHEN mae_naive_num > 0 THEN
+               |  (mae_seasonal_num * 1000000) div mae_naive_num
+               |  END AS BIGINT)""".stripMargin).as("mase_ppm"))
+  }
+
+  val q185Oracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT cur.event_type, count(*) AS n_hours,
+      |  CAST(sum(abs(cur.c - day.c)) AS BIGINT) AS mae_seasonal_num,
+      |  CAST(sum(abs(cur.c - prev.c)) AS BIGINT) AS mae_naive_num,
+      |  CAST(CASE WHEN sum(abs(cur.c - prev.c)) > 0 THEN
+      |    (sum(abs(cur.c - day.c)) * 1000000) // sum(abs(cur.c - prev.c))
+      |    END AS BIGINT) AS mase_ppm
+      |FROM hourly cur
+      |JOIN hourly day ON day.event_type = cur.event_type
+      |  AND day.h = cur.h - 24
+      |JOIN hourly prev ON prev.event_type = cur.event_type
+      |  AND prev.h = cur.h - 1
+      |GROUP BY 1""".stripMargin
+
   val q176Oracle: String =
     s"""WITH ev AS (
        |  SELECT event_type,

@@ -454,6 +454,70 @@ object Relational {
         col("n_lines"))
   }
 
+  /** q186: basket diversity per market segment — how concentrated is
+    * each customer segment's purchasing across part types? Per order,
+    * the Gini–Simpson diversity 1 − Σc_t²/n² of its part-type
+    * composition (exact rational: diversity_num = n² − Σc_t², over
+    * denominator n²); per segment, the exactly-weighted average
+    * Σ(n²·div_o)/Σn² ... kept as Σ diversity_num / Σ n² so the ppm
+    * output is ONE integer division of two exact sums.
+    *
+    * Plan: lineitem joins part for the type (no fixed hint — part
+    * grows with SF), one aggregate to (order, type) counts, one to
+    * per-order Σc², the orders⋈customer hop attaches the segment, and
+    * a |segments|-row aggregate finishes. All shuffles key-partitioned
+    * fact-scale maps; nothing order-dependent. */
+  def q186BasketDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_type"))
+    val perType = li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"), col("p_type"))
+      .agg(count(lit(1)).as("c_t"))
+    val perOrder = perType.groupBy(col("l_orderkey"))
+      .agg(sum(col("c_t")).as("n"),
+        sum(col("c_t") * col("c_t")).as("sum_sq"),
+        count(lit(1)).as("n_types"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    perOrder
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_types")).as("type_slots"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n - sum_sq"))
+          .as("div_num"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("div_den"))
+      .select(col("c_mktsegment"), col("n_orders"),
+        col("type_slots"),
+        expr("CAST((div_num * 1000000) div div_den AS BIGINT)")
+          .as("diversity_ppm"))
+  }
+
+  val q186Oracle: String =
+    """WITH per_type AS (
+      |  SELECT l.l_orderkey, p.p_type, count(*) AS c_t
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2
+      |), per_order AS (
+      |  SELECT l_orderkey, sum(c_t) AS n, sum(c_t * c_t) AS sum_sq,
+      |    count(*) AS n_types
+      |  FROM per_type GROUP BY 1
+      |)
+      |SELECT c.c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(po.n_types) AS BIGINT) AS type_slots,
+      |  CAST((sum(CAST(po.n AS HUGEINT) * po.n - po.sum_sq) * 1000000)
+      |    // sum(CAST(po.n AS HUGEINT) * po.n) AS BIGINT)
+      |    AS diversity_ppm
+      |FROM per_order po
+      |JOIN orders o ON po.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1""".stripMargin
+
   val q167Oracle: String =
     s"""SELECT n.n_name AS nation,
        |  CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS HUGEINT) *

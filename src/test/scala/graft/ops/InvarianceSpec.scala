@@ -132,7 +132,11 @@ class InvarianceSpec extends AnyFunSuite {
     ("q183 percentile-rank normalization (value-grouped prefix counts)",
       () => Audit.q183PercentileRank(spark, TestSpark.sfDir)),
     ("q184 token drift movers (tie-broken TakeOrdered)",
-      () => TextOps.q184TokenDrift(spark, TestSpark.sfDir)))
+      () => TextOps.q184TokenDrift(spark, TestSpark.sfDir)),
+    ("q185 seasonal-naive error (hourly-aggregate self-joins)",
+      () => Audit.q185SeasonalError(spark, TestSpark.sfDir)),
+    ("q186 basket diversity (exact rational Gini-Simpson)",
+      () => Relational.q186BasketDiversity(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
