@@ -11,7 +11,7 @@ import graft.functions.{DotProduct, HashedShingles, MinHashSig, RollingMinHash, 
   * works alongside the Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder.getClass.getCanonicalName, name),
         builder))
     }
+    // ranking-window top-k → bounded top-k aggregate (opt-in via
+    // spark.graft.rewrite.boundedTopK=true)
+    e.injectOptimizerRule(graft.plans.BoundedTopKRewrite.apply)
+  }
 }
 
 object GraftExtensions {
@@ -48,4 +52,14 @@ object GraftExtensions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+
+  /** Installs the bounded-top-k rewrite on an already-built session
+    * (the `spark.sql.extensions` path isn't available post-build);
+    * still gated by the spark.graft.rewrite.boundedTopK conf. */
+  def registerOptimizations(spark: SparkSession): Unit = {
+    val rule = graft.plans.BoundedTopKRewrite(spark)
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[graft.plans.BoundedTopKRewrite]))
+      spark.experimental.extraOptimizations = existing :+ rule
+  }
 }
