@@ -1244,4 +1244,102 @@ object Audit {
        |    // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS tv_ppm
        |FROM per_bin p JOIN tot t USING (event_type)
        |GROUP BY p.event_type, t.n_a, t.n_b""".stripMargin
+
+  /** q191: autocorrelation function — per event type, the lag-k
+    * Pearson autocorrelation (k = 1..[[AcfMaxLag]]) of the DENSE
+    * hourly count series. The periodicity probe a training-data
+    * pipeline runs before trusting "events are i.i.d." sampling
+    * assumptions: high ACF at lag 24 means daily cycles, at lag 1
+    * means bursts; both bias any time-sliced split. Dense matters:
+    * skipping empty hours (as the q185 error joins legitimately do
+    * for their metric) would splice non-adjacent hours together and
+    * fabricate correlation — the grid zero-fills every hour in the
+    * global span.
+    *
+    * Determinism: moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    * integer sums (the q72 discipline — the double-space subtraction
+    * n·Σxy − ΣxΣy diverges by ulps across engines); only the final
+    * r = num / √(den_x · den_y) converts to double, with identical
+    * expressions both sides. Constant series → NULL (0/0 guarded).
+    *
+    * Scale shape: hourly counts are one map-side-combined aggregate;
+    * the grid is |types| × span rows (≪ events); each lag join is an
+    * equi-join hash-partitioned on (type, hour); moments are one
+    * aggregate per (type, lag). No window over a trivial-cardinality
+    * key, no driver state. */
+  val AcfMaxLag = 3
+
+  def q191Acf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("h"))
+    val hourly = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val series = grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("x"))
+    val pairs = (1 to AcfMaxLag).map { k =>
+      series.select(col("event_type"), col("h"), col("x"))
+        .join(series.select(col("event_type"), (col("h") - k).as("h"),
+          col("x").as("y")), Seq("event_type", "h"))
+        .select(col("event_type"), lit(k.toLong).as("lag"), col("x"), col("y"))
+    }.reduce(_ unionByName _)
+    // moments in Decimal(38,0) (q72's discipline): long products of
+    // per-hour counts would wrap silently at extreme scale while
+    // DuckDB's HUGEINT would not
+    pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n"),
+        expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)")
+          .as("acf_num"),
+        expr("""CASE WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx > 0
+               |   AND n * syy - CAST(sy AS DECIMAL(38,0)) * sy > 0
+               |  THEN CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) /
+               |    sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) *
+               |         CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
+               |  END""".stripMargin).as("acf"))
+  }
+
+  val q191Oracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+       |  FROM events
+       |), hourly AS (
+       |  SELECT event_type, h, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ev GROUP BY 1, 2
+       |), span AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+       |grid AS (
+       |  SELECT et.event_type, unnest(generate_series(s.h0, s.h1)) AS h
+       |  FROM (SELECT DISTINCT event_type FROM hourly) et CROSS JOIN span s
+       |), series AS (
+       |  SELECT g.event_type, g.h, coalesce(hourly.cnt, 0) AS x
+       |  FROM grid g LEFT JOIN hourly
+       |    ON hourly.event_type = g.event_type AND hourly.h = g.h
+       |), pairs AS (
+       |${(1 to AcfMaxLag).map(k =>
+      s"""  SELECT a.event_type, CAST($k AS BIGINT) AS lag, a.x, b.x AS y
+         |  FROM series a JOIN series b
+         |    ON b.event_type = a.event_type AND b.h = a.h + $k""".stripMargin)
+      .mkString("\n  UNION ALL\n")}
+       |), m AS (
+       |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM pairs GROUP BY 1, 2)
+       |SELECT event_type, lag, n,
+       |  CAST(n * sxy - sx * sy AS BIGINT) AS acf_num,
+       |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+       |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+       |           CAST(n * syy - sy * sy AS DOUBLE))
+       |    END AS acf
+       |FROM m""".stripMargin
 }

@@ -1072,4 +1072,90 @@ object Curation {
        |WHERE (CAST(cum_w AS HUGEINT) * $Q178SampleTarget) // total_w
        |    - (CAST(cum_w - w AS HUGEINT) * $Q178SampleTarget) // total_w
        |  > 0""".stripMargin
+
+  /** q188: leakage-safe train/val/test split — the fix for the classic
+    * contamination bug the naive per-document hash split (q45's rule)
+    * carries: near-duplicate documents land in DIFFERENT splits, so
+    * the model is evaluated on paraphrases of its training data.
+    * Split by CLUSTER instead: every member of a q33 near-dup cluster
+    * hashes on the cluster representative (singletons on themselves),
+    * so a whole duplicate family moves as one unit and cross-split
+    * leakage is zero BY CONSTRUCTION. Per split: docs, distinct
+    * clusters, char volume, near-dup edges landing in the split, and
+    * the edges the naive doc-level rule would have torn across splits
+    * — the measured leakage this operator eliminates.
+    *
+    * Scale shape: the split tag is a scalar hash (no shuffle); stats
+    * are one hash aggregate; the audit join keys edges on doc_id
+    * against the tagged frame (hash-partitioned, edge-bounded). The
+    * clustering input is q33's star-contraction — already the scale
+    * path. Same md5-nibble split rule as q45 (12/2/2 of 16) so the
+    * two operators' splits are comparable in reports. */
+  def q188LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val h = substring(md5(c.cast("string")), 1, 1)
+      when(h.between("0", "b"), "train")
+        .when(h.isin("c", "d"), "val")
+        .otherwise("test")
+    }
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val clusters = DedupOps.q33DedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_rep"))
+    val tagged = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_key", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("split", splitOf(col("cluster_key")))
+    val stats = tagged.groupBy(col("split")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("cluster_key")).as("n_clusters"),
+      sum(col("n_chars")).as("total_chars"))
+    // each edge belongs to exactly one cluster-aware split (both
+    // endpoints share a cluster, hence a split); count how many of
+    // them the naive doc-hash rule would separate
+    val torn = DedupOps.q18NgramJaccard(spark, dir)
+      .select(col("doc_id_1"), col("doc_id_2"))
+      .withColumn("torn",
+        when(splitOf(col("doc_id_1")) =!= splitOf(col("doc_id_2")), 1L)
+          .otherwise(0L))
+      .join(tagged.select(col("doc_id").as("doc_id_1"), col("split")), "doc_id_1")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("torn")).as("naive_torn_edges"))
+    stats.join(torn, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"), col("total_chars"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("naive_torn_edges"), lit(0L)).as("naive_torn_edges"))
+  }
+
+  /** Composes [[DedupOps.ClusterCtePrefix]] (the q33 ground truth) so
+    * the split audit and the clustering stay definitionally in
+    * lockstep. */
+  val q188Oracle: String = {
+    def splitSql(c: String): String =
+      s"""CASE WHEN substring(md5(CAST($c AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+         |         WHEN substring(md5(CAST($c AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+         |         ELSE 'test' END""".stripMargin
+    s"""${DedupOps.ClusterCtePrefix}, cl AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+       |  FROM (SELECT a, b FROM reach WHERE a <> b) t GROUP BY a
+       |), tagged AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    coalesce(cl.cluster_rep, d.doc_id) AS cluster_key,
+       |    ${splitSql("coalesce(cl.cluster_rep, d.doc_id)")} AS split
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |), stats AS (
+       |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT cluster_key) AS BIGINT) AS n_clusters,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |  FROM tagged GROUP BY split
+       |), torn AS (
+       |  SELECT t.split, CAST(count(*) AS BIGINT) AS n_edges,
+       |    CAST(sum(CASE WHEN ${splitSql("e.d1")} <> ${splitSql("e.d2")}
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS naive_torn_edges
+       |  FROM edges e JOIN tagged t ON e.d1 = t.doc_id
+       |  GROUP BY t.split)
+       |SELECT s.split, s.n_docs, s.n_clusters, s.total_chars,
+       |  coalesce(t.n_edges, CAST(0 AS BIGINT)) AS n_edges,
+       |  coalesce(t.naive_torn_edges, CAST(0 AS BIGINT)) AS naive_torn_edges
+       |FROM stats s LEFT JOIN torn t ON s.split = t.split""".stripMargin
+  }
 }

@@ -360,7 +360,12 @@ object Graph {
     * the label table to the pre-partitioned cached edge list + two
     * hash aggregates, all keyed on packed-long node ids — Pregel via
     * relational ops, no broadcasts of anything data-sized. */
-  def q128LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+  /** Packed-id LPA state shared by q128 (which decodes it) and q193
+    * (which scores the partition): returns (final labels (node,
+    * label), undirected base edges (a, b) — both in packed-long id
+    * space). */
+  private[ops] def lpaPacked(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.load(spark, dir, "orders")
@@ -385,6 +390,11 @@ object Graph {
         .select(col("node"), (-col("m.nl")).as("label"))
         .persist()
     }
+    (labels, base)
+  }
+
+  def q128LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = lpaPacked(spark, dir)
     labels.select(
       concat(when(col("node") % 2 === 0, lit("s")).otherwise(lit("c")),
         expr("node div 2")).as("node"),
@@ -392,7 +402,11 @@ object Graph {
         expr("label div 2")).as("community"))
   }
 
-  val q128Oracle: String = {
+  /** Shared LPA oracle prefix (packed-id edges + unrolled propagation
+    * rounds ending at `l<LpaRounds>`) — composed by q128's decode and
+    * q193's modularity scoring so both stay definitionally in
+    * lockstep. */
+  private val LpaCtePrefix: String = {
     val rounds = (1 to LpaRounds).map { r =>
       s"""l$r AS (
          |  SELECT node, label FROM (
@@ -414,13 +428,16 @@ object Graph {
        |  SELECT b AS src, a AS dst FROM e0
        |), l0 AS (
        |  SELECT DISTINCT src AS node, src AS label FROM e
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  val q128Oracle: String =
+    s"""$LpaCtePrefix
        |SELECT CASE WHEN node % 2 = 0 THEN 's' || (node // 2)
        |            ELSE 'c' || (node // 2) END AS node,
        |  CASE WHEN label % 2 = 0 THEN 's' || (label // 2)
        |       ELSE 'c' || (label // 2) END AS community
        |FROM l$LpaRounds""".stripMargin
-  }
 
   val q123Oracle: String = {
     // unroll the SpMaxHops relaxation rounds as chained CTEs
@@ -527,4 +544,81 @@ object Graph {
       |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
       |FROM m""".stripMargin
+
+  /** q193: modularity of the LPA partition — Newman's Q, the standard
+    * "are these communities real?" score for q128's output: per
+    * community c, Q_c = e_c/m − (d_c/2m)², summed over communities.
+    * The audit that turns community detection from a label dump into
+    * a judged result (Q near 0 → the partition is no better than
+    * random; the per-community contributions localize WHICH labels
+    * carry structure).
+    *
+    * Exactness: the contribution numerator 4·m·e_c − d_c² is computed
+    * in Decimal(38,0) (products of two edge-scale counts overflow
+    * longs at 100 TB; DuckDB runs the same algebra in HUGEINT) and
+    * emitted as the exact integer `q_num` next to the double
+    * q_contrib = q_num / 4m², computed with the identical expression
+    * on both engines.
+    *
+    * Scale shape: degrees are one map-combined aggregate over the
+    * edge list; e_c is the label join on the two endpoint keys (the
+    * edges shuffle twice on node id — the same exchanges LPA itself
+    * pays per round); m is a 1-row broadcast. Nothing sorts, nothing
+    * is driver-side. */
+  def q193Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val (labels, base) = lpaPacked(spark, dir)
+    val mDf = base.agg(count(lit(1)).as("m"))
+    val deg = base.select(col("a").as("node"))
+      .unionByName(base.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val la = labels.select(col("node").as("a"), col("label").as("ca"))
+    val lb = labels.select(col("node").as("b"), col("label").as("cb"))
+    val eIn = base.join(la, "a").join(lb, "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cid")).agg(count(lit(1)).as("e_in"))
+    val ds = labels.join(deg, "node")
+      .groupBy(col("label").as("cid"))
+      .agg(sum(col("deg")).as("d_sum"), count(lit(1)).as("n_nodes"))
+    ds.join(eIn, Seq("cid"), "left")
+      .crossJoin(broadcast(mDf))
+      .select(
+        concat(when(col("cid") % 2 === 0, lit("s")).otherwise(lit("c")),
+          expr("cid div 2")).as("community"),
+        col("n_nodes"), coalesce(col("e_in"), lit(0L)).as("e_in"),
+        col("d_sum"),
+        expr("""CAST(CAST(4 AS DECIMAL(38,0)) * m * coalesce(e_in, 0)
+               |  - CAST(d_sum AS DECIMAL(38,0)) * d_sum AS BIGINT)"""
+          .stripMargin).as("q_num"),
+        expr("""CAST(CAST(4 AS DECIMAL(38,0)) * m * coalesce(e_in, 0)
+               |  - CAST(d_sum AS DECIMAL(38,0)) * d_sum AS DOUBLE)
+               |  / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))"""
+          .stripMargin).as("q_contrib"))
+  }
+
+  val q193Oracle: String =
+    s"""$LpaCtePrefix,
+       |lab AS (SELECT node, label FROM l$LpaRounds),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+       |deg AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM e GROUP BY 1
+       |), din AS (
+       |  SELECT la.label AS cid, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM e0
+       |  JOIN lab la ON la.node = e0.a
+       |  JOIN lab lb ON lb.node = e0.b
+       |  WHERE la.label = lb.label GROUP BY 1
+       |), ds AS (
+       |  SELECT l.label AS cid, CAST(sum(d.deg) AS BIGINT) AS d_sum,
+       |    CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM lab l JOIN deg d ON d.node = l.node GROUP BY 1)
+       |SELECT CASE WHEN cid % 2 = 0 THEN 's' || (cid // 2)
+       |            ELSE 'c' || (cid // 2) END AS community,
+       |  n_nodes, coalesce(e_in, CAST(0 AS BIGINT)) AS e_in, d_sum,
+       |  CAST(4 * mm.m * coalesce(e_in, 0)
+       |    - CAST(d_sum AS HUGEINT) * d_sum AS BIGINT) AS q_num,
+       |  CAST(4 * mm.m * coalesce(e_in, 0)
+       |    - CAST(d_sum AS HUGEINT) * d_sum AS DOUBLE)
+       |    / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)) AS q_contrib
+       |FROM ds LEFT JOIN din USING (cid) CROSS JOIN mm""".stripMargin
 }

@@ -321,4 +321,97 @@ object Layout {
        |UNION ALL
        |${lay("zorder", "z")}""".stripMargin
   }
+
+  /** q192: column-encoding advisor — the physical-design sibling of
+    * the sort advisor (q164): per profiled lineitem column, the
+    * statistics a writer needs to pick parquet encodings — value
+    * count, distinct count (dictionary size), run count under the
+    * table's key order (l_orderkey, then the in-order line key), the
+    * derived average
+    * run length, the dictionary index width in bits, and a
+    * recommendation (RLE when runs average ≥ 2 values, DICT when the
+    * dictionary is ≤ 1% of the rows, else PLAIN).
+    *
+    * Runs are counted WITHIN each order (a run never spans orders) —
+    * the page/row-group analogy, and it keeps the lag window
+    * partitioned by the high-cardinality l_orderkey instead of a
+    * global sort. dict_bits is computed in integer space
+    * (bit-length of n_distinct − 1), not ceil(log2(...)) — libm log2
+    * is engine-dependent in the last ulp. One scan: the per-column
+    * frames come from a generated `stack()` over a single projection,
+    * not one pass per column.
+    *
+    * Scale shape: melt is narrow (RowGen, no shuffle); the run window
+    * hash-partitions on (column, orderkey); two aggregates per column.
+    * All outputs integer/string → bit-exact oracle. */
+  val ProfiledCols: Seq[String] =
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_suppkey")
+
+  def q192EncodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stackArgs = ProfiledCols
+      .map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    // (l_linenumber, l_partkey, l_suppkey, l_extendedprice) because
+    // the generator does NOT keep l_linenumber unique within an order
+    // — a tied sort key would make the lag order (hence run counts)
+    // engine- and partitioning-dependent; this composite is a verified
+    // unique key of lineitem at every SF
+    val melted = Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice",
+        s"stack(${ProfiledCols.size}, $stackArgs) AS (col_name, v)")
+    val w = Window.partitionBy(col("col_name"), col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+    val marked = melted
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .select(col("col_name"), col("v"),
+        when(col("prev").isNull || col("prev") =!= col("v"), 1L)
+          .otherwise(0L).as("is_start"))
+    val runs = marked.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_values"), sum(col("is_start")).as("n_runs"))
+    val dist = melted.groupBy(col("col_name"))
+      .agg(countDistinct(col("v")).as("n_distinct"))
+    runs.join(dist, "col_name")
+      .select(col("col_name"), col("n_values"), col("n_distinct"), col("n_runs"),
+        expr("n_values * 1000000 div n_runs").as("avg_run_ppm"),
+        expr("""CAST(CASE WHEN n_distinct <= 1 THEN 0
+               |  ELSE length(conv(CAST(n_distinct - 1 AS STRING), 10, 2))
+               |  END AS BIGINT)""".stripMargin).as("dict_bits"),
+        expr("""CASE WHEN n_values * 1000000 div n_runs >= 2000000 THEN 'RLE'
+               |     WHEN n_distinct * 100 <= n_values THEN 'DICT'
+               |     ELSE 'PLAIN' END""".stripMargin).as("recommendation"))
+  }
+
+  val q192Oracle: String = {
+    val melt = ProfiledCols
+      .map(c => s"SELECT '$c' AS col_name, l_orderkey, l_linenumber, " +
+        s"l_partkey, l_suppkey, l_extendedprice, " +
+        s"CAST($c AS VARCHAR) AS v FROM lineitem")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH melted AS (
+       |$melt
+       |), marked AS (
+       |  SELECT col_name, v,
+       |    CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v
+       |      THEN 1 ELSE 0 END AS is_start
+       |  FROM melted
+       |  WINDOW w AS (PARTITION BY col_name, l_orderkey
+       |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice)
+       |), runs AS (
+       |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_values,
+       |    CAST(sum(is_start) AS BIGINT) AS n_runs
+       |  FROM marked GROUP BY 1
+       |), dist AS (
+       |  SELECT col_name, CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+       |  FROM melted GROUP BY 1)
+       |SELECT r.col_name, n_values, n_distinct, n_runs,
+       |  CAST(n_values * 1000000 // n_runs AS BIGINT) AS avg_run_ppm,
+       |  CAST(CASE WHEN n_distinct <= 1 THEN 0
+       |    ELSE length(printf('%b', n_distinct - 1)) END AS BIGINT) AS dict_bits,
+       |  CASE WHEN n_values * 1000000 // n_runs >= 2000000 THEN 'RLE'
+       |       WHEN n_distinct * 100 <= n_values THEN 'DICT'
+       |       ELSE 'PLAIN' END AS recommendation
+       |FROM runs r JOIN dist d USING (col_name)""".stripMargin
+  }
 }

@@ -206,6 +206,115 @@ object MultimodalOps {
       |FROM documents,
       |     unnest(generate_series(0, (length(text) + 255) // 256 - 1)) AS t(i)""".stripMargin
 
+  /** q187: perceptual-hash near-duplicate detection over binary media
+    * payloads — the media twin of text near-dup (q19/q20): re-encoded
+    * or lightly-edited copies of the same asset have byte-identical
+    * *structure* but not byte-identical content, so exact dedup (q17)
+    * misses them while a position-sensitive fingerprint catches them.
+    *
+    * Hash construction (the classic pHash recipe with the DCT stage
+    * replaced by the q52 block-resize, since the decode is the stub):
+    * resize the payload to [[PhashBits]] blocks (ceil split, exactly
+    * q52's geometry), then bit b = 1 iff block b's mean byte exceeds
+    * the payload's global mean byte — compared exactly in integer
+    * space (`s_b · n > s_all · len_b`, no float division), so the
+    * hash is bit-reproducible on any engine. Near-dups = pairs at
+    * hamming distance ≤ [[PhashHamMax]].
+    *
+    * Scale shape: candidate generation is banded LSH, not all pairs —
+    * [[PhashBands]] disjoint 8-bit bands; pigeonhole guarantees any
+    * pair within hamming ≤ PhashBands−1 collides on ≥ 1 intact band,
+    * so recall at the ≤ 3 threshold is exact, PROVABLY. The join keys
+    * on (band, band_value): one hash shuffle of a hash-sized frame
+    * (1 row/doc), never a payload shuffle; the exact `bit_count(xor)`
+    * verify rides the candidate rows. Text-skewed corpora can
+    * concentrate a band bucket (all-text bytes share letter
+    * frequency); the positional resize is what spreads them — the
+    * measured bucket histogram at sf0.01 is near-uniform. Per-doc
+    * integer bound: s·n < 2⁶³ holds for payloads < ~190 MB; larger
+    * media needs the comparison in 128-bit (DecimalType) — noted, not
+    * needed for the corpus. */
+  val PhashBits = 32
+  val PhashBands = 4
+  val PhashHamMax = 3
+
+  final case class PayloadHash(doc_id: Long, phash: Long)
+
+  def phashPayload(docId: Long, payload: Array[Byte]): PayloadHash = {
+    val n = payload.length
+    val blk = (n + PhashBits - 1) / PhashBits
+    var sAll = 0L
+    var i = 0
+    while (i < n) { sAll += (payload(i) & 0xff); i += 1 }
+    var hash = 0L
+    var b = 0
+    while (b < PhashBits) {
+      val from = b * blk
+      val until = math.min(n, from + blk)
+      if (from < until) {
+        var s = 0L
+        var j = from
+        while (j < until) { s += (payload(j) & 0xff); j += 1 }
+        if (s * n > sAll * (until - from)) hash |= (1L << b)
+      }
+      b += 1
+    }
+    PayloadHash(docId, hash)
+  }
+
+  def q187MediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => phashPayload(id, bytes) })
+      .toDF()
+    val bands = hashes.select(col("doc_id"), col("phash"),
+      explode(array((0 until PhashBands).map(k =>
+        struct(lit(k).as("band"),
+          shiftrightunsigned(col("phash"), 8 * k).bitwiseAND(lit(255L))
+            .as("bval"))): _*)).as("bb"))
+      .select(col("doc_id"), col("phash"), col("bb.band"), col("bb.bval"))
+    val lhs = bands.select(col("band"), col("bval"),
+      col("doc_id").as("doc_a"), col("phash").as("ph_a"))
+    val rhs = bands.select(col("band"), col("bval"),
+      col("doc_id").as("doc_b"), col("phash").as("ph_b"))
+    lhs.join(rhs, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= PhashHamMax)
+      .distinct() // a close pair can collide in several bands
+  }
+
+  /** Generated 32-term hash assembly over q52's slice geometry; the
+    * pair stage is the all-pairs ground truth the banded plan must
+    * reproduce exactly (recall proof above). */
+  val q187Oracle: String = {
+    val bits = (0 until PhashBits).map { b =>
+      s"""CASE WHEN n > $b * blk AND
+         |      list_sum(cps[$b * blk + 1 : least(n, ($b + 1) * blk)]) * n >
+         |      s_all * (least(n, ($b + 1) * blk) - $b * blk)
+         |    THEN CAST(${1L << b} AS BIGINT) ELSE 0 END""".stripMargin
+        .replace("\n", " ")
+    }.mkString(" +\n      |    ").stripMargin
+    s"""WITH cp AS (
+       |  SELECT doc_id, list_transform(string_split(text, ''), c -> unicode(c)) AS cps,
+       |    (length(text) + ${PhashBits - 1}) // $PhashBits AS blk,
+       |    length(text) AS n
+       |  FROM documents
+       |), cp2 AS (
+       |  SELECT doc_id, cps, blk, n, coalesce(list_sum(cps), 0) AS s_all FROM cp
+       |), ph AS (
+       |  SELECT doc_id,
+       |    CAST($bits AS BIGINT) AS phash
+       |  FROM cp2)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamMax""".stripMargin
+  }
+
   /** The payloads are ASCII text, so byte length == char length and the
     * byte checksum == sum of codepoints — both SQL-expressible. */
   val q23Oracle: String =

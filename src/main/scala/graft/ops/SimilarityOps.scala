@@ -750,6 +750,42 @@ object SimilarityOps {
     * flip rows at rank boundaries. Top-10 per query by (adc ASC,
     * neighbor ASC); the oracle replays training, tables and fold
     * bit-for-bit. */
+  /** Per-subspace subvector frame: (vec_id, subspace, sv). */
+  private def pqSubs(emb: DataFrame): DataFrame =
+    (0 until PqM).map(m =>
+      emb.select(col("vec_id"), lit(m.toLong).as("subspace"),
+        expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("sv")))
+      .reduce(_ union _)
+
+  /** Rebuild the trained codebooks from the q103 code assignments:
+    * the final centroids are the per-(subspace, code) vec_id-ordered
+    * fold means of the members. Returned PERSISTED (M·K = 16 rows;
+    * read by the LUT build AND broadcast; released by the consumer's
+    * clearCache). */
+  private def pqTrainedBooks(subs: DataFrame, codes: DataFrame): DataFrame = {
+    val zero = array((0 until PqSub).map(_ => lit(0.0)): _*)
+    subs.join(codes, Seq("vec_id", "subspace"))
+      .groupBy(col("subspace"), col("code"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("sv")))).as("ms"),
+        count(lit(1)).as("cnt"))
+      .select(col("subspace"), col("code"),
+        transform(
+          aggregate(col("ms"), zero,
+            (acc, e) => zip_with(acc, e.getField("sv"), _ + _)),
+          s => s / col("cnt")).as("cv"))
+      .persist()
+  }
+
+  /** Per-query ADC lookup table: d²(query subvector, codebook entry)
+    * for every (subspace, code) — M·K doubles per query. */
+  private def pqQueryLut(subs: DataFrame, books: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("subspace"), col("sv"))
+      .join(broadcast(books), "subspace")
+      .select(col("query_id"), col("subspace"), col("code"),
+        (dot(col("sv"), col("sv")) - dot(col("sv"), col("cv")) * 2.0 +
+          dot(col("cv"), col("cv"))).as("d2"))
+
   def q104PqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
     // persisted: the trained codes feed THREE downstream subtrees (the
     // books rebuild, the scored scan, and transitively the broadcast
@@ -763,29 +799,9 @@ object SimilarityOps {
     codes.count() // materialize ONCE before the three-way fan-out
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    // rebuild the trained codebooks: q103's final centroids are the
-    // per-(subspace, code) vec_id-ordered fold means of the members
-    val zero = array((0 until PqSub).map(_ => lit(0.0)): _*)
-    val subs = (0 until PqM).map(m =>
-      emb.select(col("vec_id"), lit(m.toLong).as("subspace"),
-        expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("sv")))
-      .reduce(_ union _)
-    val books = subs.join(codes, Seq("vec_id", "subspace"))
-      .groupBy(col("subspace"), col("code"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("sv")))).as("ms"),
-        count(lit(1)).as("cnt"))
-      .select(col("subspace"), col("code"),
-        transform(
-          aggregate(col("ms"), zero,
-            (acc, e) => zip_with(acc, e.getField("sv"), _ + _)),
-          s => s / col("cnt")).as("cv"))
-      .persist() // M·K = 16 rows; read by the LUT build AND broadcast
-    val queries = subs.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("subspace"), col("sv"))
-    val lut = queries.join(broadcast(books), "subspace")
-      .select(col("query_id"), col("subspace"), col("code"),
-        (dot(col("sv"), col("sv")) - dot(col("sv"), col("cv")) * 2.0 +
-          dot(col("cv"), col("cv"))).as("d2"))
+    val subs = pqSubs(emb)
+    val books = pqTrainedBooks(subs, codes)
+    val lut = pqQueryLut(subs, books)
     val scored = codes.join(broadcast(lut), Seq("subspace", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -1357,4 +1373,288 @@ object SimilarityOps {
       |     sqrt(CAST(sum(g.gv * g.gv) AS DOUBLE))) AS cosine
       |FROM sums s JOIN gsum g USING (pos)
       |GROUP BY 1""".stripMargin
+
+  /** q189: MMR (maximal-marginal-relevance) diversified retrieval —
+    * the re-rank step between ANN search and what a RAG/curation
+    * pipeline actually consumes: plain top-k returns near-duplicate
+    * neighbors (the corpus HAS near-dups; see q25/q79), MMR greedily
+    * trades relevance against redundancy, picking
+    * argmax λ·rel(c) − μ·max_{s∈S} sim(c, s) at each step
+    * (Carbonell & Goldstein '98). λ = [[MmrLambda]], μ = [[MmrMu]] —
+    * μ is a separate literal, NOT 1−λ, because `1.0 - 0.7` is
+    * 0.30000000000000004 in IEEE doubles while both engines parse
+    * `0.3` to the same closest double; the scores must match bitwise.
+    *
+    * Scale shape: candidates are q21's bounded top-k (10/query), so
+    * the greedy state is k rows and the pairwise-sim frame k·(k−1)
+    * rows PER QUERY — bounded by the retrieval depth, independent of
+    * corpus size; the per-query greedy runs in one task over its
+    * ≤ k² group (flatMapGroups — the iterative argmax is inherently
+    * sequential per query, and queries parallelize). All sims reuse
+    * the codegen'd sequential-fold dot product, so the doubles match
+    * the oracle's list_reduce bit-for-bit. */
+  val MmrLambda = 0.7
+  val MmrMu = 0.3
+  val MmrK = 5
+
+  def q189MmrDiverse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val cand = q21KnnCosine(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+    val cv = cand.join(emb, cand("neighbor_id") === emb("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("v"), col("nrm"))
+    val lhs = cv.select(col("query_id"), col("neighbor_id").as("a"),
+      col("rel").as("a_rel"), col("v").as("av"), col("nrm").as("anrm"))
+    val rhs = cv.select(col("query_id"), col("neighbor_id").as("b"),
+      col("v").as("bv"), col("nrm").as("bnrm"))
+    val pairs = lhs.join(rhs, Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("a_rel"), col("b"),
+        (dot(col("av"), col("bv")) / (col("anrm") * col("bnrm"))).as("sim"))
+    pairs.as[(Long, Long, Double, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rel = scala.collection.mutable.Map.empty[Long, Double]
+        val sim = scala.collection.mutable.Map.empty[(Long, Long), Double]
+        it.foreach { case (_, a, ar, b, s) => rel(a) = ar; sim((a, b)) = s }
+        val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rel.keys
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Double)]
+        var t = 1
+        while (t <= MmrK && remaining.nonEmpty) {
+          var bestId = -1L
+          var bestScore = Double.NegativeInfinity
+          // ascending-id sweep with a strict > : smallest id wins ties,
+          // matching the oracle's (score DESC, neighbor_id ASC) order
+          remaining.foreach { c =>
+            val maxSim =
+              if (selected.isEmpty) 0.0
+              else selected.iterator.map(s => sim((c, s))).max
+            val score = MmrLambda * rel(c) - MmrMu * maxSim
+            if (score > bestScore) { bestScore = score; bestId = c }
+          }
+          out += ((qid, t.toLong, bestId, bestScore))
+          selected += bestId
+          remaining -= bestId
+          t += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "mmr_rank", "neighbor_id", "mmr_score")
+  }
+
+  /** Greedy selection unrolled to [[MmrK]] generated CTE steps — each
+    * step anti-joins the running selected set and argmaxes the MMR
+    * score; the double arithmetic (`0.7 * rel - 0.3 * max(sim)`) is
+    * written identically to the Scala side. */
+  val q189Oracle: String = {
+    val dotSql = (a: String, b: String) =>
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+        s"p -> p[1] * p[2])), (x,y) -> x + y)"
+    val base =
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a,b) -> a + b)) AS nrm
+         |  FROM e
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5
+         |), cand AS (
+         |  SELECT query_id, neighbor_id, cosine AS rel FROM (
+         |    SELECT query_id, neighbor_id, cosine,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cosine DESC, neighbor_id ASC) AS rk
+         |    FROM (
+         |      SELECT q.query_id, n.vec_id AS neighbor_id,
+         |        ${dotSql("q.qv", "n.v")} / (q.qnrm * n.nrm) AS cosine
+         |      FROM q, n WHERE n.vec_id <> q.query_id) s) t
+         |  WHERE rk <= 10
+         |), pairs AS (
+         |  SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+         |    ${dotSql("na.v", "nb.v")} / (na.nrm * nb.nrm) AS sim
+         |  FROM cand c1
+         |  JOIN cand c2 ON c1.query_id = c2.query_id
+         |    AND c1.neighbor_id <> c2.neighbor_id
+         |  JOIN n na ON na.vec_id = c1.neighbor_id
+         |  JOIN n nb ON nb.vec_id = c2.neighbor_id
+         |), sel1 AS (
+         |  SELECT query_id, neighbor_id, $MmrLambda * rel AS mmr_score FROM (
+         |    SELECT query_id, neighbor_id, rel,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY rel DESC, neighbor_id ASC) AS rk
+         |    FROM cand) t WHERE rk = 1
+         |)""".stripMargin
+    val steps = (2 to MmrK).map { t =>
+      val prev = (1 until t)
+        .map(i => s"SELECT query_id, neighbor_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s""", s$t AS ($prev),
+         |score$t AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    $MmrLambda * c.rel - $MmrMu * max(p.sim) AS mmr_score
+         |  FROM cand c
+         |  JOIN pairs p ON p.query_id = c.query_id AND p.a = c.neighbor_id
+         |  JOIN s$t ss ON ss.query_id = p.query_id AND ss.neighbor_id = p.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM s$t x
+         |    WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+         |  GROUP BY c.query_id, c.neighbor_id, c.rel
+         |), sel$t AS (
+         |  SELECT query_id, neighbor_id, mmr_score FROM (
+         |    SELECT query_id, neighbor_id, mmr_score,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY mmr_score DESC, neighbor_id ASC) AS rk
+         |    FROM score$t) t WHERE rk = 1
+         |)""".stripMargin
+    }.mkString
+    val finals = (1 to MmrK)
+      .map(t => s"SELECT query_id, CAST($t AS BIGINT) AS mmr_rank, " +
+        s"neighbor_id, mmr_score FROM sel$t")
+      .mkString("\nUNION ALL\n")
+    s"$base$steps\n$finals"
+  }
+
+  /** q190: IVF-PQ search — the production big-ANN composition (FAISS's
+    * IVFPQ): the coarse inverted file (q27/q36) prunes WHICH vectors
+    * are scored, the product-quantization ADC table (q103/q104) prunes
+    * WHAT is read per vector. A query probes its top-[[IvfProbes]]
+    * cells, and only those cells' members are scored — by summing M
+    * LUT doubles per candidate, never touching a full float vector.
+    *
+    * 100 TB shape: this is the plan where neither prune alone
+    * suffices — q36 still reads full vectors for candidates (64 floats
+    * each), q104 still scores the whole corpus (M codes each); composed,
+    * the scan cost is (nprobe/nCells) · M bytes-per-vector. Cell
+    * assignment is a broadcast-map pass, the probe filter is a
+    * broadcast semi-join on cell_id (≅ partition pruning when the
+    * corpus is clustered by cell — the q36 argument), the LUT is
+    * M·K·|queries| doubles broadcast, and the final top-10 is the
+    * bounded top-k aggregate. Trained codes/books are persisted
+    * sketch-sized frames (the q104 lesson). Same subspace-ordered
+    * fold; the oracle replays IVF + PQ training + the composition
+    * bit-for-bit. */
+  def q190IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val codes = q103PqCodes(spark, dir)
+      .select(col("vec_id"), col("subspace"), col("code"))
+      .persist()
+    codes.count() // materialize before the fan-out (the q104 lesson)
+    val embN = embWithNorm(spark, dir)
+    val cents = seedCentroids(embN)
+    val assigned = ivfAssignments(embN, cents)
+    val queries = embN.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell_id").asc)
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell_id"),
+        (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("csim"))
+      .withColumn("prk", row_number().over(pw))
+      .filter(col("prk") <= IvfProbes)
+      .select(col("query_id"), col("cell_id"))
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val subs = pqSubs(emb)
+    val books = pqTrainedBooks(subs, codes)
+    val lut = pqQueryLut(subs, books)
+    // candidate codes: only members of the query's probed cells
+    val scored = codes
+      .join(assigned, "vec_id")
+      .join(broadcast(probes), "cell_id")
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"), col("cell_id"))
+      .agg(sort_array(collect_list(struct(col("subspace"), col("d2")))).as("ds"))
+      .select(col("query_id"), col("neighbor_id"), col("cell_id"),
+        aggregate(col("ds"), lit(0.0), (acc, e) => acc + e.getField("d2"))
+          .as("adc_d2"))
+    topKPerGroup(scored, Seq("query_id"),
+      sortCols = Seq("adc_d2" -> false, "neighbor_id" -> false), k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cell_id"), col("adc_d2"))
+  }
+
+  /** q104's oracle with the IVF cell CTEs (q27's argmax assignment +
+    * q36's probe selection) restricting the scored candidate set. */
+  val q190Oracle: String = {
+    def dotL(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+        s"p -> p[1] * p[2])), (x,y) -> x + y)"
+    val subUnion = (0 until PqM)
+      .map(m => s"SELECT vec_id, CAST($m AS BIGINT) AS subspace, " +
+        s"v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS sv FROM e")
+      .mkString("\nUNION ALL\n")
+    val codeUnion = (0 until PqM)
+      .map(m => s"SELECT vec_id, CAST($m AS BIGINT) AS subspace, code FROM af$m")
+      .mkString("\nUNION ALL\n")
+    s"""$q103OraclePrefix,
+       |nn AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a,b) -> a + b)) AS nrm
+       |  FROM e
+       |), cells AS (
+       |  SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM nn WHERE vec_id < $IvfCells
+       |), assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT nn.vec_id, cells.cell_id,
+       |      row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+       |        ${dotL("nn.v", "cells.cv")} / (nn.nrm * cells.cnrm) DESC,
+       |        cells.cell_id ASC) AS rk
+       |    FROM nn, cells) t
+       |  WHERE rk = 1
+       |), probes AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT qq.vec_id AS query_id, cells.cell_id,
+       |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+       |        ${dotL("qq.v", "cells.cv")} / (qq.nrm * cells.cnrm) DESC,
+       |        cells.cell_id ASC) AS prk
+       |    FROM (SELECT * FROM nn WHERE vec_id < 5) qq, cells) t
+       |  WHERE prk <= $IvfProbes
+       |), subs AS (
+       |$subUnion
+       |), codes AS (
+       |$codeUnion
+       |), books AS (
+       |  SELECT subspace, code, list_transform(sv, x -> x / cnt) AS cv FROM (
+       |    SELECT c.subspace, c.code,
+       |      list_reduce(
+       |        list_prepend([0.0 for i in generate_series(1, $PqSub)],
+       |                     list(s.sv ORDER BY s.vec_id)),
+       |        (acc, x) -> list_transform(list_zip(acc, x),
+       |                                   p -> p[1] + p[2])) AS sv,
+       |      count(*) AS cnt
+       |    FROM codes c JOIN subs s
+       |      ON s.vec_id = c.vec_id AND s.subspace = c.subspace
+       |    GROUP BY c.subspace, c.code) t
+       |), q AS (
+       |  SELECT vec_id AS query_id, subspace, sv FROM subs WHERE vec_id < 5
+       |), lut AS (
+       |  SELECT q.query_id, q.subspace, b.code,
+       |    (${dotL("q.sv", "q.sv")} - 2 * ${dotL("q.sv", "b.cv")} +
+       |     ${dotL("b.cv", "b.cv")}) AS d2
+       |  FROM q JOIN books b ON b.subspace = q.subspace
+       |), scored AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id, av.cell_id,
+       |    list_reduce(
+       |      list_prepend(0.0, list(l.d2 ORDER BY l.subspace)),
+       |      (x, y) -> x + y) AS adc_d2
+       |  FROM codes c
+       |  JOIN assigned av ON av.vec_id = c.vec_id
+       |  JOIN probes pr ON pr.cell_id = av.cell_id
+       |  JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+       |    AND l.query_id = pr.query_id
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id, av.cell_id)
+       |SELECT query_id, rank, neighbor_id, cell_id, adc_d2 FROM (
+       |  SELECT query_id, neighbor_id, cell_id, adc_d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10""".stripMargin
+  }
 }

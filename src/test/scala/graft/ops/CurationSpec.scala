@@ -185,4 +185,38 @@ class CurationSpec extends AnyFunSuite {
       assert(last.getAs[Long]("coverage_ppm") == 1000000L)
     }
   }
+
+  test("q188 cluster-keyed split has zero cross-split near-dup leakage; naive split measurably leaks") {
+    import org.apache.spark.sql.functions._
+    // rebuild the per-doc cluster-aware split and check every q18
+    // near-dup edge lands with both endpoints in the SAME split —
+    // the invariant the operator exists to enforce
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"))
+    val clusters = DedupOps.q33DedupClusters(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("cluster_rep"))
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val h = substring(md5(c.cast("string")), 1, 1)
+      when(h.between("0", "b"), "train").when(h.isin("c", "d"), "val")
+        .otherwise("test")
+    }
+    val tagged = docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        splitOf(coalesce(col("cluster_rep"), col("doc_id"))).as("split"))
+    val edges = DedupOps.q18NgramJaccard(spark, TestSpark.sfDir)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    val crossed = edges
+      .join(tagged.select(col("doc_id").as("doc_id_1"), col("split").as("s1")), "doc_id_1")
+      .join(tagged.select(col("doc_id").as("doc_id_2"), col("split").as("s2")), "doc_id_2")
+      .filter(col("s1") =!= col("s2")).count()
+    assert(crossed == 0L, s"cluster-aware split leaked $crossed edges")
+    // and the reported naive leakage is the true doc-hash tear count
+    val reported = Curation.q188LeakageSplit(spark, TestSpark.sfDir)
+      .agg(sum(col("naive_torn_edges"))).as[Long].head()
+    val naiveTorn = edges
+      .filter(splitOf(col("doc_id_1")) =!= splitOf(col("doc_id_2"))).count()
+    assert(reported == naiveTorn)
+    assert(naiveTorn > 0L,
+      "corpus near-dup families should straddle the naive doc-hash split")
+  }
 }

@@ -288,4 +288,27 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
     assert(hamming(sh(1L), sh(2L)) <= 8)
   }
+
+  test("q187 banded pHash blocking finds exactly the exhaustive hamming pairs") {
+    // the pigeonhole guarantee (4 disjoint 8-bit bands catch every
+    // pair at hamming <= 3) asserted against a brute-force all-pairs
+    // join over the same per-doc hashes, on the real corpus
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+    val hashes = docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => MultimodalOps.phashPayload(id, b) })
+      .toDF()
+    val a = hashes.select(col("doc_id").as("doc_a"), col("phash").as("pa"))
+    val b = hashes.select(col("doc_id").as("doc_b"), col("phash").as("pb"))
+    val exhaustive = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= MultimodalOps.PhashHamMax)
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = MultimodalOps.q187MediaPhash(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(exhaustive.nonEmpty, "corpus should contain pHash near-dups")
+    assert(banded == exhaustive)
+  }
 }

@@ -146,4 +146,42 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map("s1" -> "c1", "c1" -> "s1", "s2" -> "c1",
       "c2" -> "s1"), s"got $got")
   }
+
+  test("q193: hand-traced modularity of the bipartite oscillation is -1/2") {
+    import spark.implicits._
+    // same graph as the q128 test: LPA's two-coloring puts every edge
+    // ACROSS communities, so e_in = 0 everywhere and
+    // Q_c = -d_c^2 / 4m^2 = -9/36 per community, Q = -0.5 total
+    val dir = java.nio.file.Files.createTempDirectory("mod").toString
+    Seq((1L, 1L), (2L, 1L), (3L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L), (2L, 2L), (3L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Graph.q193Modularity(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+          r.getDouble(5))).toMap
+    assert(got.keySet == Set("c1", "s1"), s"got $got")
+    for ((_, ((n, eIn, dSum, qNum), qc)) <- got) {
+      assert((n, eIn, dSum, qNum) == ((2L, 0L, 3L, -9L)), s"got $got")
+      assert(qc == -0.25, s"got $got")
+    }
+  }
+
+  test("q193: real-corpus conservation — degrees sum to 2m, e_in <= m, Q in [-1,1]") {
+    import org.apache.spark.sql.functions._
+    val mod = Graph.q193Modularity(spark, TestSpark.sfDir)
+    val base = mod.agg(
+      sum(col("d_sum")).as("dTot"), sum(col("e_in")).as("eTot"),
+      sum(col("q_contrib")).as("q")).head()
+    val dTot = base.getLong(0); val eTot = base.getLong(1)
+    val q = base.getDouble(2)
+    // every edge contributes 2 degree endpoints; intra-community edges
+    // are a subset of all edges
+    assert(dTot % 2 == 0 && eTot <= dTot / 2,
+      s"degree/edge conservation broken: dTot=$dTot eTot=$eTot")
+    assert(q >= -1.0 && q <= 1.0, s"Q=$q out of range")
+  }
 }

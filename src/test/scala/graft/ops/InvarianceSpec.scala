@@ -136,7 +136,21 @@ class InvarianceSpec extends AnyFunSuite {
     ("q185 seasonal-naive error (hourly-aggregate self-joins)",
       () => Audit.q185SeasonalError(spark, TestSpark.sfDir)),
     ("q186 basket diversity (exact rational Gini-Simpson)",
-      () => Relational.q186BasketDiversity(spark, TestSpark.sfDir)))
+      () => Relational.q186BasketDiversity(spark, TestSpark.sfDir)),
+    ("q187 media pHash near-dup (banded LSH + multi-band distinct)",
+      () => MultimodalOps.q187MediaPhash(spark, TestSpark.sfDir)),
+    ("q188 leakage-safe split (cluster-keyed hash split)",
+      () => Curation.q188LeakageSplit(spark, TestSpark.sfDir)),
+    ("q189 MMR diversified retrieval (per-query sequential greedy)",
+      () => SimilarityOps.q189MmrDiverse(spark, TestSpark.sfDir)),
+    ("q190 IVF-PQ search (probe prune + subspace-ordered ADC fold)",
+      () => SimilarityOps.q190IvfPqSearch(spark, TestSpark.sfDir)),
+    ("q191 ACF (dense-grid lag joins, decimal moments)",
+      () => Audit.q191Acf(spark, TestSpark.sfDir)),
+    ("q192 encoding advisor (keyed run windows over a melt)",
+      () => Layout.q192EncodingAdvisor(spark, TestSpark.sfDir)),
+    ("q193 modularity (label join over persisted LPA edges)",
+      () => Graph.q193Modularity(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {

@@ -273,4 +273,67 @@ class SimilaritySpec extends AnyFunSuite {
           org.apache.spark.sql.functions.col("doc_id")).count()
     assert(totalVecs == expected, s"$totalVecs != $expected")
   }
+
+  test("q189 MMR: step 1 is the relevance argmax, picks are distinct candidates, k per query") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val mmr = SimilarityOps.q189MmrDiverse(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    val top = SimilarityOps.q21KnnCosine(spark, TestSpark.sfDir)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .as[(Long, Long, Long)].collect()
+    val topByQuery = top.groupBy(_._1)
+    val byQuery = mmr.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    for ((q, rows) <- byQuery) {
+      // exactly MmrK picks, ranked 1..k, all distinct
+      assert(rows.length == SimilarityOps.MmrK)
+      assert(rows.map(_._2).sorted.toSeq == (1 to SimilarityOps.MmrK).map(_.toLong))
+      assert(rows.map(_._3).distinct.length == rows.length)
+      // every pick comes from q21's candidate pool
+      val pool = topByQuery(q).map(_._3).toSet
+      assert(rows.forall(r => pool.contains(r._3)))
+      // the first pick IS the most-relevant candidate (rank 1 in q21)
+      val first = rows.find(_._2 == 1L).get._3
+      assert(first == topByQuery(q).find(_._2 == 1L).get._3)
+    }
+    // diversification bites somewhere: at least one query's MMR top-5
+    // differs from its plain relevance top-5 (the corpus has near-dup
+    // neighbor sets, so redundancy must get penalized for some query)
+    val diverged = byQuery.exists { case (q, rows) =>
+      val plain5 = topByQuery(q).filter(_._2 <= SimilarityOps.MmrK).map(_._3).toSet
+      rows.map(_._3).toSet != plain5
+    }
+    assert(diverged, "MMR never diverged from plain top-k")
+  }
+
+  test("q190 IVF-PQ: results come from probed cells and ADC distances agree with full-scan q104") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val ivfpq = SimilarityOps.q190IvfPqSearch(spark, TestSpark.sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("cell_id"), col("adc_d2"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(ivfpq.nonEmpty)
+    val q104 = SimilarityOps.q104PqAdcSearch(spark, TestSpark.sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for ((q, nid, _, d2) <- ivfpq) {
+      // any (query, neighbor) q104 also surfaced must carry the SAME
+      // ADC distance — same codes, same books, same fold
+      q104.get((q, nid)).foreach(full => assert(full == d2,
+        s"ADC mismatch for ($q,$nid): ivfpq=$d2 full=$full"))
+    }
+    // recall vs the full ADC scan stays high (the probe prune skips
+    // cells, it must not collapse the result set)
+    val byQ = ivfpq.groupBy(_._1)
+    val overlaps = byQ.map { case (q, rows) =>
+      val full10 = q104.keys.filter(_._1 == q).map(_._2).toSet
+      rows.count(r => full10.contains(r._2)).toDouble / math.max(1, rows.length)
+    }
+    assert(overlaps.sum / overlaps.size >= 0.5,
+      s"IVF-PQ overlap vs full ADC collapsed: $overlaps")
+  }
 }

@@ -87,4 +87,61 @@ class WarehouseOpsSpec extends AnyFunSuite {
       .collect()
     got.foreach(r => assert(r.getLong(2) == zRef(r.getLong(0), r.getLong(1))))
   }
+
+  test("q191 ACF: bounded in [-1,1], constant lag width, counts conserved") {
+    val rows = Audit.q191Acf(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    for ((_, trows) <- byType) {
+      assert(trows.map(_.getAs[Long]("lag")).sorted.toSeq == Seq(1L, 2L, 3L))
+      // dense grid: n at lag k is exactly (span - k + 1); so n(k) -
+      // n(k+1) == 1 for consecutive lags
+      val byLag = trows.sortBy(_.getAs[Long]("lag")).map(_.getAs[Long]("n"))
+      assert(byLag.zip(byLag.tail).forall { case (a, b) => a - b == 1 },
+        s"lag-pair counts not arithmetic: ${byLag.toSeq}")
+    }
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("acf"))) {
+        val a = r.getAs[Double]("acf")
+        assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"acf out of range: $r")
+      }
+    }
+    // the hourly event series is bursty (sessions), so SOME positive
+    // short-lag autocorrelation must exist somewhere
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("acf")) &&
+      r.getAs[Double]("acf") > 0.0))
+  }
+
+  test("q192 encoding advisor: totals conserved, runs bounded, driver replay agrees") {
+    val rows = Layout.q192EncodingAdvisor(spark, TestSpark.sfDir).collect()
+    assert(rows.map(_.getAs[String]("col_name")).sorted.toSeq ==
+      Layout.ProfiledCols.sorted)
+    val n = Tables.load(spark, TestSpark.sfDir, "lineitem").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_values") == n)
+      val runs = r.getAs[Long]("n_runs")
+      val distinct = r.getAs[Long]("n_distinct")
+      assert(runs >= distinct && runs >= 1, s"runs $runs < distinct $distinct")
+      assert(runs <= n && distinct <= n)
+      // dict_bits is the index width: 2^bits >= n_distinct > 2^(bits-1)
+      val bits = r.getAs[Long]("dict_bits")
+      if (distinct > 1) {
+        assert((1L << bits) >= distinct && (1L << (bits - 1)) < distinct)
+      } else assert(bits == 0L)
+    }
+    // driver-side replay of the run count for one low-cardinality column
+    val replay = Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .selectExpr("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice", "CAST(l_returnflag AS STRING) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))
+      .sortBy(t => (t._1, t._2, t._3, t._4, t._5))
+    val runCount = replay.zip(replay.drop(1)).count { case (a, b) =>
+      a._1 != b._1 || a._6 != b._6
+    } + 1
+    val reported = rows.find(_.getAs[String]("col_name") == "l_returnflag")
+      .get.getAs[Long]("n_runs")
+    assert(reported == runCount.toLong, s"$reported != $runCount")
+  }
 }
