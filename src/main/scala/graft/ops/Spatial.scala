@@ -109,4 +109,143 @@ object Spatial {
        |WHERE (a.lat - b.lat) * (a.lat - b.lat) +
        |      (a.lon - b.lon) * (a.lon - b.lon) <= $r2""".stripMargin
   }
+
+  /** DBSCAN core-point threshold: |N_eps(p)| >= MinPts, the
+    * eps-neighborhood INCLUDING the point itself (Ester et al., KDD'96
+    * convention). 6 at eps = [[RadiusE4]] splits sf0.01 into 981 core /
+    * 519 non-core over 8 clusters; at sf0.001 the derived lattice is
+    * too sparse for any core point, so everything is noise — a valid
+    * (and oracle-confirmed) degenerate run. */
+  val DbscanMinPts = 6
+
+  /** q194: distributed DBSCAN over the customer-derived station
+    * points — density clustering without an all-pairs product and
+    * without the sequential seed-expansion of the textbook algorithm.
+    *
+    * The observation that makes DBSCAN embarrassingly parallel: the
+    * clusters are exactly the connected components of the CORE-CORE
+    * eps-neighbor graph, with border points (non-core within eps of a
+    * core) attached afterwards and everything else noise. So the plan
+    * is three reuses of machinery this engine already trusts:
+    *
+    *   1. eps-neighbor pairs from the grid-blocked radius self-join
+    *      ([[radiusPairs]] — keyed hash join, no cross product);
+    *   2. per-point neighbor counts (one symmetric explode + count)
+    *      → core flags;
+    *   3. star-contraction connected components over the core-core
+    *      edge subset ([[DedupOps.connectedComponents]] — every stage
+    *      hash-partitioned, O(log n) rounds).
+    *
+    * Border attachment is a keyed aggregate, not a traversal: each
+    * mixed (core, non-core) eps-pair routes the core end's component
+    * rep to the non-core end, min() picks the winner — deterministic
+    * where the textbook's arrival-order assignment is not. Noise rows
+    * carry the -1 sentinel rather than NULL so the integer column
+    * round-trips engines without nullable-int dtype drift.
+    *
+    * At 100 TB: neighbor generation is bounded by local density ×
+    * eps² per grid cell (skew = ordinary hash-join skew, AQE-split),
+    * the CC loop never materializes a component in one task, and no
+    * stage is quadratic in the corpus — the oracle's all-pairs +
+    * recursive-closure plan is exactly what this plan avoids. */
+  def q194Dbscan(spark: SparkSession, dir: String): DataFrame =
+    dbscan(customerPoints(Tables.load(spark, dir, "customer")),
+      RadiusE4, DbscanMinPts)
+      .withColumnRenamed("k", "c_custkey")
+
+  /** The distributed DBSCAN pipeline over a (k, lat, lon) frame.
+    * Output: (k, role ∈ core|border|noise, cluster_rep — component
+    * min for members, -1 for noise — and cluster_size — member count
+    * core+border, 0 for noise). */
+  def dbscan(pts0: DataFrame, eps: Long, minPts: Int): DataFrame = {
+    val pts = pts0
+    val pairs = radiusPairs(pts, eps).persist()
+    val sym = pairs.select(explode(array(
+        struct(col("a_k").as("k"), col("b_k").as("n")),
+        struct(col("b_k").as("k"), col("a_k").as("n")))).as("p"))
+      .select(col("p.k").as("k"))
+    val deg = sym.groupBy(col("k")).agg(count(lit(1)).as("nb"))
+    val flags = pts.select(col("k")).join(deg, Seq("k"), "left")
+      .select(col("k"),
+        (coalesce(col("nb"), lit(0L)) + lit(1L) >= lit(minPts.toLong))
+          .as("is_core"))
+      .persist()
+    val tagged = pairs
+      .join(flags.select(col("k").as("a_k"), col("is_core").as("ac")), "a_k")
+      .join(flags.select(col("k").as("b_k"), col("is_core").as("bc")), "b_k")
+      .persist()
+    pairs.unpersist(false)
+    val coreEdges = tagged.filter(col("ac") && col("bc"))
+      .select(col("a_k").as("u"), col("b_k").as("v"))
+    val ccLabels = DedupOps.connectedComponents(coreEdges)
+    // isolated cores (>= MinPts neighbors, none of them core) label themselves
+    val coreRep = flags.filter(col("is_core")).select(col("k"))
+      .join(ccLabels.select(col("node").as("k"), col("rep")), Seq("k"), "left")
+      .select(col("k"), coalesce(col("rep"), col("k")).as("rep"))
+      .persist()
+    val borderRep = tagged.filter(col("ac") =!= col("bc"))
+      .select(when(col("ac"), col("b_k")).otherwise(col("a_k")).as("k"),
+        when(col("ac"), col("a_k")).otherwise(col("b_k")).as("ck"))
+      .join(coreRep.select(col("k").as("ck2"), col("rep")),
+        col("ck") === col("ck2"))
+      .groupBy(col("k")).agg(min(col("rep")).as("rep"))
+    tagged.unpersist(false)
+    val assigned = coreRep.select(col("k"), col("rep"), lit("core").as("role"))
+      .unionAll(borderRep.select(col("k"), col("rep"), lit("border").as("role")))
+    val sizes = assigned.groupBy(col("rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val members = assigned.join(sizes, "rep")
+      .select(col("k"), col("role"),
+        col("rep").as("cluster_rep"), col("cluster_size"))
+    val noise = pts.select(col("k"))
+      .join(assigned.select(col("k").as("k2")), col("k") === col("k2"),
+        "left_anti")
+      .select(col("k"), lit("noise").as("role"),
+        lit(-1L).as("cluster_rep"), lit(0L).as("cluster_size"))
+    members.unionAll(noise)
+  }
+
+  val q194Oracle: String = {
+    val r2 = RadiusE4 * RadiusE4
+    s"""WITH RECURSIVE p AS (
+       |  SELECT c_custkey AS k,
+       |    (c_custkey % 80) * 10000 + (c_custkey * 7 % 10000) AS lat,
+       |    (c_custkey * 3 % 170) * 10000 + (c_custkey * 13 % 10000) AS lon
+       |  FROM customer),
+       |e AS (
+       |  SELECT a.k AS ak, b.k AS bk FROM p a JOIN p b ON a.k <> b.k
+       |  WHERE (a.lat - b.lat) * (a.lat - b.lat) +
+       |        (a.lon - b.lon) * (a.lon - b.lon) <= $r2),
+       |deg AS (
+       |  SELECT p.k, count(e.bk) AS nb FROM p
+       |  LEFT JOIN e ON e.ak = p.k GROUP BY p.k),
+       |core AS (SELECT k FROM deg WHERE nb + 1 >= $DbscanMinPts),
+       |ce AS (
+       |  SELECT ak, bk FROM e
+       |  WHERE ak IN (SELECT k FROM core) AND bk IN (SELECT k FROM core)),
+       |reach AS (
+       |  SELECT k AS a, k AS b FROM core
+       |  UNION
+       |  SELECT r.a, ce.bk FROM reach r JOIN ce ON ce.ak = r.b),
+       |corerep AS (SELECT a AS k, min(b) AS rep FROM reach GROUP BY a),
+       |borderrep AS (
+       |  SELECT e.ak AS k, min(cr.rep) AS rep
+       |  FROM e JOIN corerep cr ON cr.k = e.bk
+       |  WHERE e.ak NOT IN (SELECT k FROM core)
+       |  GROUP BY e.ak),
+       |assigned AS (
+       |  SELECT k, rep, 'core' AS role FROM corerep
+       |  UNION ALL
+       |  SELECT k, rep, 'border' AS role FROM borderrep),
+       |sizes AS (SELECT rep, count(*) AS n FROM assigned GROUP BY rep)
+       |SELECT a.k AS c_custkey, a.role,
+       |  CAST(a.rep AS BIGINT) AS cluster_rep,
+       |  CAST(s.n AS BIGINT) AS cluster_size
+       |FROM assigned a JOIN sizes s ON s.rep = a.rep
+       |UNION ALL
+       |SELECT p.k AS c_custkey, 'noise' AS role,
+       |  CAST(-1 AS BIGINT) AS cluster_rep, CAST(0 AS BIGINT) AS cluster_size
+       |FROM p
+       |WHERE p.k NOT IN (SELECT k FROM assigned)""".stripMargin
+  }
 }

@@ -61,6 +61,89 @@ class SpatialSpec extends AnyFunSuite {
       assert(blocked(pts, r) === brute(pts, r), s"radius $r")
   }
 
+  /** Textbook DBSCAN as the semantic spec: neighbor counts (incl.
+    * self), cores, union-find over core-core pairs with min-id reps,
+    * border = non-core with a core neighbor assigned min core rep. */
+  private def bruteDbscan(points: Seq[(Long, Long, Long)], r: Long, minPts: Int)
+    : Set[(Long, String, Long, Long)] = {
+    val within = points.map { case (k, lat, lon) =>
+      k -> points.filter { case (k2, lat2, lon2) =>
+        k2 != k &&
+          (lat - lat2) * (lat - lat2) + (lon - lon2) * (lon - lon2) <= r * r
+      }.map(_._1).toSet
+    }.toMap
+    val core = points.map(_._1).filter(k => within(k).size + 1 >= minPts).toSet
+    // union-find over core-core eps-pairs
+    val parent = scala.collection.mutable.Map(core.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r0 = find(parent(x)); parent(x) = r0; r0 }
+    for (k <- core; n <- within(k) if core(n)) {
+      val (ra, rb) = (find(k), find(n))
+      if (ra != rb) { val m = math.min(ra, rb); parent(math.max(ra, rb)) = m }
+    }
+    val coreRep = core.map(k => k -> find(k)).toMap
+      .map { case (k, r0) => k -> find(r0) } // path-compress to final roots
+    val borderRep = points.map(_._1).filterNot(core)
+      .flatMap { k =>
+        val cn = within(k).filter(core)
+        if (cn.isEmpty) None else Some(k -> cn.map(coreRep).min)
+      }.toMap
+    val sizes = (coreRep.values ++ borderRep.values).toSeq
+      .groupBy(identity).map { case (rep, xs) => rep -> xs.size.toLong }
+    points.map(_._1).map { k =>
+      if (core(k)) (k, "core", coreRep(k), sizes(coreRep(k)))
+      else if (borderRep.contains(k)) (k, "border", borderRep(k), sizes(borderRep(k)))
+      else (k, "noise", -1L, 0L)
+    }.toSet
+  }
+
+  private def distDbscan(points: Seq[(Long, Long, Long)], r: Long, minPts: Int)
+    : Set[(Long, String, Long, Long)] =
+    Spatial.dbscan(points.toDF("k", "lat", "lon"), r, minPts)
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+      .toSet
+
+  test("dbscan: two dense blobs, a bridge border point, and outliers") {
+    val r = 10L
+    // blob A around (100,100), blob B around (200,200) — each 5 points
+    // pairwise within r (core at minPts=5); a border point within r of
+    // one A-core but with too few neighbors to be core itself; two
+    // isolated noise points
+    val blobA = (0 until 5).map(i => (i.toLong, 100L + i, 100L + i))
+    val blobB = (10 until 15).map(i => (i.toLong, 200L + (i - 10), 200L + (i - 10)))
+    val border = Seq((20L, 110L, 108L)) // within r of A's (4,104,104)? d2=36+16=52 <= 100
+    val noise = Seq((30L, 500L, 500L), (31L, 700L, 100L))
+    val pts = blobA ++ blobB ++ border ++ noise
+    val exp = bruteDbscan(pts, r, 5)
+    assert(exp.count(_._2 == "core") == 10 &&
+      exp.count(_._2 == "border") == 1 && exp.count(_._2 == "noise") == 2,
+      s"spec sanity: $exp")
+    assert(exp.filter(_._2 != "noise").map(_._3) == Set(0L, 10L),
+      "two clusters rooted at each blob's min id")
+    assert(distDbscan(pts, r, 5) === exp)
+  }
+
+  test("dbscan: isolated core (dense clique with no core neighbors outside)") {
+    // 3 mutually-close points with minPts=3: all three are core in one
+    // cluster; plus a pair (each 2 neighbors incl self < 3) -> noise
+    val pts = Seq((1L, 10L, 10L), (2L, 11L, 10L), (3L, 10L, 11L),
+      (40L, 300L, 300L), (41L, 301L, 300L))
+    val exp = bruteDbscan(pts, 5L, 3)
+    assert(exp === distDbscan(pts, 5L, 3))
+    assert(exp.count(_._2 == "noise") == 2)
+    assert(exp.filter(_._2 == "core").map(_._3) == Set(1L))
+  }
+
+  test("dbscan: seeded random cloud equals textbook at two densities") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 250).map(i =>
+      (i.toLong, rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+    for ((r, minPts) <- Seq((25L, 4), (60L, 8)))
+      assert(distDbscan(pts, r, minPts) === bruteDbscan(pts, r, minPts),
+        s"r=$r minPts=$minPts")
+  }
+
   test("q134 on the real table equals the exhaustive pairs at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val pts = Spatial.customerPoints(
