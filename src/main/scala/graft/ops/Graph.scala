@@ -621,4 +621,96 @@ object Graph {
        |    - CAST(d_sum AS HUGEINT) * d_sum AS DOUBLE)
        |    / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)) AS q_contrib
        |FROM ds LEFT JOIN din USING (cid) CROSS JOIN mm""".stripMargin
+
+  val HitsIters = 2
+  val HitsScale = 1000000L
+
+  /** q195: HITS hubs & authorities (Kleinberg, JACM'99) over the
+    * supplier→customer supply graph — the companion centrality to
+    * q84's PageRank: suppliers are hubs (they point at the customers
+    * they serve), customers are authorities.
+    *
+    * Exactness trick: textbook HITS L2-normalizes each round — dead
+    * on arrival for a cross-engine bit-exact oracle (sqrt of a sum of
+    * squares in doubles). Instead each half-round rescales by the
+    * CURRENT MAX in integer arithmetic: a'(v) = (Σ_{u→v} h(u)) ·
+    * Scale div max — same fixpoint direction (power iteration is
+    * normalization-invariant up to a positive scalar), every value an
+    * exact integer in [0, Scale], and the magnitude after any number
+    * of rounds is bounded by Scale — no overflow at any data scale
+    * (raw sums stay ≤ degree_max · Scale ≪ 2⁶³).
+    *
+    * Scale shape: per half-round one co-partitioned hash join
+    * (scores⋈edges) + one map-combined sum — the Pregel pattern, like
+    * q84 — plus a 1-row max aggregate attached by `crossJoin(
+    * broadcast(...))`, never a driver collect. Edge list persisted
+    * once; iteration count fixed. Reference anchor: the supply-chain
+    * join lineitem→orders (aw_silver_layer_sales transformations)
+    * that defines every graph family here. */
+  def q195Hits(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+      .distinct()
+      .persist()
+    val (hub, auth) = hits(edges, HitsIters)
+    hub.select(concat(lit("s"), col("src")).as("node"),
+        lit("hub").as("kind"), col("h").as("score"))
+      .unionAll(auth.select(concat(lit("c"), col("dst")).as("node"),
+        lit("authority").as("kind"), col("a").as("score")))
+  }
+
+  /** The max-rescaled integer power iteration over a (src, dst) edge
+    * frame; returns (hubs (src, h), authorities (dst, a)) after
+    * `iters` full rounds. */
+  def hits(edges: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    var hub = edges.select(col("src")).distinct()
+      .withColumn("h", lit(HitsScale))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = edges.join(hub, "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      val aMax = aRaw.agg(max(col("ar")).as("am"))
+      auth = aRaw.crossJoin(broadcast(aMax))
+        .select(col("dst"), expr(s"(ar * ${HitsScale}L) div am").as("a"))
+      val hRaw = edges.join(auth, "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+      val hMax = hRaw.agg(max(col("hr")).as("hm"))
+      hub = hRaw.crossJoin(broadcast(hMax))
+        .select(col("src"), expr(s"(hr * ${HitsScale}L) div hm").as("h"))
+    }
+    (hub, auth)
+  }
+
+  val q195Oracle: String = {
+    val rounds = (1 to HitsIters).map { r =>
+      s"""a$r AS (
+         |  SELECT e.dst, sum(h.h) AS ar
+         |  FROM e JOIN h${r - 1} h ON h.src = e.src GROUP BY 1),
+         |an$r AS (
+         |  SELECT dst, ar * $HitsScale // (SELECT max(ar) FROM a$r) AS a
+         |  FROM a$r),
+         |hh$r AS (
+         |  SELECT e.src, sum(a.a) AS hr
+         |  FROM e JOIN an$r a ON a.dst = e.dst GROUP BY 1),
+         |h$r AS (
+         |  SELECT src, hr * $HitsScale // (SELECT max(hr) FROM hh$r) AS h
+         |  FROM hh$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), h0 AS (
+       |  SELECT DISTINCT src, CAST($HitsScale AS BIGINT) AS h FROM e
+       |),
+       |$rounds
+       |SELECT 's' || src AS node, 'hub' AS kind, CAST(h AS BIGINT) AS score
+       |FROM h$HitsIters
+       |UNION ALL
+       |SELECT 'c' || dst AS node, 'authority' AS kind, CAST(a AS BIGINT) AS score
+       |FROM an$HitsIters""".stripMargin
+  }
 }

@@ -184,4 +184,36 @@ class GraphSpec extends AnyFunSuite {
       s"degree/edge conservation broken: dTot=$dTot eTot=$eTot")
     assert(q >= -1.0 && q <= 1.0, s"Q=$q out of range")
   }
+
+  test("hits: hand-traced max-rescaled power iteration on a 3x2 bipartite graph") {
+    import spark.implicits._
+    // s1->{c1,c2}, s2->{c1}, s3->{c2}; S = 1e6
+    // a_raw: c1 = h(s1)+h(s2) = 2S, c2 = 2S -> both rescale to S
+    // h_raw: s1 = a(c1)+a(c2) = 2S, s2 = S, s3 = S
+    //   -> h: s1 = S, s2 = S/2, s3 = S/2
+    // round 2: a_raw c1 = S + S/2, c2 = S + S/2 -> a = S, S
+    //   h_raw s1 = 2S, s2 = S, s3 = S -> h = S, S/2, S/2 (fixpoint)
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val (hub, auth) = Graph.hits(edges, Graph.HitsIters)
+    val s = Graph.HitsScale
+    assert(hub.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> s, 2L -> s / 2, 3L -> s / 2))
+    assert(auth.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> s, 2L -> s))
+  }
+
+  test("q195: scores bounded by Scale, maxima attained, node sides disjoint") {
+    val rows = Graph.q195Hits(spark, TestSpark.sfDir).collect()
+    val (hubs, auths) = rows.partition(_.getString(1) == "hub")
+    assert(hubs.nonEmpty && auths.nonEmpty)
+    assert(hubs.forall(_.getString(0).startsWith("s")) &&
+      auths.forall(_.getString(0).startsWith("c")),
+      "bipartite sides must not mix")
+    for (g <- Seq(hubs, auths)) {
+      val scores = g.map(_.getLong(2))
+      assert(scores.forall(x => x >= 0 && x <= Graph.HitsScale))
+      assert(scores.max == Graph.HitsScale,
+        "max-rescaling must pin the top score to Scale")
+    }
+  }
 }
