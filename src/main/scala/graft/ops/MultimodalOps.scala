@@ -315,6 +315,83 @@ object MultimodalOps {
        |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamMax""".stripMargin
   }
 
+  /** q196 frame width (bytes ≙ 8-bit mono samples) and activity
+    * threshold. 18 splits the sf0.01 frame population ~44% inactive /
+    * 56% active (measured) — segments are genuinely plural per doc,
+    * not one all-active island. */
+  val VadFrame = 64
+  val VadThreshold = 18
+
+  /** q196: voice-activity segmentation plumbing — the audio analog of
+    * q26's frame sampler. A real VAD frames PCM samples, computes a
+    * band energy per frame, thresholds it, and merges consecutive
+    * active frames into utterance segments; this pipeline does exactly
+    * that with the payload's bytes as samples and "energy" = count of
+    * bytes in the speech band (here: vowels — deterministic, so the
+    * whole segment structure is oracle-checkable; a real deployment
+    * swaps the per-frame energy expression for a spectral one and
+    * keeps every other stage).
+    *
+    * All stages are declarative and codegen'd: frame fan-out is an
+    * explode over `sequence()` (narrow), per-frame energy is
+    * `length(translate(...))` on a substring (no UDF), and island
+    * merging is the gaps-and-islands trick — `frame_idx − row_number()`
+    * constant within each run — under a window partitioned by doc_id
+    * (per-doc frame counts, naturally bounded; thousands of docs per
+    * partition at any scale, never a corpus-sized single partition).
+    * Output: one row per active segment with frame span and energy. */
+  def q196AudioVad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("i",
+        explode(expr(s"sequence(0L, (length(text) + ${VadFrame - 1}) div $VadFrame - 1)")))
+      .withColumn("fr",
+        expr(s"substring(text, cast(i * $VadFrame + 1 AS INT), $VadFrame)"))
+      .select(col("doc_id"), col("i"),
+        (length(col("fr")) - length(translate(col("fr"), "aeiou", "")))
+          .cast("long").as("energy"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val segs = frames.filter(col("energy") >= VadThreshold)
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).as("start_frame"), max(col("i")).as("end_frame"),
+        count(lit(1)).as("n_frames"), sum(col("energy")).as("seg_energy"))
+    val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("start_frame"))
+    segs
+      .withColumn("seg_idx", (row_number().over(wSeg) - 1).cast("long"))
+      .select(col("doc_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("seg_energy"))
+  }
+
+  val q196Oracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, i,
+       |    CAST(length(fr) - length(translate(fr, 'aeiou', '')) AS BIGINT)
+       |      AS energy
+       |  FROM (
+       |    SELECT doc_id, i,
+       |      substring(text, CAST(i * $VadFrame + 1 AS INT), $VadFrame) AS fr
+       |    FROM documents,
+       |      unnest(generate_series(0,
+       |        (length(text) + ${VadFrame - 1}) // $VadFrame - 1)) AS t(i))
+       |), a AS (
+       |  SELECT doc_id, i, energy,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM f WHERE energy >= $VadThreshold
+       |), s AS (
+       |  SELECT doc_id, min(i) AS start_frame, max(i) AS end_frame,
+       |    count(*) AS n_frames, sum(energy) AS seg_energy
+       |  FROM a GROUP BY doc_id, grp)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1
+       |    AS BIGINT) AS seg_idx,
+       |  CAST(start_frame AS BIGINT) AS start_frame,
+       |  CAST(end_frame AS BIGINT) AS end_frame,
+       |  CAST(n_frames AS BIGINT) AS n_frames,
+       |  CAST(seg_energy AS BIGINT) AS seg_energy
+       |FROM s""".stripMargin
+
   /** The payloads are ASCII text, so byte length == char length and the
     * byte checksum == sum of codepoints — both SQL-expressible. */
   val q23Oracle: String =

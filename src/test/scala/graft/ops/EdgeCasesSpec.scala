@@ -74,4 +74,40 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(r.length == graft.ops.Kmv.K)
     assert(r == (0 until graft.ops.Kmv.K).map(i => f"$i%015x"))
   }
+
+  test("q196 VAD: hand-built docs segment exactly at frame runs") {
+    // Frames are 64 bytes; 'e'*64 has energy 64 (active), 'x'*64 has 0
+    // (inactive). Doc 1: active,inactive,active -> two 1-frame
+    // segments. Doc 2: active,active -> one 2-frame segment. Doc 3:
+    // all inactive -> no rows.
+    val e = "e" * MultimodalOps.VadFrame
+    val x = "x" * MultimodalOps.VadFrame
+    val dir = java.nio.file.Files.createTempDirectory("vad").toString
+    Seq((1L, e + x + e, "s"), (2L, e + e, "s"), (3L, x + x, "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = MultimodalOps.q196AudioVad(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val f = MultimodalOps.VadFrame.toLong
+    assert(got === Set(
+      (1L, 0L, 0L, 0L, 1L, f),
+      (1L, 1L, 2L, 2L, 1L, f),
+      (2L, 0L, 0L, 1L, 2L, 2 * f)))
+  }
+
+  test("q196 VAD: a short tail frame below threshold ends the segment") {
+    // 64 active bytes + a 4-byte tail ('eeee' -> energy 4 < 18):
+    // exactly one 1-frame segment covering frame 0 only
+    val dir = java.nio.file.Files.createTempDirectory("vad2").toString
+    Seq((7L, "e" * MultimodalOps.VadFrame + "eeee", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = MultimodalOps.q196AudioVad(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((0L, 0L, 0L, 1L)))
+  }
 }

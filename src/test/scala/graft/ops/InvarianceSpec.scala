@@ -150,7 +150,13 @@ class InvarianceSpec extends AnyFunSuite {
     ("q192 encoding advisor (keyed run windows over a melt)",
       () => Layout.q192EncodingAdvisor(spark, TestSpark.sfDir)),
     ("q193 modularity (label join over persisted LPA edges)",
-      () => Graph.q193Modularity(spark, TestSpark.sfDir)))
+      () => Graph.q193Modularity(spark, TestSpark.sfDir)),
+    ("q194 DBSCAN (grid-blocked neighbors + star contraction)",
+      () => Spatial.q194Dbscan(spark, TestSpark.sfDir)),
+    ("q195 HITS (max-rescaled integer power iteration)",
+      () => Graph.q195Hits(spark, TestSpark.sfDir)),
+    ("q196 audio VAD segmentation (gaps-and-islands runs)",
+      () => MultimodalOps.q196AudioVad(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
