@@ -279,4 +279,67 @@ object ChangeFeed {
       |  CASE WHEN cdc = 'delete' THEN NULL ELSE cdt END AS dim_total_due,
       |  CASE WHEN cdc = 'delete' THEN NULL ELSE cdp END AS dim_priority
       |FROM carried WHERE is_probe = 1""".stripMargin
+
+  /** q197: incremental aggregate maintenance WITH RETRACTIONS — q87's
+    * missing half. q87 merges an insert-only delta; production change
+    * feeds also carry deletes and updates, and the aggregate must
+    * retract: per group, Δcount = +1 per insert − 1 per delete, and
+    * Δsum = Σ(new − old) with the absent side as 0. Counts and
+    * integer-cent sums form an abelian GROUP (not just a monoid — every
+    * element has an inverse), which is exactly the property that makes
+    * delete/update maintenance possible without rescanning the base;
+    * max/min would NOT be maintainable this way.
+    *
+    * Pipeline: the OLD snapshot's per-customer aggregate (the stored
+    * materialization this models) + the q94 snapshot diff re-keyed to
+    * the customer, merged by one full-outer co-partitioned join.
+    * Groups whose membership retracts to zero drop out of the view.
+    * The oracle aggregates the NEW snapshot directly — incremental
+    * maintenance ≡ full recompute is the whole check. At 100 TB the
+    * plan reads the base AGGREGATE (group-count-sized) and the delta
+    * (change-sized), never the base table: the difference between a
+    * 10-minute and a 10-hour nightly build. */
+  def q197RetractAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cents = expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")
+    val old = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+        cents.as("old_cents"))
+    val neu = orders.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("cust2"),
+        when(col("o_orderkey") % 3 === 0,
+          (cents * 110L / lit(100L)).cast("long")).otherwise(cents)
+          .as("new_cents"))
+    // the q94 diff, keeping the group key from whichever side exists
+    val changes = old
+      .join(neu.withColumnRenamed("key", "nkey"),
+        col("key") === col("nkey"), "full_outer")
+      .select(coalesce(col("cust"), col("cust2")).as("customer_id"),
+        when(col("old_cents").isNull, lit(1L))
+          .when(col("new_cents").isNull, lit(-1L))
+          .otherwise(lit(0L)).as("dn"),
+        (coalesce(col("new_cents"), lit(0L)) -
+          coalesce(col("old_cents"), lit(0L))).as("dc"))
+      .filter(col("dn") =!= 0L || col("dc") =!= 0L)
+    val baseAgg = old.groupBy(col("cust").as("customer_id"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("old_cents")).as("total_cents"))
+    val deltaAgg = changes.groupBy(col("customer_id"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    baseAgg.as("b").join(deltaAgg.as("d"), Seq("customer_id"), "full_outer")
+      .select(col("customer_id"),
+        (coalesce(col("b.n_orders"), lit(0L)) +
+          coalesce(col("d.dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("b.total_cents"), lit(0L)) +
+          coalesce(col("d.dc"), lit(0L))).as("total_cents"))
+      .filter(col("n_orders") > 0L)
+  }
+
+  val q197Oracle: String =
+    """SELECT o_custkey AS customer_id, count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN o_orderkey % 3 = 0
+      |    THEN CAST(round(o_totalprice * 100.0) AS BIGINT) * 110 // 100
+      |    ELSE CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+      |    AS BIGINT) AS total_cents
+      |FROM orders WHERE o_orderkey % 11 <> 0
+      |GROUP BY 1""".stripMargin
 }

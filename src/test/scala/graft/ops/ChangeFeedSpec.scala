@@ -62,4 +62,45 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(got.exists(_._3.isEmpty))
     assert(got.count(_._3.isDefined) > 0)
   }
+
+  test("q197 retraction merge equals a full recompute of the new snapshot") {
+    import org.apache.spark.sql.functions._
+    val sf = graft.TestSpark.sfDir
+    val orders = graft.Tables.load(spark, sf, "orders")
+    val cents = expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")
+    val full = orders.filter(col("o_orderkey") % 11 =!= 0)
+      .groupBy(col("o_custkey").as("customer_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderkey") % 3 === 0,
+          (cents * 110L / lit(100L)).cast("long")).otherwise(cents))
+          .as("total_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = ChangeFeed.q197RetractAgg(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full)
+    // deletions genuinely retract: some customer must have FEWER orders
+    // in the maintained view than in the base snapshot's aggregate
+    val baseCounts = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incCounts = inc.map(t => t._1 -> t._2).toMap
+    assert(incCounts.exists { case (c, n) => baseCounts.getOrElse(c, 0L) > n },
+      "expected at least one group to shrink under retraction")
+  }
+
+  test("q197 on a hand-built table retracts a group to zero membership") {
+    import org.apache.spark.sql.functions._
+    // customer 100 owns only order 22 (22%7!=0 -> in base; 22%11==0 ->
+    // absent from new): the delete must erase the whole group from the
+    // maintained view. customer 200's order 3 is re-stated (+10%).
+    val dir = java.nio.file.Files.createTempDirectory("ivm").toString
+    Seq((22L, 100L, 50.0, "O", "1-URGENT", java.sql.Date.valueOf("2024-01-01")),
+      (3L, 200L, 10.0, "F", "2-HIGH", java.sql.Date.valueOf("2024-01-02")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = ChangeFeed.q197RetractAgg(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((200L, 1L, 1100L)))
+  }
 }
