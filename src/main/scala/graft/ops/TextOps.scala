@@ -1174,4 +1174,65 @@ object TextOps {
        |    // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS shift_ppm
        |FROM per_tok CROSS JOIN tot
        |ORDER BY shift_ppm DESC, token ASC LIMIT $Q184TopK""".stripMargin
+
+  /** q198's phrase, chosen for non-trivial hit structure on the test
+    * corpora (48 occurrences over 46 docs at sf0.01 — some docs carry
+    * the phrase more than once). */
+  val PhraseTerms: Seq[String] = Seq("table", "hash")
+
+  /** q198: exact phrase search via a POSITIONAL inverted index — the
+    * retrieval primitive BM25 (q182) can't express: "these words,
+    * adjacent, in this order". Postings are (doc, position, term) from
+    * one `posexplode` pass; the phrase match is a chain of
+    * co-partitioned self-joins on (doc, pos − offset) — term i of the
+    * phrase must sit exactly i positions after term 0. Output: per
+    * matching doc, the occurrence count and first match position.
+    *
+    * The scale property worth naming: the join chain only ever
+    * shuffles the PHRASE TERMS' postings — the `isin` prune lands
+    * between the (narrow) explode and the exchange, so the other
+    * 99.9% of the corpus's positions never leave their scan tasks. On
+    * a pre-materialized postings table (the production layout, cf.
+    * q107's gram postings) this becomes a pure index lookup: read two
+    * posting lists, one equi-join, no corpus scan at all. Candidate
+    * cardinality is bounded by min(posting-list sizes), exactly like
+    * the textbook merge-based phrase query — and 'AND of rare terms'
+    * stays cheap no matter how big the corpus is. */
+  def q198PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val postings = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TF.wsTokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(PhraseTerms: _*))
+    val anchor = postings.filter(col("term") === PhraseTerms.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = PhraseTerms.zipWithIndex.tail
+      .foldLeft(anchor) { case (acc, (t, i)) =>
+        acc.join(postings.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+    matches.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("pos")).cast("long").as("first_pos"))
+  }
+
+  val q198Oracle: String = {
+    val joins = PhraseTerms.zipWithIndex.tail.map { case (t, i) =>
+      s"JOIN p p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = '$t'"
+    }.mkString("\n      |  ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+       |    unnest(w) AS term
+       |  FROM t
+       |), m AS (
+       |  SELECT p0.doc_id, p0.pos FROM p p0
+       |  $joins
+       |  WHERE p0.term = '${PhraseTerms.head}')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |  CAST(min(pos) AS BIGINT) AS first_pos
+       |FROM m GROUP BY 1""".stripMargin
+  }
 }

@@ -66,4 +66,42 @@ class Bm25Spec extends AnyFunSuite {
     }.sum
     assert(expected == top._2, s"replayed $expected vs emitted ${top._2}")
   }
+
+  test("q198 phrase search: adjacency in order, overlaps, no false bigrams") {
+    // doc 1: two hits ("table hash ... table hash"); doc 2: strictly
+    //   reversed order -> no hit; doc 3: words present but separated ->
+    //   no hit; doc 4: hit at position 0; doc 5: triple "table table
+    //   hash" -> exactly one hit at pos 1
+    val dir = java.nio.file.Files.createTempDirectory("phrase").toString
+    Seq(
+      (1L, "a table hash b table hash", "s"),
+      (2L, "hash table x hash table", "s"),
+      (3L, "table b hash table c hash", "s"),
+      (4L, "table hash", "s"),
+      (5L, "table table hash", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.q198PhraseSearch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 1L), (4L, 1L, 0L), (5L, 1L, 1L)))
+  }
+
+  test("q198 real-corpus hits replay against a substring scan") {
+    // single-spaced corpus: phrase occurrences == non-overlapping
+    // window scan over the token array
+    val phrase = TextOps.PhraseTerms
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val want = docs.flatMap { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val hits = toks.indices.filter(i =>
+        i + phrase.length <= toks.length &&
+          phrase.indices.forall(j => toks(i + j) == phrase(j)))
+      if (hits.isEmpty) None
+      else Some((id, hits.length.toLong, hits.min.toLong))
+    }.toSet
+    val got = TextOps.q198PhraseSearch(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want && got.nonEmpty)
+  }
 }
