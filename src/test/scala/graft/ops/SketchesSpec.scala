@@ -96,4 +96,48 @@ class SketchesSpec extends AnyFunSuite {
       assert(est(0) <= est(1) && est(1) <= est(2), s"$t quantiles not monotone: ${est.toSeq}")
     }
   }
+
+  test("q199 bitmaps: block boundaries (docs 63/64/127/128) pack into the right words") {
+    import spark.implicits._
+    // 'fast' in docs 63,64 (last bit of block 0, first of block 1);
+    // 'slow' in docs 64,127,128; 'table' nowhere; doc 63 also 'hash'
+    val dir = java.nio.file.Files.createTempDirectory("bmp").toString
+    Seq((63L, "fast hash", "s"), (64L, "fast slow", "s"),
+      (127L, "slow", "s"), (128L, "slow", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bm = BitmapIndex.termBitmaps(
+      graft.Tables.load(spark, dir, "documents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(bm(("fast", 0L)) == (1L << 63))
+    assert(bm(("fast", 1L)) == 1L)
+    assert(bm(("slow", 1L)) == (1L | (1L << 63)))
+    assert(bm(("slow", 2L)) == 1L)
+    assert(!bm.keySet.exists(_._1 == "table"))
+    val q = BitmapIndex.q199BitmapIndex(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(q(("fast", "slow")) == ((1L, 4L)))   // doc 64 in both
+    assert(q(("fast", "hash")) == ((1L, 2L)))   // doc 63 in both
+    assert(q(("slow", "table")) == ((0L, 3L)))
+  }
+
+  test("q199 on the real corpus satisfies inclusion–exclusion against direct counts") {
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+    val pres = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("term"))
+      .filter(col("term").isin(BitmapIndex.IndexTerms: _*))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val byTerm = pres.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val got = BitmapIndex.q199BitmapIndex(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 6)
+    for (((a, b), (andC, orC)) <- got) {
+      val sa = byTerm.getOrElse(a, Set.empty)
+      val sb = byTerm.getOrElse(b, Set.empty)
+      assert(andC == (sa & sb).size.toLong, s"$a&$b")
+      assert(orC == (sa | sb).size.toLong, s"$a|$b")
+    }
+  }
 }
