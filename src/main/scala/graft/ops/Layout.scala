@@ -414,4 +414,78 @@ object Layout {
        |       ELSE 'PLAIN' END AS recommendation
        |FROM runs r JOIN dist d USING (col_name)""".stripMargin
   }
+
+  /** q200 shard counts: the rebalance under audit is 8 → 9 shards. */
+  val ShardsOld = 8
+  val ShardsNew = 9
+
+  /** q200: shard-rebalance cost planner — how much data MOVES when the
+    * shard count grows, under (a) modulo hashing and (b) rendezvous /
+    * highest-random-weight hashing (Thaler & Ravishankar 1996, the
+    * cache-array scheme consistent hashing generalizes). Per doc the
+    * HRW home is argmax_s H(doc, s); adding shard s' only steals the
+    * docs whose new hash wins — an expected 1/(n+1) of the corpus —
+    * while mod hashing relocates ~n/(n+1) of everything. At 100 TB
+    * that's the difference between re-writing 11 TB and re-writing
+    * 89 TB on a resharding, which is why every distributed store uses
+    * a consistent scheme; this query MEASURES the two fractions on the
+    * real corpus rather than asserting the formula.
+    *
+    * All hashing is md5-hex, compared as fixed-length strings (the
+    * q156 KMV trick: equal-length hex compares lexicographically ≡
+    * numerically), so both engines replay the argmax bit-exactly.
+    * Plan: one narrow projection computing both homes per doc (the
+    * candidate array is shard-count-sized, in-row), one 2-row
+    * aggregate. No shuffle at all beyond the final agg. */
+  def q200ShardRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    def cand(s: Int) = struct(
+      md5(concat_ws("_", lit("shard"), lit(s), col("doc_id"))).as("h"),
+      lit(s.toLong).as("s"))
+    val all = (0 until ShardsNew).map(cand)
+    val homes = docs.select(col("doc_id"),
+      array_max(array(all.take(ShardsOld): _*)).getField("s").as("hrw_old"),
+      array_max(array(all: _*)).getField("s").as("hrw_new"),
+      (col("doc_id") % ShardsOld).as("mod_old"),
+      (col("doc_id") % ShardsNew).as("mod_new"))
+    val hrw = homes.agg(count(lit(1)).as("n_docs"),
+        sum((col("hrw_old") =!= col("hrw_new")).cast("long")).as("moved"))
+      .select(lit("rendezvous").as("scheme"), col("n_docs"), col("moved"),
+        expr("moved * 1000000 div n_docs").as("moved_ppm"))
+    val md = homes.agg(count(lit(1)).as("n_docs"),
+        sum((col("mod_old") =!= col("mod_new")).cast("long")).as("moved"))
+      .select(lit("mod").as("scheme"), col("n_docs"), col("moved"),
+        expr("moved * 1000000 div n_docs").as("moved_ppm"))
+    md.unionAll(hrw)
+  }
+
+  val q200Oracle: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, s, md5('shard_' || s || '_' || doc_id) AS hv
+       |  FROM documents, unnest(generate_series(0, ${ShardsNew - 1})) AS t(s)
+       |), old_home AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY hv DESC, s DESC) AS rk
+       |    FROM h WHERE s < $ShardsOld) x WHERE rk = 1
+       |), new_home AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY hv DESC, s DESC) AS rk
+       |    FROM h) x WHERE rk = 1
+       |), hrw AS (
+       |  SELECT count(*) AS n_docs,
+       |    sum(CASE WHEN o.s <> n.s THEN 1 ELSE 0 END) AS moved
+       |  FROM old_home o JOIN new_home n USING (doc_id)
+       |), md AS (
+       |  SELECT count(*) AS n_docs,
+       |    sum(CASE WHEN doc_id % $ShardsOld <> doc_id % $ShardsNew
+       |      THEN 1 ELSE 0 END) AS moved
+       |  FROM documents)
+       |SELECT 'mod' AS scheme, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(moved AS BIGINT) AS moved,
+       |  CAST(moved * 1000000 // n_docs AS BIGINT) AS moved_ppm FROM md
+       |UNION ALL
+       |SELECT 'rendezvous', CAST(n_docs AS BIGINT), CAST(moved AS BIGINT),
+       |  CAST(moved * 1000000 // n_docs AS BIGINT) FROM hrw""".stripMargin
 }

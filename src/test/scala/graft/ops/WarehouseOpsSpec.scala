@@ -144,4 +144,32 @@ class WarehouseOpsSpec extends AnyFunSuite {
       .get.getAs[Long]("n_runs")
     assert(reported == runCount.toLong, s"$reported != $runCount")
   }
+
+  test("q200: rendezvous moves a ~1/9 minority, mod a majority; HRW monotone") {
+    val rows = Layout.q200ShardRebalance(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val (n, hrwMoved, hrwPpm) = rows("rendezvous")
+    val (_, modMoved, modPpm) = rows("mod")
+    assert(n > 0 && hrwMoved < modMoved)
+    // binomial(n, 1/9) stays well inside [1/20, 1/5] at any test SF
+    assert(hrwPpm > 50000 && hrwPpm < 200000, s"hrw ppm $hrwPpm")
+    assert(modPpm > 700000, s"mod ppm $modPpm")
+    // the HRW consistency THEOREM (not a statistic): growing the shard
+    // set can only move docs TO the new shard — any doc whose top-of-8
+    // candidate still wins keeps its home
+    import graft.Tables
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    def cand(s: Int) = struct(
+      md5(concat_ws("_", lit("shard"), lit(s), col("doc_id"))).as("h"),
+      lit(s.toLong).as("s"))
+    val all = (0 until Layout.ShardsNew).map(cand)
+    val bad = docs.select(
+        array_max(array(all.take(Layout.ShardsOld): _*)).getField("s").as("o"),
+        array_max(array(all: _*)).getField("s").as("nw"))
+      .filter(col("o") =!= col("nw") &&
+        col("nw") =!= Layout.ShardsOld.toLong)
+      .count()
+    assert(bad == 0L, "a doc moved to an OLD shard under rendezvous")
+  }
 }
