@@ -238,4 +238,39 @@ class EquivalenceSpec extends AnyFunSuite {
 
     assert(batch.nonEmpty && batch == streaming)
   }
+
+  test("batch retraction deltas equal the streaming keyed sum across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (customer, change_type, old_cents, new_cents): customer 1 gains
+    // then loses an order across batches (full retraction); customer 2
+    // is re-stated twice; customer 3 only deletes
+    val b1 = Seq(
+      (1L, "insert", None, Some(500L)),
+      (2L, "insert", None, Some(100L)),
+      (2L, "update", Some(100L), Some(110L)),
+      (3L, "delete", Some(900L), None))
+    val b2 = Seq(
+      (1L, "delete", Some(500L), None),
+      (2L, "update", Some(110L), Some(90L)))
+    def df(rows: Seq[(Long, String, Option[Long], Option[Long])]) =
+      rows.toDF("customer_id", "change_type", "old_cents", "new_cents")
+
+    val batch = RetractStream.deltas(df(b1 ++ b2))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch === Set((1L, 0L, 0L), (2L, 1L, 90L), (3L, -1L, -900L)),
+      s"batch deltas wrong: $batch")
+
+    val ev = MemoryStream[(Long, String, Option[Long], Option[Long])]
+    val out = RetractStream.deltas(
+      ev.toDF().toDF("customer_id", "change_type", "old_cents", "new_cents"))
+    val q = out.writeStream.format("memory").queryName("equiv_retract")
+      .outputMode("complete").start()
+    ev.addData(b1: _*); q.processAllAvailable()
+    ev.addData(b2: _*); q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val streaming = spark.table("equiv_retract")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streaming === batch)
+  }
 }
