@@ -1342,4 +1342,89 @@ object Audit {
        |           CAST(n * syy - sy * sy AS DOUBLE))
        |    END AS acf
        |FROM m""".stripMargin
+
+  /** q201 histogram resolution: keys bucketed by `custkey % 64`. */
+  val CardBuckets = 64
+
+  /** q201: join-cardinality estimation quality — the statistic a
+    * cost-based optimizer actually uses, MEASURED against truth. For
+    * the orders⋈events (o_custkey = user_id) equi-join — both sides
+    * genuinely multi-valued per key, so the uniformity assumption has
+    * something to get wrong — keys are bucketed into 64
+    * histogram cells; per cell the textbook estimator
+    * |A⋈B| ≈ nA·nB / max(dA, dB) (uniform-frequency within cell,
+    * containment of the smaller key set — Selinger et al. 1979) is
+    * compared with the exact per-key Σ cntA(k)·cntB(k). The output's
+    * err_ppm column is the reason to run this at 100 TB: it tells you
+    * per histogram cell how badly skew breaks the uniformity
+    * assumption BEFORE the optimizer picks a catastrophic plan — the
+    * measurement a `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`
+    * histogram feeds into Spark's own CBO.
+    *
+    * Plan: two per-bucket aggregates (count + distinct via per-key
+    * pre-agg), one exact per-key product sum, all hash-partitioned on
+    * bucket/key; output is histogram-sized (64 rows + 1 total). */
+  def q201JoinCardEst(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("k"), (col("o_custkey") % CardBuckets).as("b"))
+    val b = Tables.load(spark, dir, "events")
+      .select(col("user_id").as("k"), (col("user_id") % CardBuckets).as("b"))
+    def perKey(df: DataFrame): DataFrame =
+      df.groupBy(col("b"), col("k")).agg(count(lit(1)).as("c"))
+    val ka = perKey(a).persist()
+    val kb = perKey(b).persist()
+    def perBucket(keyed: DataFrame, n: String, d: String): DataFrame =
+      keyed.groupBy(col("b"))
+        .agg(sum(col("c")).as(n), count(lit(1)).as(d))
+    val stats = perBucket(ka, "n_a", "d_a")
+      .join(perBucket(kb, "n_b", "d_b"), Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("d_a"), lit(0L)).as("d_a"),
+        coalesce(col("d_b"), lit(0L)).as("d_b"))
+    val actual = ka.join(kb.withColumnRenamed("c", "c2"), Seq("b", "k"))
+      .groupBy(col("b")).agg(sum(col("c") * col("c2")).as("actual"))
+    val cells = stats.join(actual, Seq("b"), "left")
+      .select(col("b").as("bucket"), col("n_a"), col("n_b"),
+        expr("CASE WHEN greatest(d_a, d_b) = 0 THEN 0 " +
+          "ELSE (n_a * n_b) div greatest(d_a, d_b) END").as("est"),
+        coalesce(col("actual"), lit(0L)).as("actual"))
+    cells.select(col("bucket"), col("n_a"), col("n_b"), col("est"),
+        col("actual"),
+        expr("CASE WHEN actual = 0 THEN -1L " +
+          "ELSE abs(est - actual) * 1000000 div actual END").as("err_ppm"))
+  }
+
+  val q201Oracle: String =
+    s"""WITH ka AS (
+       |  SELECT o_custkey % $CardBuckets AS b, o_custkey AS k, count(*) AS c
+       |  FROM orders GROUP BY 1, 2
+       |), kb AS (
+       |  SELECT user_id % $CardBuckets AS b, user_id AS k, count(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), sa AS (
+       |  SELECT b, sum(c) AS n_a, count(*) AS d_a FROM ka GROUP BY 1
+       |), sb AS (
+       |  SELECT b, sum(c) AS n_b, count(*) AS d_b FROM kb GROUP BY 1
+       |), st AS (
+       |  SELECT coalesce(sa.b, sb.b) AS b,
+       |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+       |    coalesce(d_a, 0) AS d_a, coalesce(d_b, 0) AS d_b
+       |  FROM sa FULL OUTER JOIN sb ON sa.b = sb.b
+       |), act AS (
+       |  SELECT ka.b, sum(ka.c * kb.c) AS actual
+       |  FROM ka JOIN kb ON ka.b = kb.b AND ka.k = kb.k GROUP BY 1
+       |), cells AS (
+       |  SELECT st.b AS bucket, n_a, n_b,
+       |    CASE WHEN greatest(d_a, d_b) = 0 THEN 0
+       |      ELSE (n_a * n_b) // greatest(d_a, d_b) END AS est,
+       |    coalesce(actual, 0) AS actual
+       |  FROM st LEFT JOIN act ON act.b = st.b)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b, CAST(est AS BIGINT) AS est,
+       |  CAST(actual AS BIGINT) AS actual,
+       |  CAST(CASE WHEN actual = 0 THEN -1
+       |    ELSE abs(est - actual) * 1000000 // actual END AS BIGINT) AS err_ppm
+       |FROM cells""".stripMargin
 }

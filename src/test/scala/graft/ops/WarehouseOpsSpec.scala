@@ -172,4 +172,21 @@ class WarehouseOpsSpec extends AnyFunSuite {
       .count()
     assert(bad == 0L, "a doc moved to an OLD shard under rendezvous")
   }
+
+  test("q201: bucket actuals sum to the true join size; skew makes the estimator err") {
+    val rows = Audit.q201JoinCardEst(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= Audit.CardBuckets)
+    val sumActual = rows.map(_.getAs[Long]("actual")).sum
+    val trueSize = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "events"),
+        col("o_custkey") === col("user_id"))
+      .count()
+    assert(sumActual == trueSize, s"$sumActual != $trueSize")
+    // the point of the query: on a join where both sides are
+    // multi-valued per key, per-cell uniformity is a fiction — the
+    // estimator must err somewhere, and err_ppm reports it
+    assert(rows.exists(r => r.getAs[Long]("actual") > 0 &&
+      r.getAs[Long]("err_ppm") > 0),
+      "estimator suspiciously exact on a skewed many-to-many join")
+  }
 }
