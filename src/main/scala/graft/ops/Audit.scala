@@ -1343,6 +1343,77 @@ object Audit {
        |    END AS acf
        |FROM m""".stripMargin
 
+  /** q202 smoothing depth: 8 terms of the α=1/2 EMA, integer weights
+    * 128,64,…,1 (the geometric tail past 8 terms is < 1/256 of the
+    * mass — truncating it is what keeps the arithmetic exact). */
+  val EmaTerms = 8
+
+  /** q202: exponential smoothing over each event type's hourly count
+    * series — the classic streaming-monitoring smoother (the EWMA of
+    * control charts), made ORACLE-EXACT by truncation: the α=1/2 EMA's
+    * weights are 2⁻¹…2⁻⁸ scaled to integers 128…1, so the smoothed
+    * value is a ratio of two integer sums (num/den, emitted in milli
+    * units) instead of the textbook's unboundedly-compounding float
+    * recurrence. Early rows (fewer than 8 predecessors) renormalize
+    * over the weights actually present — the standard "adjusted" EWMA.
+    *
+    * Runs on OBSERVED hours ordered per type (compose with q97's LOCF
+    * gap-fill first when a gap-free grid matters). The window is
+    * partitioned by event_type and framed to 8 rows: per-partition
+    * state is the series length (time-bounded, not corpus-bounded),
+    * the same partition discipline as q185/q191. */
+  def q202Ema(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val lags = (0 until EmaTerms).map(i =>
+      (if (i == 0) col("c") else lag(col("c"), i).over(w)).as(s"l$i"))
+    val num = (0 until EmaTerms).map(i =>
+      coalesce(col(s"l$i"), lit(0L)) * lit(1L << (EmaTerms - 1 - i)))
+      .reduce(_ + _)
+    val den = (0 until EmaTerms).map(i =>
+      when(col(s"l$i").isNotNull, lit(1L << (EmaTerms - 1 - i)))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+    hourly.select((Seq(col("event_type"), col("h"), col("c")) ++ lags): _*)
+      .select(col("event_type"), col("h"), col("c"),
+        num.as("ema_num"), den.as("ema_den"),
+        expr("ema_num * 1000 div ema_den").as("ema_milli"))
+      .select(col("event_type"), col("h"), col("c"), col("ema_num"),
+        col("ema_den"), col("ema_milli"))
+  }
+
+  val q202Oracle: String = {
+    val lagDefs = (1 until EmaTerms).map(i =>
+      s"lag(c, $i) OVER (PARTITION BY event_type ORDER BY h) AS l$i")
+      .mkString(",\n      |    ")
+    val num = (0 until EmaTerms).map(i =>
+      s"coalesce(l$i, 0) * ${1L << (EmaTerms - 1 - i)}").mkString(" + ")
+    val den = (0 until EmaTerms).map(i =>
+      s"CASE WHEN l$i IS NOT NULL THEN ${1L << (EmaTerms - 1 - i)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH hourly AS (
+       |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+       |    count(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), lagged AS (
+       |  SELECT event_type, h, c, c AS l0,
+       |    $lagDefs
+       |  FROM hourly
+       |), terms AS (
+       |  SELECT event_type, h, c,
+       |    $num AS ema_num,
+       |    $den AS ema_den
+       |  FROM lagged)
+       |SELECT event_type, CAST(h AS BIGINT) AS h, CAST(c AS BIGINT) AS c,
+       |  CAST(ema_num AS BIGINT) AS ema_num, CAST(ema_den AS BIGINT) AS ema_den,
+       |  CAST(ema_num * 1000 // ema_den AS BIGINT) AS ema_milli
+       |FROM terms""".stripMargin
+  }
+
   /** q201 histogram resolution: keys bucketed by `custkey % 64`. */
   val CardBuckets = 64
 

@@ -173,6 +173,40 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(bad == 0L, "a doc moved to an OLD shard under rendezvous")
   }
 
+  test("q202 EMA: constant series smooths to itself; step input converges toward the step") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ema").toString
+    // type "flat": 10 hours at 3 events/hour. type "step": 8 hours at
+    // 2/hour then 8 hours at 10/hour.
+    val flat = for (h <- 0 until 10; i <- 0 until 3)
+      yield (h.toLong * 10 + i,
+        java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:0$i:00"),
+        1L, "flat", 0.0, "{}")
+    val step = for (h <- 0 until 16; i <- 0 until (if (h < 8) 2 else 10))
+      yield (1000L + h * 100 + i,
+        java.sql.Timestamp.valueOf(
+          f"2024-01-0${1 + h / 24} ${h % 24}%02d:${i % 60}%02d:30"),
+        2L, "step", 0.0, "{}")
+    (flat ++ step)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = Audit.q202Ema(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    val flatRows = rows.filter(_._1 == "flat")
+    assert(flatRows.length == 10)
+    assert(flatRows.forall(_._4 == 3000L),
+      s"constant series must smooth to itself: ${flatRows.toSeq}")
+    val stepRows = rows.filter(_._1 == "step").sortBy(_._2)
+    assert(stepRows.take(8).forall(_._4 == 2000L))
+    // after the step the EMA rises monotonically toward 10, but lags it
+    val after = stepRows.drop(8).map(_._4)
+    assert(after.zip(after.drop(1)).forall { case (a, b) => a < b })
+    // hand-computed: (10·128 + 2·127)·1000 div 255 = 6015
+    assert(after.head == 6015L, s"first post-step EMA was ${after.head}")
+    // by hour 15 all eight window terms are 10 -> EMA is exactly 10
+    assert(after.last == 10000L, s"converged EMA was ${after.last}")
+  }
+
   test("q201: bucket actuals sum to the true join size; skew makes the estimator err") {
     val rows = Audit.q201JoinCardEst(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= Audit.CardBuckets)
