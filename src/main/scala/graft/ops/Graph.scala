@@ -632,21 +632,26 @@ object Graph {
     *
     * Exactness trick: textbook HITS L2-normalizes each round — dead
     * on arrival for a cross-engine bit-exact oracle (sqrt of a sum of
-    * squares in doubles). Instead each half-round rescales by the
-    * CURRENT MAX in integer arithmetic: a'(v) = (Σ_{u→v} h(u)) ·
-    * Scale div max — same fixpoint direction (power iteration is
-    * normalization-invariant up to a positive scalar), every value an
-    * exact integer in [0, Scale], and the magnitude after any number
-    * of rounds is bounded by Scale — no overflow at any data scale
-    * (raw sums stay ≤ degree_max · Scale ≪ 2⁶³).
+    * squares in doubles). But power iteration is scale-invariant:
+    * intermediate normalization is COSMETIC, so the iterations run
+    * unnormalized in exact Decimal(38,0) integer space and a single
+    * max-rescale at the end maps scores to [0, Scale] —
+    * o(v) = (v · Scale) div max. Magnitudes grow as at most
+    * degree_max per half-round: after 2 full rounds ≤ D⁴, inside
+    * Decimal(38,0) for any D up to ~3·10⁹ — beyond any real graph's
+    * max degree.
     *
-    * Scale shape: per half-round one co-partitioned hash join
-    * (scores⋈edges) + one map-combined sum — the Pregel pattern, like
-    * q84 — plus a 1-row max aggregate attached by `crossJoin(
-    * broadcast(...))`, never a driver collect. Edge list persisted
-    * once; iteration count fixed. Reference anchor: the supply-chain
-    * join lineitem→orders (aw_silver_layer_sales transformations)
-    * that defines every graph family here. */
+    * Why end-only normalization also matters for the PLAN: a per-round
+    * rescale needs that round's max — a broadcast barrier whose
+    * subtree must fully materialize before the next round plans, a
+    * sequential chain of 4 jobs (measured 4.7 s at sf0.1). Without it
+    * the 2 rounds fuse into ONE linear DAG — per half-round one
+    * co-partitioned hash join + one map-combined sum, the Pregel
+    * pattern, exactly q84's shape and cost — with two 1-row max
+    * broadcasts only at the very end over persisted finals. Reference
+    * anchor: the supply-chain join lineitem→orders
+    * (aw_silver_layer_sales transformations) that defines every graph
+    * family here. */
   def q195Hits(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
@@ -663,54 +668,61 @@ object Graph {
         lit("authority").as("kind"), col("a").as("score")))
   }
 
-  /** The max-rescaled integer power iteration over a (src, dst) edge
-    * frame; returns (hubs (src, h), authorities (dst, a)) after
-    * `iters` full rounds. */
+  /** The unnormalized exact power iteration over a (src, dst) edge
+    * frame, max-rescaled once at the end; returns
+    * (hubs (src, h), authorities (dst, a)) after `iters` full rounds,
+    * scores in [0, Scale]. */
   def hits(edges: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     var hub = edges.select(col("src")).distinct()
-      .withColumn("h", lit(HitsScale))
+      .withColumn("h", lit(1L).cast(dec))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val aRaw = edges.join(hub, "src")
-        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
-      val aMax = aRaw.agg(max(col("ar")).as("am"))
-      auth = aRaw.crossJoin(broadcast(aMax))
-        .select(col("dst"), expr(s"(ar * ${HitsScale}L) div am").as("a"))
-      val hRaw = edges.join(auth, "dst")
-        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
-      val hMax = hRaw.agg(max(col("hr")).as("hm"))
-      hub = hRaw.crossJoin(broadcast(hMax))
-        .select(col("src"), expr(s"(hr * ${HitsScale}L) div hm").as("h"))
+      auth = edges.join(hub, "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      hub = edges.join(auth, "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
     }
-    (hub, auth)
+    // finals are each referenced twice (their own max + the rescale):
+    // persist node-sized frames so the two 1-row max broadcasts read
+    // cache instead of re-running the iteration chain (the q104
+    // lesson); released by the consumer's clearCache.
+    val hubP = hub.persist()
+    val authP = auth.persist()
+    val hMax = hubP.agg(max(col("h")).as("hm"))
+    val aMax = authP.agg(max(col("a")).as("am"))
+    (hubP.crossJoin(broadcast(hMax))
+      .select(col("src"),
+        expr(s"CAST((h * $HitsScale) div hm AS BIGINT)").as("h")),
+      authP.crossJoin(broadcast(aMax))
+        .select(col("dst"),
+          expr(s"CAST((a * $HitsScale) div am AS BIGINT)").as("a")))
   }
 
   val q195Oracle: String = {
     val rounds = (1 to HitsIters).map { r =>
       s"""a$r AS (
-         |  SELECT e.dst, sum(h.h) AS ar
+         |  SELECT e.dst, sum(h.h) AS a
          |  FROM e JOIN h${r - 1} h ON h.src = e.src GROUP BY 1),
-         |an$r AS (
-         |  SELECT dst, ar * $HitsScale // (SELECT max(ar) FROM a$r) AS a
-         |  FROM a$r),
-         |hh$r AS (
-         |  SELECT e.src, sum(a.a) AS hr
-         |  FROM e JOIN an$r a ON a.dst = e.dst GROUP BY 1),
          |h$r AS (
-         |  SELECT src, hr * $HitsScale // (SELECT max(hr) FROM hh$r) AS h
-         |  FROM hh$r)""".stripMargin
+         |  SELECT e.src, sum(a.a) AS h
+         |  FROM e JOIN a$r a ON a.dst = e.dst GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (
        |  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        |), h0 AS (
-       |  SELECT DISTINCT src, CAST($HitsScale AS BIGINT) AS h FROM e
+       |  SELECT DISTINCT src, CAST(1 AS HUGEINT) AS h FROM e
        |),
        |$rounds
-       |SELECT 's' || src AS node, 'hub' AS kind, CAST(h AS BIGINT) AS score
+       |SELECT 's' || src AS node, 'hub' AS kind,
+       |  CAST(h * $HitsScale // (SELECT max(h) FROM h$HitsIters) AS BIGINT)
+       |    AS score
        |FROM h$HitsIters
        |UNION ALL
-       |SELECT 'c' || dst AS node, 'authority' AS kind, CAST(a AS BIGINT) AS score
-       |FROM an$HitsIters""".stripMargin
+       |SELECT 'c' || dst AS node, 'authority' AS kind,
+       |  CAST(a * $HitsScale // (SELECT max(a) FROM a$HitsIters) AS BIGINT)
+       |    AS score
+       |FROM a$HitsIters""".stripMargin
   }
 }

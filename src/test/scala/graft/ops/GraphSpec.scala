@@ -185,14 +185,12 @@ class GraphSpec extends AnyFunSuite {
     assert(q >= -1.0 && q <= 1.0, s"Q=$q out of range")
   }
 
-  test("hits: hand-traced max-rescaled power iteration on a 3x2 bipartite graph") {
+  test("hits: hand-traced unnormalized power iteration on a 3x2 bipartite graph") {
     import spark.implicits._
-    // s1->{c1,c2}, s2->{c1}, s3->{c2}; S = 1e6
-    // a_raw: c1 = h(s1)+h(s2) = 2S, c2 = 2S -> both rescale to S
-    // h_raw: s1 = a(c1)+a(c2) = 2S, s2 = S, s3 = S
-    //   -> h: s1 = S, s2 = S/2, s3 = S/2
-    // round 2: a_raw c1 = S + S/2, c2 = S + S/2 -> a = S, S
-    //   h_raw s1 = 2S, s2 = S, s3 = S -> h = S, S/2, S/2 (fixpoint)
+    // s1->{c1,c2}, s2->{c1}, s3->{c2}; h0 = 1 each
+    // a1: c1 = 2, c2 = 2;  h1: s1 = 4, s2 = 2, s3 = 2
+    // a2: c1 = h1(s1)+h1(s2) = 6, c2 = 6;  h2: s1 = 12, s2 = 6, s3 = 6
+    // end rescale by max, S = 1e6: hubs (S, S/2, S/2), auths (S, S)
     val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
     val (hub, auth) = Graph.hits(edges, Graph.HitsIters)
     val s = Graph.HitsScale
