@@ -175,6 +175,15 @@ object Spatial {
       .join(flags.select(col("k").as("b_k"), col("is_core").as("bc")), "b_k")
       .persist()
     pairs.unpersist(false)
+    // The contraction's wall-clock is ROUND-latency-bound, not
+    // edge-count-bound (measured: a lossless half-eps-cell-star
+    // sparsification cutting 420k → 23k CC edges made it SLOWER —
+    // hub-and-spoke stars lengthen paths, adding contraction rounds
+    // while the per-round cost was already fixed stage latency).
+    // Dense input keeps the effective diameter — and so the round
+    // count — minimal; at any cluster scale the per-round work is two
+    // hash-partitioned exchanges over the eps-pair graph, which is the
+    // DBSCAN cluster structure itself and cannot be avoided.
     val coreEdges = tagged.filter(col("ac") && col("bc"))
       .select(col("a_k").as("u"), col("b_k").as("v"))
     val ccLabels = DedupOps.connectedComponents(coreEdges)
