@@ -1158,4 +1158,69 @@ object Curation {
        |  coalesce(t.naive_torn_edges, CAST(0 AS BIGINT)) AS naive_torn_edges
        |FROM stats s LEFT JOIN torn t ON s.split = t.split""".stripMargin
   }
+
+  /** q203: contrastive preference-pair construction — the RLHF/DPO
+    * data-prep step that turns a scored corpus into (chosen, rejected)
+    * training pairs. The naive recipe ("join every good doc with every
+    * bad doc in its source, pick contrasts") is quadratic per source
+    * and sources are few — a guaranteed 100 TB blowup. This operator
+    * pairs by QUANTILE MATCHING instead: rank each source's docs by
+    * quality (here: distinct-token count — swap in any scorer), take
+    * the top half as chosen and bottom half as rejected, and pair the
+    * i-th best with the i-th worst positionally. One equi-join on
+    * (source, position), pair count = ⌊n/2⌋ per source, quality gap
+    * maximal at the extremes and ≥ 0 by construction for every pair.
+    *
+    * Ranks come from [[Rank.groupRank]] (bucketed two-phase rank — no
+    * source-sized single-task sort), so the whole pipeline is two
+    * keyed aggregates, the rank machinery, and one join. */
+  def q203PreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val q = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(TF.wsTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countDistinct(col("term")).as("q"))
+      .withColumn("negq", -col("q"))
+    val ranked = Rank.groupRank(q, Seq("source"), "negq", Seq("doc_id"),
+      "rk", "n").persist()
+    val m = expr("n div 2")
+    val chosen = ranked.filter(col("rk") < m)
+      .select(col("source"), col("doc_id").as("chosen_doc"),
+        col("q").as("q_chosen"), col("rk").as("i"))
+    val rejected = ranked.filter(col("rk") >= col("n") - m)
+      .select(col("source"), col("doc_id").as("rejected_doc"),
+        col("q").as("q_rejected"), (col("rk") - (col("n") - m)).as("i"))
+    chosen.join(rejected, Seq("source", "i"))
+      .select(col("source"), col("chosen_doc"), col("rejected_doc"),
+        col("q_chosen"), col("q_rejected"),
+        (col("q_chosen") - col("q_rejected")).as("gap"))
+  }
+
+  val q203Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(string_split(lower(trim(text)), ' ')) AS term
+      |  FROM documents
+      |), sc AS (
+      |  SELECT doc_id, source, count(DISTINCT term) AS q
+      |  FROM toks GROUP BY 1, 2
+      |), r AS (
+      |  SELECT doc_id, source, q,
+      |    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) - 1
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM sc
+      |), c AS (
+      |  SELECT source, doc_id AS chosen_doc, q AS q_chosen, rk AS i
+      |  FROM r WHERE rk < n // 2
+      |), j AS (
+      |  SELECT source, doc_id AS rejected_doc, q AS q_rejected,
+      |    rk - (n - n // 2) AS i
+      |  FROM r WHERE rk >= n - n // 2)
+      |SELECT c.source, chosen_doc, rejected_doc,
+      |  CAST(q_chosen AS BIGINT) AS q_chosen,
+      |  CAST(q_rejected AS BIGINT) AS q_rejected,
+      |  CAST(q_chosen - q_rejected AS BIGINT) AS gap
+      |FROM c JOIN j ON c.source = j.source AND c.i = j.i""".stripMargin
 }

@@ -219,4 +219,27 @@ class CurationSpec extends AnyFunSuite {
     assert(naiveTorn > 0L,
       "corpus near-dup families should straddle the naive doc-hash split")
   }
+
+  test("q203: every pair is non-negative-gap, sides disjoint, count = sum of n div 2") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.q203PreferencePairs(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gap") >= 0L, s"negative-gap pair: $r")
+      assert(r.getAs[Long]("chosen_doc") != r.getAs[Long]("rejected_doc"))
+    }
+    // a doc may appear on at most ONE side, at most once
+    val chosen = rows.map(_.getAs[Long]("chosen_doc"))
+    val rejected = rows.map(_.getAs[Long]("rejected_doc"))
+    assert(chosen.distinct.length == chosen.length)
+    assert(rejected.distinct.length == rejected.length)
+    assert(chosen.toSet.intersect(rejected.toSet).isEmpty)
+    // pair count per source = floor(n/2)
+    val perSource = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1) / 2).toMap
+    val got = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(got == perSource.filter(_._2 > 0))
+  }
 }
