@@ -300,6 +300,64 @@ object Curation {
 
   val q101Oracle: String = hllUnionSql("strpos")
 
+  /** q204 window width: 7 trailing days per target day. */
+  val HllWindowDays = 7
+
+  /** q204: sliding-window distinct-user sketches by TIME ROLLUP —
+    * the production pattern q101's merge property exists FOR: keep one
+    * small HLL register set per day, answer "distinct users over the
+    * trailing week" for EVERY day by max-merging 7 daily sketches,
+    * never re-reading the raw events. The query emits, per (day,
+    * bucket), the week-merged rank next to the rank computed directly
+    * from the raw rows of that window, plus the equality flag — so
+    * the oracle hash-checks that the rollup is lossless for every
+    * window position, which is the exact claim a pre-aggregated
+    * sketch table at 100 TB stands on (a day of raw events compresses
+    * to 2¹⁰ integer cells; 30 days of reprocessing becomes 30×1024
+    * rows of max()).
+    *
+    * Plan: the daily register build is one keyed max-aggregate; the
+    * window merge is a 7-way explode on the DAILY REGISTERS (sketch-
+    * sized, not event-sized) + one more max-aggregate; the direct
+    * check replays the same explode on raw rows. */
+  private def hllSlidingSql(posFn: String, dayDiv: String): String = {
+    val offs = (0 until HllWindowDays).map(o => s"($o)").mkString(", ")
+    s"""WITH daily AS (
+       |${hllRegisterSql(posFn, Seq("day"))
+        .replace("FROM events",
+          s"FROM (SELECT user_id, $dayDiv AS day FROM events) ev")}
+       |), days AS (
+       |  SELECT DISTINCT day FROM daily
+       |), rolled AS (
+       |  SELECT d.day + o.off AS day, d.bucket, max(d.max_rank) AS merged_rank
+       |  FROM daily d
+       |  CROSS JOIN (SELECT unnest([$offs]) AS off) o
+       |  GROUP BY 1, 2
+       |), direct AS (
+       |${hllRegisterSql(posFn, Seq("day"))
+        .replace("FROM events",
+          s"""FROM (SELECT e0.user_id, e0.day0 + o.off AS day
+             |      FROM (SELECT user_id, $dayDiv AS day0 FROM events) e0
+             |      CROSS JOIN (SELECT unnest([$offs]) AS off) o) ev"""
+            .stripMargin)}
+       |)
+       |SELECT r.day, r.bucket, r.merged_rank, dr.max_rank AS direct_rank,
+       |  r.merged_rank = dr.max_rank AS merge_consistent
+       |FROM rolled r
+       |JOIN days dy ON dy.day = r.day
+       |JOIN direct dr ON dr.day = r.day AND dr.bucket = r.bucket""".stripMargin
+  }
+
+  def q204SlidingHll(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(hllSlidingSql("instr", "unix_timestamp(ts) div 86400")
+      .replace(" // ", " div ").replace("AS VARCHAR", "AS STRING")
+      .replace("unnest([", "explode(array(").replace("]) AS off", ")) AS off"))
+  }
+
+  val q204Oracle: String =
+    hllSlidingSql("strpos", "CAST(floor(epoch(ts)) AS BIGINT) // 86400")
+
   val q48Oracle: String =
     """WITH stats AS (
       |  SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars,

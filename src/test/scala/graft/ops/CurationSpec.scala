@@ -242,4 +242,22 @@ class CurationSpec extends AnyFunSuite {
       .view.mapValues(_.length.toLong).toMap
     assert(got == perSource.filter(_._2 > 0))
   }
+
+  test("q204: every sliding-window cell is merge-consistent and estimates are sane") {
+    import org.apache.spark.sql.functions._
+    val df = Curation.q204SlidingHll(spark, TestSpark.sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("merge_consistent")),
+      "a rolled-up register diverged from the direct window register")
+    // ranks grow with window position only via max-merge: per bucket,
+    // a day's window rank >= that day's own daily rank is implied by
+    // consistency; spot-check the aggregate instead: distinct days in
+    // the output == distinct days in the data
+    val outDays = rows.map(_.getAs[Long]("day")).distinct.length
+    val dataDays = graft.Tables.load(spark, TestSpark.sfDir, "events")
+      .select(expr("unix_timestamp(ts) div 86400").as("d"))
+      .distinct().count()
+    assert(outDays.toLong == dataDays)
+  }
 }
