@@ -1414,6 +1414,64 @@ object Audit {
        |FROM terms""".stripMargin
   }
 
+  /** q205: time-weighted average of the event value per type — the
+    * piecewise-constant integral every IoT/market-data store offers
+    * (`twavg`): each observation holds until the next one, so the mean
+    * over the observed span is Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first),
+    * not the row mean (bursts of cheap readings must not drown a
+    * long-held expensive level). Values in exact integer cents,
+    * durations in whole seconds → both sums and the final milli-cent
+    * division replay bit-exactly. Duplicate timestamps within a type
+    * tie-break on event_id: the earlier rows of a tie carry zero
+    * duration — the standard last-value-at-t convention, deterministic
+    * on both engines.
+    *
+    * The successor lookup is NOT a per-type window (event_type has
+    * trivial cardinality — a corpus-sized single-task sort at scale,
+    * the plan shape PlanLintSpec bans): ranks come from the bucketed
+    * two-phase [[Rank.groupRank]] and the successor is an equi-join on
+    * (type, rank+1) — all hash-partitioned. */
+  def q205TimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_timestamp(ts)").as("t"),
+        graft.ops.Exact.units(col("value"), 2).as("v"))
+    val ranked = Rank.groupRank(ev, Seq("event_type"), "t", Seq("event_id"),
+      "rk", "n").persist()
+    val nxt = ranked.select(col("event_type"), (col("rk") - 1).as("rk"),
+      col("t").as("t_next"))
+    ranked.join(nxt, Seq("event_type", "rk"))
+      .select(col("event_type"), col("v"), (col("t_next") - col("t")).as("dur"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dur")).as("span_sec"),
+        sum(col("v") * col("dur")).as("twa_num"))
+      .select(col("event_type"), col("n_segments"), col("span_sec"),
+        col("twa_num"),
+        expr("CASE WHEN span_sec > 0 THEN (twa_num * 1000) div span_sec " +
+          "END").as("twa_milli_cents"))
+  }
+
+  val q205Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS t,
+      |    CAST(round(value * 100.0) AS BIGINT) AS v
+      |  FROM events
+      |), seg AS (
+      |  SELECT event_type, v,
+      |    lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) - t
+      |      AS dur
+      |  FROM ev)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+      |  CAST(sum(dur) AS BIGINT) AS span_sec,
+      |  CAST(sum(v * dur) AS BIGINT) AS twa_num,
+      |  CAST(CASE WHEN sum(dur) > 0
+      |    THEN (sum(v * dur) * 1000) // sum(dur) END AS BIGINT)
+      |    AS twa_milli_cents
+      |FROM seg WHERE dur IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
   /** q201 histogram resolution: keys bucketed by `custkey % 64`. */
   val CardBuckets = 64
 

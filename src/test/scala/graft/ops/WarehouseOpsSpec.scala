@@ -207,6 +207,34 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(after.last == 10000L, s"converged EMA was ${after.last}")
   }
 
+  test("q205 TWA: hand-built series integrates piecewise-constant; bursts don't drown levels") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("twa").toString
+    def t(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    // type A: 10.00 held 100s, then 0.00 held 900s, then end marker.
+    //   TWA = (1000*100 + 0*900)/1000 = 100 cents exactly; a ROW mean
+    //   would be ~3.33 -> the duration weighting is observable.
+    // type B: two events at the SAME second (tie), then one later:
+    //   first of the tie carries 0s, second carries 50s.
+    val rows = Seq(
+      (1L, t(0), 1L, "A", 10.0, "{}"),
+      (2L, t(100), 1L, "A", 0.0, "{}"),
+      (3L, t(1000), 1L, "A", 5.0, "{}"),
+      (10L, t(0), 1L, "B", 4.0, "{}"),
+      (11L, t(0), 1L, "B", 2.0, "{}"),
+      (12L, t(50), 1L, "B", 9.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Audit.q205TimeWeightedAvg(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("A") == ((2L, 1000L, 100000L, 100000L)),
+      s"A: ${got("A")}") // twa = 100 cents = 100000 milli-cents
+    // B: seg1 (v=400, dur=0), seg2 (v=200, dur=50): num=10000, den=50
+    assert(got("B") == ((2L, 50L, 10000L, 200000L)), s"B: ${got("B")}")
+  }
+
   test("q201: bucket actuals sum to the true join size; skew makes the estimator err") {
     val rows = Audit.q201JoinCardEst(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= Audit.CardBuckets)
