@@ -181,4 +181,95 @@ object Kmv {
        |      ELSE (${K - 1} * CAST($Pow60 AS HUGEINT)) // kth_hv END))
        |    // k_used AS BIGINT) AS est_intersection
        |FROM agg""".stripMargin
+
+  /** q206's audited columns: (name, Spark string expr, DuckDB string
+    * expr) — value stringification pinned to forms both engines render
+    * identically (keys as integers, money/quantity as integer cents,
+    * timestamps as epoch seconds; raw double/timestamp casts would
+    * drift on formatting). */
+  private val NdvCols: Seq[(String, String, String)] = Seq(
+    ("l_orderkey", "CAST(l_orderkey AS STRING)", "CAST(l_orderkey AS VARCHAR)"),
+    ("l_partkey", "CAST(l_partkey AS STRING)", "CAST(l_partkey AS VARCHAR)"),
+    ("l_suppkey", "CAST(l_suppkey AS STRING)", "CAST(l_suppkey AS VARCHAR)"),
+    ("l_quantity",
+      "CAST(CAST(round(l_quantity * 100.0) AS BIGINT) AS STRING)",
+      "CAST(CAST(round(l_quantity * 100.0) AS BIGINT) AS VARCHAR)"),
+    ("l_extendedprice",
+      "CAST(CAST(round(l_extendedprice * 100.0) AS BIGINT) AS STRING)",
+      "CAST(CAST(round(l_extendedprice * 100.0) AS BIGINT) AS VARCHAR)"),
+    ("l_returnflag", "l_returnflag", "l_returnflag"),
+    ("l_shipdate", "CAST(unix_timestamp(l_shipdate) AS STRING)",
+      "CAST(CAST(floor(epoch(l_shipdate)) AS BIGINT) AS VARCHAR)"))
+
+  /** q206: one-pass per-column NDV statistics — the `ANALYZE TABLE …
+    * FOR COLUMNS` workload, with the estimator's honesty on display.
+    * The table melts once into (col_name, value-as-string) — a narrow
+    * explode, one row per cell for the audited columns — then ONE
+    * distinct shuffle and one [[Rank.groupRank]] pass build a KMV
+    * sketch per column, and because groupRank also returns the group
+    * size, the EXACT distinct count falls out of the same pass for
+    * free. Output per column: exact NDV, sketch estimate, and the
+    * relative error in ppm — the number a cost-based optimizer
+    * (cf. q201) would actually consume, next to the truth.
+    *
+    * At 100 TB the exact-NDV side is the expensive half (a distinct
+    * per column); the sketch mechanics shown here are what production
+    * stats collection keeps — and the identical plan serves both,
+    * which is the point of auditing estimator error per column before
+    * trusting it. */
+  def q206ColumnNdv(spark: SparkSession, dir: String): DataFrame = {
+    val melted = Tables.load(spark, dir, "lineitem")
+      .select(explode(array(NdvCols.map { case (n, sparkExpr, _) =>
+        struct(lit(n).as("col_name"), expr(sparkExpr).as("v"))
+      }: _*)).as("cell"))
+      .select(col("cell.col_name").as("col_name"), col("cell.v").as("v"))
+      .distinct()
+      .withColumn("h15", substring(md5(col("v")), 1, 15))
+      .withColumn("hv", conv(col("h15"), 16, 10).cast("long"))
+    val kept = Rank.groupRank(melted, Seq("col_name"), "hv", Seq("h15"),
+      "rk", "n").filter(col("rk") < K)
+    kept.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth_hv"),
+        max(col("n")).as("exact_ndv"))
+      .select(col("col_name"), col("exact_ndv"), col("n_kept"),
+        expr(
+          s"""CAST(CASE WHEN exact_ndv <= $K THEN exact_ndv
+             |  ELSE (CAST(${K - 1} AS DECIMAL(38,0)) * $Pow60) div kth_hv
+             |END AS BIGINT)""".stripMargin).as("est_ndv"))
+      .withColumn("err_ppm",
+        expr("abs(est_ndv - exact_ndv) * 1000000 div exact_ndv"))
+  }
+
+  val q206Oracle: String = {
+    val arms = NdvCols.map { case (n, _, duckExpr) =>
+      s"SELECT '$n' AS col_name, $duckExpr AS v FROM lineitem"
+    }.mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH melted AS (
+       |  SELECT DISTINCT col_name, v FROM (
+       |  $arms)
+       |), r AS (
+       |  SELECT col_name, substring(md5(v), 1, 15) AS h15,
+       |    CAST('0x' || substring(md5(v), 1, 15) AS BIGINT) AS hv,
+       |    count(*) OVER (PARTITION BY col_name) AS n
+       |  FROM melted
+       |), k AS (
+       |  SELECT * FROM (
+       |    SELECT col_name, hv, n,
+       |      row_number() OVER (PARTITION BY col_name
+       |        ORDER BY hv ASC, h15 ASC) AS rk
+       |    FROM r) x WHERE rk <= $K
+       |), agg AS (
+       |  SELECT col_name, count(*) AS n_kept, max(hv) AS kth_hv,
+       |    max(n) AS exact_ndv
+       |  FROM k GROUP BY 1)
+       |SELECT col_name, CAST(exact_ndv AS BIGINT) AS exact_ndv,
+       |  CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(CASE WHEN exact_ndv <= $K THEN exact_ndv
+       |    ELSE (${K - 1} * CAST($Pow60 AS HUGEINT)) // kth_hv
+       |  END AS BIGINT) AS est_ndv,
+       |  CAST(abs((CASE WHEN exact_ndv <= $K THEN exact_ndv
+       |    ELSE (${K - 1} * CAST($Pow60 AS HUGEINT)) // kth_hv END)
+       |    - exact_ndv) * 1000000 // exact_ndv AS BIGINT) AS err_ppm
+       |FROM agg""".stripMargin
+  }
 }

@@ -72,9 +72,12 @@ class PlanLintSpec extends AnyFunSuite {
     "q36_ivf_search",           // probe window over queries×cells rows
     "q56_ivf_search_trained",   // same probe window, trained centroids
     "q159_ann_recall",          // recall join of two top-10 frames
-    "q97_gap_fill_locf")        // LOCF over the RESAMPLED grid: its size
+    "q97_gap_fill_locf",        // LOCF over the RESAMPLED grid: its size
                                 // is hours×types (time-range bounded),
                                 // independent of corpus row count
+    "q202_ema")                 // lag frame over the HOURLY AGGREGATE:
+                                // hours×types rows (time-range bounded,
+                                // like q97), not corpus-scaled
 
   /** Empirical companion to the textual lint: for every Window node in
     * the ANALYZED plan, measure its input — rows and distinct partition

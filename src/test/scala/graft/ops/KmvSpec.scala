@@ -72,4 +72,27 @@ class KmvSpec extends AnyFunSuite {
         assert(m <= k && i <= u)
       }
   }
+
+  test("q206: exact NDV matches countDistinct per column; tiny columns are exact") {
+    import org.apache.spark.sql.functions._
+    val rows = Kmv.q206ColumnNdv(spark, graft.TestSpark.sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 7)
+    val li = graft.Tables.load(spark, graft.TestSpark.sfDir, "lineitem")
+    val expect = Map(
+      "l_orderkey" -> li.select(countDistinct(col("l_orderkey"))),
+      "l_returnflag" -> li.select(countDistinct(col("l_returnflag"))),
+      "l_quantity" -> li.select(
+        countDistinct(expr("CAST(round(l_quantity * 100.0) AS BIGINT)"))))
+    for ((c, df) <- expect) {
+      val truth = df.head().getLong(0)
+      val (exact, kept, est, err) = rows(c)
+      assert(exact == truth, s"$c exact NDV $exact != $truth")
+      if (truth <= Kmv.K) {
+        assert(est == truth && err == 0L, s"$c small-NDV case must be exact")
+        assert(kept == truth)
+      } else assert(kept == Kmv.K)
+    }
+  }
 }
