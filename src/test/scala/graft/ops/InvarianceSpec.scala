@@ -156,7 +156,19 @@ class InvarianceSpec extends AnyFunSuite {
     ("q195 HITS (max-rescaled integer power iteration)",
       () => Graph.q195Hits(spark, TestSpark.sfDir)),
     ("q196 audio VAD segmentation (gaps-and-islands runs)",
-      () => MultimodalOps.q196AudioVad(spark, TestSpark.sfDir)))
+      () => MultimodalOps.q196AudioVad(spark, TestSpark.sfDir)),
+    ("q197 retractable IVM (signed-delta full-outer merge)",
+      () => ChangeFeed.q197RetractAgg(spark, TestSpark.sfDir)),
+    ("q199 bitmap index (bit_or packed words + popcount algebra)",
+      () => BitmapIndex.q199BitmapIndex(spark, TestSpark.sfDir)),
+    ("q201 join cardinality estimator (per-cell distinct counts)",
+      () => Audit.q201JoinCardEst(spark, TestSpark.sfDir)),
+    ("q203 preference pairs (two-phase rank positional match)",
+      () => Curation.q203PreferencePairs(spark, TestSpark.sfDir)),
+    ("q205 time-weighted average (rank-joined successor durations)",
+      () => Audit.q205TimeWeightedAvg(spark, TestSpark.sfDir)),
+    ("q206 column NDV (melt + KMV smallest-k per column)",
+      () => Kmv.q206ColumnNdv(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
