@@ -273,4 +273,40 @@ class EquivalenceSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(streaming === batch)
   }
+
+  test("batch EWMA equals the streaming ring-buffer smoother on an in-order feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the q202 step fixture as raw events: 8 hours at 2/hour then
+    // 8 at 10/hour, split mid-stream across micro-batches
+    def evRows(hours: Range) = for {
+      h <- hours; i <- 0 until (if (h < 8) 2 else 10)
+    } yield (1000L + h * 100 + i,
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:${i % 60}%02d:30"),
+      2L, "step", 0.0, "{}")
+    val tmp = java.nio.file.Files.createTempDirectory("emastream").toString
+    evRows(0 until 16)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val batch = graft.ops.Audit.q202Ema(spark, tmp)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+
+    def hourly(hours: Range) = evRows(hours)
+      .groupBy(r => r._2.getTime / 3600000)
+      .map { case (h, rs) => EmaStream.HourCount("step", h, rs.size.toLong) }
+      .toSeq.sortBy(_.h)
+    val in = MemoryStream[EmaStream.HourCount]
+    val out = EmaStream.ema(in.toDS())
+    val q = out.writeStream.format("memory").queryName("equiv_ema")
+      .outputMode("append").start()
+    in.addData(hourly(0 until 10): _*); q.processAllAvailable()
+    in.addData(hourly(10 until 16): _*); q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val streaming = spark.table("equiv_ema")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+
+    // align the hour key: q202 keys by unix_timestamp div 3600
+    assert(streaming.map(_._2).nonEmpty)
+    assert(streaming === batch, s"batch=$batch\nstream=$streaming")
+  }
 }
