@@ -387,4 +387,196 @@ object Classic {
        |                  WHERE o.o_custkey = c.c_custkey
        |                    AND o.o_orderdate >= TIMESTAMP '$Q175Cutoff')
        |GROUP BY 1""".stripMargin
+
+  /** q207: part value concentration (TPC-H Q11 shape). Revenue per part
+    * over the whole fact table, keeping only parts whose value exceeds
+    * 1/2000 of the global total — the "important stock" HAVING-over-
+    * scalar-subquery pattern. The global total is re-aggregated from the
+    * per-part frame (|parts| rows), NOT a second fact scan, and joins
+    * back as a broadcast single row; at 100 TB the fact table is read
+    * exactly once and shuffles once on l_partkey. */
+  def q207PartValueShare(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        (Exact.units(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.units(col("l_discount"), 2)))
+          .cast(DecimalType(38, 0)).as("rev_u4"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("rev_u4")).as("value_u4"))
+    val total = perPart.agg(sum(col("value_u4")).as("total_u4"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_u4") * 2000L > col("total_u4"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value_u4").cast("long").as("value_u4"),
+        ((col("value_u4") * 1000000L) / col("total_u4"))
+          .cast("long").as("share_ppm"))
+  }
+
+  val q207Oracle: String =
+    """WITH per_part AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(round(l_extendedprice * 100.0) AS HUGEINT) *
+      |        (100 - CAST(round(l_discount * 100.0) AS BIGINT))) AS value_u4
+      |  FROM lineitem GROUP BY 1
+      |), tot AS (SELECT sum(value_u4) AS total_u4 FROM per_part)
+      |SELECT l_partkey AS p_partkey, CAST(value_u4 AS BIGINT) AS value_u4,
+      |  CAST((value_u4 * 1000000) // total_u4 AS BIGINT) AS share_ppm
+      |FROM per_part CROSS JOIN tot
+      |WHERE value_u4 * 2000 > total_u4""".stripMargin
+
+  /** q208: supplier diversity per part profile (TPC-H Q16 shape).
+    * How many distinct suppliers ship parts of each (brand, type, size)
+    * profile — excluding one brand, the PROMO type, and "complaint"
+    * suppliers (negative account balance, the comment-LIKE analogue).
+    * The complaint list is an anti join with no broadcast hint (supplier
+    * grows with SF; AQE converts while it fits); the distinct is a
+    * (brand,type,size,suppkey) hash aggregate — partial distinct
+    * map-side, never a global sort. */
+  def q208SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val complaint = Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(complaint, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+      .distinct()
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count(lit(1)).as("supplier_cnt"))
+  }
+
+  val q208Oracle: String =
+    """SELECT p.p_brand, p.p_type, p.p_size,
+      |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      |  AND l.l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q209: minimum-cost supplier per part (TPC-H Q2 shape). For LARGE
+    * parts of size >= 40, the cheapest observed line price from a
+    * EUROPE supplier, and WHICH supplier (lowest suppkey among ties) —
+    * the correlated-min argmin join. Two aggregates over the SAME
+    * pre-joined candidate frame (persist-free: Catalyst reuses the
+    * exchange under AQE): min cost per part, then min suppkey at that
+    * cost. Cost is exact cents so the tie set is well-defined; every
+    * join key is an equi-key (partkey / suppkey) — no theta join. */
+  val Q209Region = "EUROPE"
+
+  def q209MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val euroNat = Tables.load(spark, dir, "nation").as("n")
+      .join(Tables.load(spark, dir, "region").as("r"),
+        col("n.n_regionkey") === col("r.r_regionkey"))
+      .filter(col("r.r_name") === Q209Region)
+      .select(col("n.n_nationkey").as("nk"), col("n.n_name"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(euroNat), col("s_nationkey") === col("nk"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_type") === "LARGE" && col("p_size") >= 40)
+      .select(col("p_partkey"))
+    val cand = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        Exact.units(col("l_extendedprice"), 2).as("cost_u2"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+    val minCost = cand.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("cost_u2")).as("min_cost_u2"))
+    cand.join(minCost,
+        col("p_partkey") === col("mk") && col("cost_u2") === col("min_cost_u2"))
+      .groupBy(col("p_partkey"), col("min_cost_u2"))
+      .agg(min(col("s_suppkey")).as("s_suppkey"))
+      .join(supp.select(col("s_suppkey").as("sk"), col("s_name"), col("n_name")),
+        col("s_suppkey") === col("sk"))
+      .select(col("p_partkey"), col("min_cost_u2"), col("s_suppkey"),
+        col("s_name"), col("n_name"))
+  }
+
+  val q209Oracle: String =
+    s"""WITH supp AS (
+       |  SELECT s_suppkey, s_name, n.n_name
+       |  FROM supplier s
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  WHERE r.r_name = '$Q209Region'
+       |), cand AS (
+       |  SELECT l.l_partkey AS p_partkey, l.l_suppkey,
+       |    CAST(round(l.l_extendedprice * 100.0) AS BIGINT) AS cost_u2
+       |  FROM lineitem l
+       |  JOIN part p ON l.l_partkey = p.p_partkey
+       |  JOIN supp s ON l.l_suppkey = s.s_suppkey
+       |  WHERE p.p_type = 'LARGE' AND p.p_size >= 40
+       |), mc AS (
+       |  SELECT p_partkey, min(cost_u2) AS min_cost_u2
+       |  FROM cand GROUP BY 1
+       |), pick AS (
+       |  SELECT c.p_partkey, c.cost_u2 AS min_cost_u2,
+       |    min(c.l_suppkey) AS s_suppkey
+       |  FROM cand c JOIN mc ON c.p_partkey = mc.p_partkey
+       |    AND c.cost_u2 = mc.min_cost_u2
+       |  GROUP BY 1, 2
+       |)
+       |SELECT pick.p_partkey, pick.min_cost_u2, pick.s_suppkey,
+       |  s.s_name, s.n_name
+       |FROM pick JOIN supp s ON pick.s_suppkey = s.s_suppkey""".stripMargin
+
+  /** q210: fresh-demand parts and who supplies them (TPC-H Q20 shape).
+    * Parts whose year-2000 shipped quantity exceeds 25% of their
+    * all-time shipped quantity (both exact integer units from ONE
+    * grouped pass with a conditional sum — not two scans), then each
+    * supplier shipping those parts in 2000 with how many such parts it
+    * carries and its nation. The nested-IN chain becomes two hash
+    * semi-joins; quantities never leave integer space so the 25%
+    * threshold is an exact cross-multiplication. */
+  def q210ExcessParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        Exact.units(col("l_quantity"), 0).as("qty"),
+        (year(col("l_shipdate")) === 2000).as("in_2000"))
+    val fresh = li
+      .groupBy(col("l_partkey"))
+      .agg(sum(when(col("in_2000"), col("qty")).otherwise(lit(0L))).as("q2000"),
+        sum(col("qty")).as("qall"))
+      .filter(col("q2000") * 4L > col("qall"))
+      .select(col("l_partkey").as("fresh_pk"))
+    val natSupp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")
+          .select(col("n_nationkey").as("nk"), col("n_name"))),
+        col("s_nationkey") === col("nk"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    li.filter(col("in_2000"))
+      .join(fresh, col("l_partkey") === col("fresh_pk"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_fresh_parts"))
+  }
+
+  val q210Oracle: String =
+    """WITH fresh AS (
+      |  SELECT l_partkey
+      |  FROM (SELECT l_partkey,
+      |          sum(CASE WHEN year(l_shipdate) = 2000
+      |              THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS q2000,
+      |          sum(CAST(round(l_quantity) AS BIGINT)) AS qall
+      |        FROM lineitem GROUP BY 1)
+      |  WHERE q2000 * 4 > qall
+      |), ship AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey
+      |  FROM lineitem
+      |  WHERE year(l_shipdate) = 2000
+      |    AND l_partkey IN (SELECT l_partkey FROM fresh)
+      |)
+      |SELECT s.s_suppkey, s.s_name, n.n_name, count(*) AS n_fresh_parts
+      |FROM ship
+      |JOIN supplier s ON ship.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY 1, 2, 3""".stripMargin
 }

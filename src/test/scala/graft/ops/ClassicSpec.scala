@@ -123,4 +123,80 @@ class ClassicSpec extends AnyFunSuite {
          |""".stripMargin).collect()(0).getLong(0)
     assert(nReported == expect)
   }
+
+  test("q207: shares bounded and every kept part clears the threshold") {
+    val rows = Classic.q207PartValueShare(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.load(spark, dir, "lineitem")
+      .agg(sum(Exact.units(col("l_extendedprice"), 2) *
+        (lit(100L) - Exact.units(col("l_discount"), 2))).cast("decimal(38,0)"))
+      .collect()(0).getDecimal(0)
+    rows.foreach { r =>
+      val v = BigDecimal(r.getAs[Long]("value_u4"))
+      assert(v * 2000 > BigDecimal(total), s"below threshold: $r")
+      assert(r.getAs[Long]("share_ppm") >= 500L)
+    }
+  }
+
+  test("q208: no complaint supplier contributes to any count") {
+    // recompute one group's distinct-supplier count including complaint
+    // suppliers: it must be >= the reported count, and the reported
+    // count must equal the clean recount.
+    val df = Classic.q208SupplierCnt(spark, dir)
+    val one = df.orderBy(col("supplier_cnt").desc,
+      col("p_brand"), col("p_type"), col("p_size")).limit(1).collect()(0)
+    val (b, t, s) = (one.getAs[String]("p_brand"),
+      one.getAs[String]("p_type"), one.getAs[Int]("p_size"))
+    val complaint = Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    val base = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === b && col("p_type") === t &&
+        col("p_size") === s)
+    val clean = base
+      .join(complaint, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .select(col("l_suppkey")).distinct().count()
+    assert(one.getAs[Long]("supplier_cnt") == clean)
+  }
+
+  test("q209: chosen supplier achieves the true min cost for its part") {
+    val rows = Classic.q209MinCostSupplier(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent recompute of per-part min over the same candidate set
+    val euroSupp = Tables.load(spark, dir, "supplier").as("s")
+      .join(Tables.load(spark, dir, "nation").as("n"),
+        col("s.s_nationkey") === col("n.n_nationkey"))
+      .join(Tables.load(spark, dir, "region").as("r"),
+        col("n.n_regionkey") === col("r.r_regionkey"))
+      .filter(col("r.r_name") === Classic.Q209Region)
+      .select(col("s.s_suppkey").as("esk"))
+    val mins = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_type") === "LARGE" && col("p_size") >= 40)
+      .join(euroSupp, col("l_suppkey") === col("esk"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(min(Exact.units(col("l_extendedprice"), 2)).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == mins.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_cost_u2") ==
+        mins(r.getAs[Long]("p_partkey")), s"not the min: $r")
+    }
+  }
+
+  test("q210: every fresh part really exceeds 25% of all-time quantity") {
+    val rows = Classic.q210ExcessParts(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byPart = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(when(year(col("l_shipdate")) === 2000,
+          Exact.units(col("l_quantity"), 0)).otherwise(lit(0L))).as("q2000"),
+        sum(Exact.units(col("l_quantity"), 0)).as("qall"))
+    val nFresh = byPart.filter(col("q2000") * 4L > col("qall")).count()
+    assert(nFresh > 0)
+    // the per-supplier counts can never exceed the fresh-part universe
+    rows.foreach(r => assert(r.getAs[Long]("n_fresh_parts") <= nFresh))
+  }
 }
