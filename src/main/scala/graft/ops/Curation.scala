@@ -1281,4 +1281,80 @@ object Curation {
       |  CAST(q_rejected AS BIGINT) AS q_rejected,
       |  CAST(q_chosen - q_rejected AS BIGINT) AS gap
       |FROM c JOIN j ON c.source = j.source AND c.i = j.i""".stripMargin
+
+  /** q214: temperature-balanced mixture allocation — the multilingual
+    * sampling step (p_i ∝ n_i^α with α = 1/2) that keeps low-resource
+    * languages from vanishing out of a training mix. Per language:
+    * weight = ⌊√n⌋ (EXACT integer square root — ⌊sqrt⌋ is computed in
+    * doubles then corrected by one integer comparison each way, so a
+    * boundary ulp can never flip it on either engine), then a budget of
+    * [[Q214Budget]] documents is split by largest-remainder (Hamilton)
+    * apportionment: floor shares first, the leftover goes to the
+    * largest remainders (ties → lexicographic lang). Allocations sum to
+    * the budget EXACTLY — asserted in CurationSpec.
+    *
+    * Scale shape: one grouped count per language (a map-side partial
+    * count), then all apportionment arithmetic — windows included —
+    * runs on the language-count frame, which is bounded by |languages|,
+    * not by data. */
+  val Q214Budget = 100000L
+
+  def q214TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.load(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    // exact integer sqrt: float estimate, then ±1 integer correction
+    val w0 = floor(sqrt(col("n_docs").cast("double"))).cast("long")
+    val w1 = when(w0 * w0 > col("n_docs"), w0 - 1L).otherwise(w0)
+    val weighted = counts.withColumn("weight",
+      when((w1 + 1L) * (w1 + 1L) <= col("n_docs"), w1 + 1L).otherwise(w1))
+    val totW = weighted.agg(sum(col("weight")).as("tot_w"))
+    val shares = weighted.crossJoin(broadcast(totW))
+      .withColumn("alloc_floor",
+        (col("weight").cast("decimal(38,0)") * Q214Budget / col("tot_w"))
+          .cast("long"))
+      .withColumn("rem", (col("weight") * Q214Budget) % col("tot_w"))
+    // everything below operates on the |languages|-sized frame
+    val wRem = Window.orderBy(col("rem").desc, col("lang"))
+    val wAll = Window.partitionBy()
+    shares
+      .withColumn("rem_rank", row_number().over(wRem))
+      .withColumn("leftover",
+        lit(Q214Budget) - sum(col("alloc_floor")).over(wAll))
+      .select(col("lang"), col("n_docs"), col("weight"),
+        (col("alloc_floor") +
+          when(col("rem_rank") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  val q214Oracle: String =
+    s"""WITH counts AS (
+       |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+       |), w AS (
+       |  SELECT lang, n_docs,
+       |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w0
+       |  FROM counts
+       |), w1 AS (
+       |  SELECT lang, n_docs,
+       |    CASE WHEN w0 * w0 > n_docs THEN w0 - 1 ELSE w0 END AS w1
+       |  FROM w
+       |), wt AS (
+       |  SELECT lang, n_docs,
+       |    CASE WHEN (w1 + 1) * (w1 + 1) <= n_docs THEN w1 + 1 ELSE w1 END
+       |      AS weight
+       |  FROM w1
+       |), tot AS (SELECT sum(weight) AS tot_w FROM wt
+       |), shares AS (
+       |  SELECT lang, n_docs, weight,
+       |    CAST(weight * ${Q214Budget} // tot_w AS BIGINT) AS alloc_floor,
+       |    CAST(weight * ${Q214Budget} % tot_w AS BIGINT) AS rem
+       |  FROM wt CROSS JOIN tot
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rem_rank,
+       |    ${Q214Budget} - sum(alloc_floor) OVER () AS leftover
+       |  FROM shares)
+       |SELECT lang, n_docs, CAST(weight AS BIGINT) AS weight,
+       |  CAST(alloc_floor +
+       |    CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM ranked""".stripMargin
 }

@@ -777,4 +777,79 @@ object Sessions {
       |FROM pr
       |JOIN sz sa ON sa.event_type = pr.type_a
       |JOIN sz sb ON sb.event_type = pr.type_b""".stripMargin
+
+  /** q217: Allen interval-algebra census (Allen 1983). Per user, each
+    * event type spans an activity interval [min ts, max ts]; for every
+    * ordered type pair (type_a < type_b) the pair of intervals is
+    * classified into one of the 13 Allen relations (before, meets,
+    * overlaps, starts, during, finishes, equals, and the six
+    * inverses), then the census counts users per (pair, relation).
+    * Timestamps are exact microseconds on both engines, so every
+    * boundary case (meets vs overlaps vs before) is deterministic —
+    * the discipline interval joins (q12/q39) only need "overlaps", but
+    * temporal reasoning over a lakehouse needs the full algebra.
+    *
+    * Scale shape: one grouped min/max per (user, type), then a
+    * per-user self-join whose fan-out is bounded by |event types|² —
+    * the corpus shuffles once on user_id and never again. */
+  def q217AllenIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val a = iv.select(col("user_id"), col("event_type").as("type_a"),
+      col("s").as("as_"), col("e").as("ae"))
+    val b = iv.select(col("user_id"), col("event_type").as("type_b"),
+      col("s").as("bs"), col("e").as("be"))
+    val rel =
+      when(col("ae") < col("bs"), "before")
+        .when(col("ae") === col("bs"), "meets")
+        .when(col("be") < col("as_"), "after")
+        .when(col("be") === col("as_"), "met_by")
+        .when(col("as_") < col("bs"),
+          when(col("ae") < col("be"), "overlaps")
+            .when(col("ae") === col("be"), "finished_by")
+            .otherwise("contains"))
+        .when(col("as_") === col("bs"),
+          when(col("ae") < col("be"), "starts")
+            .when(col("ae") === col("be"), "equals")
+            .otherwise("started_by"))
+        .otherwise(
+          when(col("ae") < col("be"), "during")
+            .when(col("ae") === col("be"), "finishes")
+            .otherwise("overlapped_by"))
+    a.join(b, "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), rel.as("relation"))
+      .groupBy(col("type_a"), col("type_b"), col("relation"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val q217Oracle: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_type, min(ts) AS s, max(ts) AS e
+      |  FROM events GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CASE
+      |      WHEN a.e < b.s THEN 'before'
+      |      WHEN a.e = b.s THEN 'meets'
+      |      WHEN b.e < a.s THEN 'after'
+      |      WHEN b.e = a.s THEN 'met_by'
+      |      WHEN a.s < b.s THEN
+      |        CASE WHEN a.e < b.e THEN 'overlaps'
+      |             WHEN a.e = b.e THEN 'finished_by'
+      |             ELSE 'contains' END
+      |      WHEN a.s = b.s THEN
+      |        CASE WHEN a.e < b.e THEN 'starts'
+      |             WHEN a.e = b.e THEN 'equals'
+      |             ELSE 'started_by' END
+      |      ELSE
+      |        CASE WHEN a.e < b.e THEN 'during'
+      |             WHEN a.e = b.e THEN 'finishes'
+      |             ELSE 'overlapped_by' END
+      |    END AS relation
+      |  FROM iv a JOIN iv b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type)
+      |SELECT type_a, type_b, relation, count(*) AS n_users
+      |FROM pairs GROUP BY 1, 2, 3""".stripMargin
 }

@@ -1657,4 +1657,144 @@ object SimilarityOps {
        |  FROM scored) t
        |WHERE rank <= 10""".stripMargin
   }
+
+  /** q215: Johnson–Lindenstrauss sign random projection — the
+    * dimensionality-reduction step before sketching/clustering a
+    * 100 TB embedding corpus (Achlioptas 2003: ±1 entries preserve
+    * pairwise distances in expectation; no dense Gaussian needed).
+    * Components are quantized to exact integer units (⌊x·10⁴ + ½⌋, the
+    * q115 trick) and the ±1 matrix is derived from md5(j,d) so BOTH
+    * engines materialize the identical matrix — projection output is
+    * exact integers, hash-checkable.
+    *
+    * Scale shape: the 16×64 sign matrix is a broadcast (it is
+    * CONSTANT-sized); each embedding row melts to 64 (d, value) pairs,
+    * joins the matrix map-side, and re-aggregates to 16 output dims
+    * keyed by (vec_id, j) — no shuffle touches the corpus until the
+    * final (vec_id, j) hash aggregate, which is linear in output size.
+    * At 1000 executors this is embarrassingly parallel. */
+  val Q215OutDims = 16
+  val Q215InDims = 64
+
+  def q215RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val signs = spark.range((Q215OutDims * Q215InDims).toLong)
+      .select((col("id") / Q215InDims).cast("long").as("j"),
+        (col("id") % Q215InDims).as("d"))
+      .select(col("j"), col("d"),
+        when(substring(md5(concat(lit("rp_"), col("j").cast("string"),
+          lit("_"), col("d").cast("string"))), 1, 1) <= "7", 1L)
+          .otherwise(-1L).as("sgn"))
+    val melted = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(toDouble(col("embedding"))))
+      .select(col("vec_id"), col("pos").cast("long").as("d"),
+        floor(col("col") * 10000.0 + 0.5).cast("long").as("vq"))
+    melted.join(broadcast(signs), "d")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("sgn") * col("vq")).as("proj"))
+  }
+
+  val q215Oracle: String =
+    s"""WITH signs AS (
+       |  SELECT j.range AS j, d.range AS d,
+       |    CASE WHEN substring(md5('rp_' || j.range || '_' || d.range),
+       |                        1, 1) <= '7'
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM range($Q215OutDims) j, range($Q215InDims) d
+       |), melted AS (
+       |  SELECT vec_id,
+       |    unnest([{'d': CAST(i - 1 AS BIGINT),
+       |             'vq': CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000
+       |                              + 0.5) AS BIGINT)}
+       |            for i in generate_series(1, len(embedding))],
+       |           recursive := true)
+       |  FROM embeddings)
+       |SELECT m.vec_id, s.j, CAST(sum(s.sgn * m.vq) AS BIGINT) AS proj
+       |FROM melted m JOIN signs s ON m.d = s.d
+       |GROUP BY 1, 2""".stripMargin
+
+  /** q216: greedy k-center coreset (Gonzalez 1985, 2-approximation) —
+    * diverse-subset selection for data curation: pick the point
+    * farthest from the current centers, k times, then assign every
+    * point to its nearest center. Distances are EXACT integer squared
+    * L2 over ⌊x·10⁴ + ½⌋-quantized components, so the argmax (ties →
+    * lowest vec_id) is deterministic and the oracle replays the same
+    * greedy rounds as unrolled CTEs.
+    *
+    * Scale shape: each round is one full-scan max-aggregate against a
+    * ≤k broadcast center set (k = 4; the driver holds only the k chosen
+    * ids — statistics-sized, the q83-BPE precedent); assignment is one
+    * more scan against the same broadcast. Nothing shuffles by corpus
+    * key; rounds are driver-sequenced like any iterative refinement. */
+  val Q216K = 4
+
+  def q216KcenterCoreset(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(toDouble(col("embedding")),
+          x => floor(x * 10000.0 + 0.5).cast("long")).as("q"))
+
+    def d2To(center: Array[Long]): Column =
+      aggregate(
+        zip_with(col("q"), typedlit(center.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+
+    val first = emb.orderBy(col("vec_id")).select(col("vec_id"), col("q"))
+      .limit(1).collect()(0)
+    var centers = Seq((first.getLong(0), first.getSeq[Long](1).toArray))
+    while (centers.size < Q216K) {
+      // min distance to any chosen center, then argmax with min-id ties
+      val minD = centers.map(c => d2To(c._2)).reduce(least(_, _))
+      val far = emb.select(col("vec_id"), col("q"), minD.as("dist"))
+        .orderBy(col("dist").desc, col("vec_id")).limit(1).collect()(0)
+      centers = centers :+ (far.getLong(0) -> far.getSeq[Long](1).toArray)
+    }
+    val assign = centers.map { case (id, q) =>
+      struct(d2To(q).as("d2"), lit(id).as("cid"))
+    }
+    emb.select(col("vec_id"),
+        least(assign: _*).getField("cid").as("center_id"),
+        least(assign: _*).getField("d2").as("dist2"))
+  }
+
+  val q216Oracle: String = {
+    // unrolled greedy rounds: c1..c3 each pick the farthest point from
+    // the union of prior centers (q37's replay-the-training pattern)
+    val d2 = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(range(1, 65), i -> ($a.q[CAST(i AS INT)] - $b.q[CAST(i AS INT)]) * ($a.q[CAST(i AS INT)] - $b.q[CAST(i AS INT)]))) AS BIGINT)"
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1
+       |), d1 AS (
+       |  SELECT e.vec_id, e.q, ${d2("e", "c0")} AS dist FROM e, c0
+       |), c1 AS (
+       |  SELECT vec_id, q FROM d1 ORDER BY dist DESC, vec_id LIMIT 1
+       |), d2_ AS (
+       |  SELECT d1.vec_id, d1.q,
+       |    least(d1.dist, ${d2("d1", "c1")}) AS dist FROM d1, c1
+       |), c2 AS (
+       |  SELECT vec_id, q FROM d2_ ORDER BY dist DESC, vec_id LIMIT 1
+       |), d3 AS (
+       |  SELECT d2_.vec_id, d2_.q,
+       |    least(d2_.dist, ${d2("d2_", "c2")}) AS dist FROM d2_, c2
+       |), c3 AS (
+       |  SELECT vec_id, q FROM d3 ORDER BY dist DESC, vec_id LIMIT 1
+       |), centers AS (
+       |  SELECT vec_id AS cid, q FROM c0
+       |  UNION ALL SELECT vec_id, q FROM c1
+       |  UNION ALL SELECT vec_id, q FROM c2
+       |  UNION ALL SELECT vec_id, q FROM c3
+       |), scored AS (
+       |  SELECT e.vec_id, c.cid, ${d2("e", "c")} AS d2
+       |  FROM e CROSS JOIN centers c
+       |), ranked AS (
+       |  SELECT vec_id, cid, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+       |  FROM scored)
+       |SELECT vec_id, cid AS center_id, d2 AS dist2
+       |FROM ranked WHERE rk = 1""".stripMargin
+  }
 }

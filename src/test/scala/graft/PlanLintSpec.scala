@@ -18,8 +18,10 @@ class PlanLintSpec extends AnyFunSuite {
   // (q54 global ntile, and the per-group windows behind q69/q70/q48)
   // now rank through the two-phase distributed graft.ops.Rank.
   private val globalWindowAllowed = Set(
-    "q28_global_topk",    // global sort+limit demo (tiny top-k frame)
-    "q59_sequence_pack")  // block-offset prefix sum over block TOTALS
+    "q28_global_topk",      // global sort+limit demo (tiny top-k frame)
+    "q59_sequence_pack",    // block-offset prefix sum over block TOTALS
+    "q214_temperature_mix") // Hamilton apportionment over the LANGUAGE
+                            // COUNT frame: |languages| rows, not corpus
 
   /** Every windowspecdefinition whose argument list holds NO partition
     * expressions: the first depth-0 argument is then already an

@@ -260,4 +260,22 @@ class CurationSpec extends AnyFunSuite {
       .distinct().count()
     assert(outDays.toLong == dataDays)
   }
+
+  test("q214: allocations sum exactly to the budget; weights are ⌊√n⌋") {
+    val rows = Curation.q214TemperatureMix(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("alloc")).sum == Curation.Q214Budget)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val w = r.getAs[Long]("weight")
+      assert(w * w <= n && n < (w + 1) * (w + 1), s"not isqrt: $r")
+    }
+    // Hamilton apportionment: each alloc is floor-share or floor-share+1
+    val totW = rows.map(_.getAs[Long]("weight")).sum
+    rows.foreach { r =>
+      val fl = r.getAs[Long]("weight") * Curation.Q214Budget / totW
+      val a = r.getAs[Long]("alloc")
+      assert(a == fl || a == fl + 1, s"alloc off floor share: $r")
+    }
+  }
 }

