@@ -105,4 +105,76 @@ object SqlOps {
       |  ORDER BY price_cents DESC, o_orderkey
       |  LIMIT 3
       |) l""".stripMargin
+
+  /** q220: Kaplan–Meier survival curve (Kaplan & Meier 1958) over user
+    * lifetimes — time-to-churn analysis where "death" is a user whose
+    * stream contains an `error` event and everyone else is
+    * right-censored at their last observed day. S(t) multiplies
+    * (n_i − d_i)/n_i over event days; the running product is kept in
+    * EXACT integer ppm with floor division at every step, evaluated by
+    * a recursive CTE on BOTH engines — the multiplication order is the
+    * day order by construction, so the (order-sensitive) truncated
+    * product is bit-identical. Day granularity bounds recursion depth
+    * by the observation window (≤ 31 steps here), far under Spark's
+    * recursion limit.
+    *
+    * Scale shape: one corpus aggregate per user, then one aggregate to
+    * the per-day event table — bounded by the TIME RANGE, not the
+    * corpus (the q97/q202 argument) — and everything after (ranking
+    * windows, the recursive fold) runs on that ≤|days| frame. Censored
+    * days ride along as d = 0 rows: their factor is exactly 1 under
+    * integer division, so they cannot perturb the product. */
+  def q220KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "events")
+    spark.sql(
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    (unix_millis(max(ts)) - unix_millis(min(ts))) div 86400000 AS lt,
+        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS death
+        |  FROM events_sql GROUP BY user_id
+        |), tot AS (SELECT count(*) AS n_tot FROM u
+        |), ev AS (
+        |  SELECT lt AS t, sum(death) AS d, count(*) AS ended
+        |  FROM u GROUP BY lt
+        |), ranked AS (
+        |  SELECT t, d, row_number() OVER (ORDER BY t) AS rk,
+        |    n_tot - coalesce(sum(ended) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+        |  FROM ev CROSS JOIN tot
+        |), km(rk, t, n, d, s) AS (
+        |  SELECT rk, t, n, d, (1000000 * (n - d)) div n
+        |  FROM ranked WHERE rk = 1
+        |  UNION ALL
+        |  SELECT r.rk, r.t, r.n, r.d, (km.s * (r.n - r.d)) div r.n
+        |  FROM km JOIN ranked r ON r.rk = km.rk + 1
+        |)
+        |SELECT t AS t_days, n AS n_risk, d AS d_events, s AS surv_ppm
+        |FROM km WHERE d > 0""".stripMargin)
+  }
+
+  val q220Oracle: String =
+    """WITH RECURSIVE u AS (
+      |  SELECT user_id,
+      |    (epoch_ms(max(ts)) - epoch_ms(min(ts))) // 86400000 AS lt,
+      |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS death
+      |  FROM events GROUP BY user_id
+      |), tot AS (SELECT count(*) AS n_tot FROM u
+      |), ev AS (
+      |  SELECT lt AS t, sum(death) AS d, count(*) AS ended
+      |  FROM u GROUP BY lt
+      |), ranked AS (
+      |  SELECT t, d, row_number() OVER (ORDER BY t) AS rk,
+      |    n_tot - coalesce(sum(ended) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      |  FROM ev CROSS JOIN tot
+      |), km(rk, t, n, d, s) AS (
+      |  SELECT rk, t, n, d, (1000000 * (n - d)) // n
+      |  FROM ranked WHERE rk = 1
+      |  UNION ALL
+      |  SELECT r.rk, r.t, r.n, r.d, (km.s * (r.n - r.d)) // r.n
+      |  FROM km JOIN ranked r ON r.rk = km.rk + 1
+      |)
+      |SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_risk,
+      |  CAST(d AS BIGINT) AS d_events, CAST(s AS BIGINT) AS surv_ppm
+      |FROM km WHERE d > 0""".stripMargin
 }

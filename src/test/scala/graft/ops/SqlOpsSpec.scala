@@ -62,4 +62,31 @@ class SqlOpsSpec extends AnyFunSuite {
       .select(col("o_custkey")).distinct().count()
     assert(got.map(_._1).size == nCust)
   }
+
+  test("q220: KM curve equals a local sequential-fold recompute") {
+    val users = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(((unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))) /
+        lit(86400000L)).cast("long").as("lt"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("death"))
+      .collect().map(r => (r.getAs[Long]("lt"), r.getAs[Int]("death")))
+    val byDay = users.groupBy(_._1).view
+      .mapValues(v => (v.count(_._2 == 1).toLong, v.length.toLong)).toMap
+    var atRisk = users.length.toLong
+    var s = 1000000L
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    byDay.keys.toSeq.sorted.foreach { t =>
+      val (d, ended) = byDay(t)
+      s = s * (atRisk - d) / atRisk
+      if (d > 0) expect += ((t, atRisk, d, s))
+      atRisk -= ended
+    }
+    val got = SqlOps.q220KaplanMeier(spark, dir).collect()
+      .map(r => (r.getAs[Long]("t_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("d_events"), r.getAs[Long]("surv_ppm"))).toSeq.sorted
+    assert(got == expect.toSeq.sorted, s"got=$got expect=$expect")
+    // survival is monotonically non-increasing along time
+    val surv = got.map(_._4)
+    assert(surv == surv.sorted.reverse)
+  }
 }
