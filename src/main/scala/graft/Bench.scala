@@ -33,6 +33,15 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!keep.contains(id)) rdd.unpersist(false)
       }
+      // Broadcast/shuffle blocks are reclaimed by the ContextCleaner
+      // only after the driver GCs their references: on a large heap
+      // that can be hundreds of queries later, and the accumulated
+      // block-manager residue makes mid-sweep queries measure 5-10x
+      // slower than a fresh JVM (q130: 37.7s at sweep position ~40 vs
+      // 4.2s fresh, same configs — reproduced before adding this).
+      // An explicit GC per timed run keeps the 220-query sweep
+      // measuring the QUERY, not the harness's garbage.
+      System.gc()
     }
     // min of 3 timed runs per query: local-mode timings on a shared box
     // are noisy (GC, JIT, neighbors); the min is the stable signal. If

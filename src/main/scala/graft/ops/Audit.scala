@@ -1556,4 +1556,97 @@ object Audit {
        |  CAST(CASE WHEN actual = 0 THEN -1
        |    ELSE abs(est - actual) * 1000000 // actual END AS BIGINT) AS err_ppm
        |FROM cells""".stripMargin
+
+  /** q222: split-conformal prediction intervals (Vovk et al.; the
+    * distribution-free uncertainty-quantification step an ML pipeline
+    * runs before serving point predictions). Per market segment: a
+    * deterministic md5 coin splits orders into calibration and test
+    * halves; the "model" is the calibration mean price; the
+    * nonconformity score is the absolute residual; q̂ is the
+    * ⌈0.9·(n+1)⌉-th smallest calibration score; coverage is the test
+    * fraction inside ±q̂ (guaranteed ≥ 90% marginally).
+    *
+    * Exactness: residuals against a MEAN would leave integer space, so
+    * scores are cross-multiplied — score = |price·n − Σprice| (cents ×
+    * n, an exact long) — which preserves the ranking and the coverage
+    * comparison within each segment. The calibration quantile is found
+    * by [[Rank.groupRank]]'s bucketed two-phase plan (no per-segment
+    * single-task sort at 100 TB); the 5-row q̂ table broadcasts back
+    * onto the test side for one conditional-count pass. */
+  def q222ConformalInterval(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        graft.ops.Exact.units(col("o_totalprice"), 2).as("cents"),
+        (substring(md5(concat(lit("cf_"), col("o_orderkey").cast("string"))),
+          1, 1) <= "7").as("is_calib"))
+    val calStats = orders.filter(col("is_calib"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_calib"),
+        sum(col("cents").cast("decimal(38,0)")).as("sum_cents"))
+    val scored = orders
+      .join(broadcast(calStats), "segment")
+      .withColumn("score",
+        abs(col("cents").cast("decimal(38,0)") * col("n_calib") -
+          col("sum_cents")).cast("decimal(38,0)"))
+    val calib = scored.filter(col("is_calib"))
+      .select(col("segment"), col("o_orderkey"),
+        col("score").cast("long").as("score"), col("n_calib"))
+    val ranked = Rank.groupRank(calib, Seq("segment"), "score",
+      Seq("o_orderkey"), "rk", "n")
+    // 1-based conformal index k = ceil(0.9 * (n+1)), capped at n
+    val qhat = ranked
+      .filter(col("rk") ===
+        least(expr("(9 * (n_calib + 1) + 9) div 10"), col("n_calib")) - 1L)
+      .select(col("segment"), col("score").as("qhat_scaled"))
+    scored.filter(!col("is_calib"))
+      .join(broadcast(qhat), "segment")
+      .groupBy(col("segment"))
+      .agg(max(col("n_calib")).as("n_calib"),
+        count(lit(1)).as("n_test"),
+        max(col("qhat_scaled")).as("qhat_scaled"),
+        sum(when(col("score").cast("long") <= col("qhat_scaled"), 1L)
+          .otherwise(0L)).as("covered"))
+      .select(col("segment"), col("n_calib"), col("n_test"),
+        col("qhat_scaled"), col("covered"),
+        (col("covered").cast("decimal(38,0)") * 1000000L / col("n_test"))
+          .cast("long").as("coverage_ppm"))
+  }
+
+  val q222Oracle: String =
+    """WITH o AS (
+      |  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+      |    CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS cents,
+      |    substring(md5('cf_' || o.o_orderkey), 1, 1) <= '7' AS is_calib
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |), cs AS (
+      |  SELECT segment, count(*) AS n_calib,
+      |    sum(CAST(cents AS HUGEINT)) AS sum_cents
+      |  FROM o WHERE is_calib GROUP BY 1
+      |), sc AS (
+      |  SELECT o.segment, o.o_orderkey, o.is_calib, cs.n_calib,
+      |    abs(CAST(o.cents AS HUGEINT) * cs.n_calib - cs.sum_cents) AS score
+      |  FROM o JOIN cs ON o.segment = cs.segment
+      |), rk AS (
+      |  SELECT segment, score, n_calib,
+      |    row_number() OVER (PARTITION BY segment
+      |      ORDER BY score, o_orderkey) AS r
+      |  FROM sc WHERE is_calib
+      |), qh AS (
+      |  SELECT segment, CAST(score AS BIGINT) AS qhat_scaled
+      |  FROM rk
+      |  WHERE r = least((9 * (n_calib + 1) + 9) // 10, n_calib)
+      |)
+      |SELECT sc.segment, CAST(max(sc.n_calib) AS BIGINT) AS n_calib,
+      |  count(*) AS n_test,
+      |  CAST(max(qh.qhat_scaled) AS BIGINT) AS qhat_scaled,
+      |  CAST(sum(CASE WHEN sc.score <= qh.qhat_scaled THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS covered,
+      |  CAST(sum(CASE WHEN sc.score <= qh.qhat_scaled THEN 1 ELSE 0 END)
+      |    * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+      |FROM sc JOIN qh ON sc.segment = qh.segment
+      |WHERE NOT sc.is_calib
+      |GROUP BY 1""".stripMargin
 }

@@ -1357,4 +1357,63 @@ object Curation {
        |  CAST(alloc_floor +
        |    CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
        |FROM ranked""".stripMargin
+
+  /** q221: weighted sampling WITHOUT replacement, exact-k — the
+    * Efraimidis–Spirakis bottom-k scheme realized with integer-only
+    * machinery: an item of integer weight w is replicated w times with
+    * independent md5 "random" keys, its priority is the MINIMUM key
+    * (min of w uniforms ~ Beta(1, w) — exactly the E–S priority law),
+    * and the sample is the k lowest priorities corpus-wide. Heavier
+    * line items (by quantity) are proportionally likelier to win, no
+    * item can win twice, and the whole draw is deterministic —
+    * membership itself is hash-checked against the oracle.
+    *
+    * Scale shape: the replication factor is the mean weight — kept a
+    * small CONSTANT by bucketing total quantity (w = 1 + Σqty÷10, a
+    * handful of replicas per item; full-resolution weights would 25×
+    * the hash work for the same ranking law) — the min collapses
+    * map-side before any exchange,
+    * and the final k = 20 selection is a TakeOrdered (per-partition
+    * top-k heaps, never a global sort). Md5 hex compares
+    * lexicographically = numerically (fixed length, one case), so
+    * priorities never leave string space. */
+  val Q221K = 20
+
+  def q221WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus — the
+    // item universe is the aggregated pair, weighted by total quantity
+    val li = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty_sum"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (lit(1) + (col("qty_sum") / lit(10L)).cast("int")).as("w"))
+    li.select(col("l_orderkey"), col("l_linenumber"), col("w"),
+        explode(sequence(lit(1), col("w"))).as("i"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("w"),
+        md5(concat(lit("ws_"), col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"), lit("_"),
+          col("i").cast("string"))).as("h"))
+      .groupBy(col("l_orderkey"), col("l_linenumber"), col("w"))
+      .agg(min(col("h")).as("priority"))
+      .orderBy(col("priority"), col("l_orderkey"), col("l_linenumber"))
+      .limit(Q221K)
+  }
+
+  val q221Oracle: String =
+    s"""WITH items AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    1 + CAST(sum(CAST(round(l_quantity) AS BIGINT)) // 10 AS INT)
+       |      AS w
+       |  FROM lineitem GROUP BY 1, 2
+       |)
+       |SELECT l_orderkey, l_linenumber, w, min(h) AS priority
+       |FROM (
+       |  SELECT l.l_orderkey, l.l_linenumber, l.w,
+       |    md5('ws_' || l.l_orderkey || '_' || l.l_linenumber || '_' || t.i)
+       |      AS h
+       |  FROM items l,
+       |  LATERAL unnest(generate_series(1, l.w)) AS t(i))
+       |GROUP BY 1, 2, 3
+       |ORDER BY priority, l_orderkey, l_linenumber
+       |LIMIT $Q221K""".stripMargin
 }

@@ -278,4 +278,23 @@ class CurationSpec extends AnyFunSuite {
       assert(a == fl || a == fl + 1, s"alloc off floor share: $r")
     }
   }
+
+  test("q221: priorities are the true min-of-w hashes; k lowest win") {
+    val rows = Curation.q221WeightedSample(spark, TestSpark.sfDir).collect()
+    assert(rows.length == Curation.Q221K)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // JVM recompute of each winner's priority from its weight
+    rows.foreach { r =>
+      val (ok, ln, w) = (r.getAs[Long]("l_orderkey"),
+        r.getAs[Int]("l_linenumber"), r.getAs[Int]("w"))
+      val expect = (1 to w).map(i => md5hex(s"ws_${ok}_${ln}_$i")).min
+      assert(r.getAs[String]("priority") == expect, s"priority wrong: $r")
+    }
+    // no duplicates (without replacement) and weights are positive
+    assert(rows.map(r => (r.getAs[Long]("l_orderkey"),
+      r.getAs[Int]("l_linenumber"))).distinct.length == rows.length)
+    rows.foreach(r => assert(r.getAs[Int]("w") >= 1))
+  }
 }
