@@ -1649,4 +1649,91 @@ object Audit {
       |FROM sc JOIN qh ON sc.segment = qh.segment
       |WHERE NOT sc.is_calib
       |GROUP BY 1""".stripMargin
+
+  /** q224: A/B experiment readout with an EXACT chi-squared test. Users
+    * split by id parity (the deterministic assignment an experiment
+    * platform would hash); conversion = the user ever fired a
+    * `purchase` event. The 2×2 independence statistic
+    * χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) and the relative lift are
+    * computed in 128-bit decimal integer space, and significance at
+    * α = 0.05 is decided by EXACT cross-multiplication against the
+    * critical value 3.8415 (scaled ×10⁴) — no floating-point boundary
+    * can flip the verdict on either engine. (At extreme N the χ²
+    * numerator square would outgrow decimal(38); a production variant
+    * switches to the identical cross-multiplied inequality on reduced
+    * fractions — the verdict column already is that inequality.)
+    *
+    * One corpus aggregate to per-user flags, one 4-cell rollup:
+    * map-side partials everywhere, a single 1-row result. */
+  def q224AbChisq(spark: SparkSession, dir: String): DataFrame = {
+    // conversion = the user fired MORE purchases than errors: a
+    // per-user share comparison stays balanced at every scale factor,
+    // where "ever purchased" saturates to 100% as events-per-user grow
+    // (and a saturated margin zeroes the chi-squared denominator)
+    val users = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)), 1L)
+        .otherwise(0L).as("conv"))
+      .select((col("user_id") % 2L === 1L).as("treat"), col("conv"))
+    val cells = users.agg(
+      sum(when(col("treat") && col("conv") === 1L, 1L).otherwise(0L)).as("a"),
+      sum(when(col("treat") && col("conv") === 0L, 1L).otherwise(0L)).as("b"),
+      sum(when(!col("treat") && col("conv") === 1L, 1L).otherwise(0L)).as("c"),
+      sum(when(!col("treat") && col("conv") === 0L, 1L).otherwise(0L)).as("d"))
+    cells.select(
+        (col("a") + col("b")).as("n_treat"), col("a").as("conv_treat"),
+        (col("c") + col("d")).as("n_ctrl"), col("c").as("conv_ctrl"),
+        // truncate-toward-zero on BOTH engines: abs first, resign after
+        // (Spark `div` truncates, DuckDB `//` floors — they disagree on
+        // negatives unless the operand is made non-negative)
+        expr("""CAST(CASE WHEN CAST(a AS DECIMAL(38,0)) * (c + d) >=
+               |   CAST(c AS DECIMAL(38,0)) * (a + b) THEN 1 ELSE -1 END
+               | * (abs(CAST(a AS DECIMAL(38,0)) * (c + d)
+               |        - CAST(c AS DECIMAL(38,0)) * (a + b)) * 1000000
+               |    div (CAST(c AS DECIMAL(38,0)) * (a + b))) AS BIGINT)
+               |""".stripMargin).as("lift_ppm"),
+        expr("""CAST(CAST(a + b + c + d AS DECIMAL(38,0))
+               | * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+               | * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+               | * 1000000
+               | div (CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))
+               |   AS BIGINT)""".stripMargin).as("chi2_e6"),
+        expr("""CAST(a + b + c + d AS DECIMAL(38,0))
+               | * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+               | * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+               | * 10000 >=
+               | CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)
+               | * 38415""".stripMargin).as("significant"))
+  }
+
+  val q224Oracle: String =
+    """WITH u AS (
+      |  SELECT user_id % 2 = 1 AS treat,
+      |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |         THEN 1 ELSE 0 END AS conv
+      |  FROM events GROUP BY user_id
+      |), cells AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN treat AND conv = 1 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS a,
+      |    CAST(sum(CASE WHEN treat AND conv = 0 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS b,
+      |    CAST(sum(CASE WHEN NOT treat AND conv = 1 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS c,
+      |    CAST(sum(CASE WHEN NOT treat AND conv = 0 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS d
+      |  FROM u)
+      |SELECT CAST(a + b AS BIGINT) AS n_treat, CAST(a AS BIGINT)
+      |    AS conv_treat,
+      |  CAST(c + d AS BIGINT) AS n_ctrl, CAST(c AS BIGINT) AS conv_ctrl,
+      |  CAST(CASE WHEN a * (c + d) >= c * (a + b) THEN 1 ELSE -1 END
+      |    * (abs(a * (c + d) - c * (a + b)) * 1000000 // (c * (a + b)))
+      |    AS BIGINT) AS lift_ppm,
+      |  CAST((a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 1000000
+      |    // ((a + b) * (c + d) * (a + c) * (b + d)) AS BIGINT) AS chi2_e6,
+      |  (a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 10000 >=
+      |    (a + b) * (c + d) * (a + c) * (b + d) * 38415 AS significant
+      |FROM cells""".stripMargin
 }

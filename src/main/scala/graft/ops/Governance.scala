@@ -207,4 +207,55 @@ object Governance {
       |  CAST(sum(CASE WHEN reported THEN 1 ELSE 0 END) * 4 - count(*)
       |    - sum(CASE WHEN truth THEN 1 ELSE 0 END) * 2 AS BIGINT) AS err_x2
       |FROM d GROUP BY 1""".stripMargin
+
+  /** q223: k-anonymity audit (Sweeney 2002) — before releasing a
+    * customer extract, how identifiable is each row by its
+    * quasi-identifiers (nation, market segment, coarse balance
+    * bucket)? For each k ∈ {2, 5, 10}: how many QI equivalence classes
+    * fall below k members, how many rows those classes hold (= rows a
+    * k-anonymous release must suppress or generalize), and the
+    * suppression rate in ppm.
+    *
+    * One shuffle on the QI tuple builds the class-size table; the
+    * class-size table is bounded by the QI domain (|nations| ×
+    * |segments| × |balance buckets|), so the three k-threshold rollups
+    * are statistics-sized aggregates — the corpus is scanned once no
+    * matter how many k values are audited. */
+  val Q223Ks: Seq[Int] = Seq(2, 5, 10)
+
+  def q223KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("cls_n"))
+    val total = classes.agg(sum(col("cls_n")).as("n_rows"))
+    Q223Ks.map { k =>
+      classes.crossJoin(broadcast(total))
+        .agg(max(col("n_rows")).as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("cls_n") < k, 1L).otherwise(0L)).as("classes_below"),
+          sum(when(col("cls_n") < k, col("cls_n")).otherwise(0L))
+            .as("rows_suppressed"))
+        .select(lit(k.toLong).as("k"), col("n_classes"),
+          col("classes_below"), col("rows_suppressed"),
+          (col("rows_suppressed").cast("decimal(38,0)") * 1000000L /
+            col("n_rows")).cast("long").as("suppressed_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  val q223Oracle: String = {
+    def one(k: Int): String =
+      s"""SELECT CAST($k AS BIGINT) AS k, count(*) AS n_classes,
+         |  CAST(sum(CASE WHEN cls_n < $k THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS classes_below,
+         |  CAST(sum(CASE WHEN cls_n < $k THEN cls_n ELSE 0 END) AS BIGINT)
+         |    AS rows_suppressed,
+         |  CAST(sum(CASE WHEN cls_n < $k THEN cls_n ELSE 0 END) * 1000000
+         |    // sum(cls_n) AS BIGINT) AS suppressed_ppm
+         |FROM (SELECT c_nationkey, c_mktsegment,
+         |        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         |        count(*) AS cls_n
+         |      FROM customer GROUP BY 1, 2, 3)""".stripMargin
+    Q223Ks.map(one).mkString("\nUNION ALL\n")
+  }
 }

@@ -74,4 +74,24 @@ class GovernanceSpec extends AnyFunSuite {
     assert(docs.filter(col("c1")).count() > 0)
     assert(docs.filter(!col("c1")).count() > 0)
   }
+
+  test("q223: suppression grows with k and matches a direct recount") {
+    val rows = Governance.q223KAnonymity(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("classes_below"), r.getAs[Long]("rows_suppressed")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Governance.Q223Ks.map(_.toLong))
+    // monotone in k on both counters
+    rows.sliding(2).foreach { case Array((_, (cb1, rs1)), (_, (cb2, rs2))) =>
+      assert(cb1 <= cb2 && rs1 <= rs2)
+    }
+    // direct recount for k = 5
+    val sizes = Tables.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
+    val (cb5, rs5) = rows.find(_._1 == 5L).get._2
+    assert(cb5 == sizes.count(_ < 5).toLong)
+    assert(rs5 == sizes.filter(_ < 5).sum)
+  }
 }

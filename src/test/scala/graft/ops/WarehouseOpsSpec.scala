@@ -288,4 +288,27 @@ class WarehouseOpsSpec extends AnyFunSuite {
       assert(cov >= 700000L && cov <= 1000000L, s"coverage off: $r")
     }
   }
+
+  test("q224: cells conserve users; chi2 matches a double-space recompute") {
+    val r = Audit.q224AbChisq(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nt, xt) = (row.getAs[Long]("n_treat"), row.getAs[Long]("conv_treat"))
+    val (nc, xc) = (row.getAs[Long]("n_ctrl"), row.getAs[Long]("conv_ctrl"))
+    val nUsers = Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(nt + nc == nUsers)
+    assert(xt <= nt && xc <= nc)
+    // chi2 in doubles (independent formula) within integer-truncation slack
+    val (a, b, c, d) = (xt.toDouble, (nt - xt).toDouble, xc.toDouble,
+      (nc - xc).toDouble)
+    val n = a + b + c + d
+    val chi2 = n * math.pow(a * d - b * c, 2) /
+      ((a + b) * (c + d) * (a + c) * (b + d))
+    val got = row.getAs[Long]("chi2_e6").toDouble / 1e6
+    assert(math.abs(chi2 - got) < 1e-4, s"chi2 $chi2 vs $got")
+    // verdict agrees with the statistic away from the critical boundary
+    if (math.abs(chi2 - 3.8415) > 0.001)
+      assert(row.getAs[Boolean]("significant") == (chi2 >= 3.8415))
+  }
 }
