@@ -852,4 +852,76 @@ object Sessions {
       |    AND a.event_type < b.event_type)
       |SELECT type_a, type_b, relation, count(*) AS n_users
       |FROM pairs GROUP BY 1, 2, 3""".stripMargin
+
+  /** q225: clamped running balance — the wallet/inventory simulation
+    * fold. Per user per day: credits (value of `view` events, cents)
+    * minus debits (`purchase` events), folded in day order with the
+    * balance FLOORED AT ZERO — a genuinely non-associative scan (the
+    * clamp destroys prefix-sum decomposability, so no window trick
+    * applies; order of application is the semantics). Reports each
+    * user's final balance and how many days ended pinned at zero.
+    *
+    * Scale shape: the corpus collapses to (user, day) nets in one
+    * aggregate; the per-user fold then runs over a TIME-RANGE-bounded
+    * array (≤ |days| elements — the q97/q202/q220 argument), inside a
+    * codegen'd `aggregate()` with a struct accumulator, never a
+    * driver loop. The DuckDB oracle replays the identical fold with
+    * `list_reduce` over a day-ordered list (zero-seed prepended, since
+    * list_reduce treats the first element as the seed). */
+  def q225ClampedBalance(spark: SparkSession, dir: String): DataFrame = {
+    val nets = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(when(col("event_type") === "view",
+          round(col("value") * 100.0).cast("long"))
+        .otherwise(-round(col("value") * 100.0).cast("long"))).as("net"))
+    nets.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("day"), col("net"))))
+        .as("series"))
+      .select(col("user_id"), size(col("series")).cast("long").as("n_days"),
+        aggregate(
+          transform(col("series"), s => s.getField("net")),
+          struct(lit(0L).as("bal"), lit(0L).as("z")),
+          (acc, x) => {
+            val nb = greatest(acc.getField("bal") + x, lit(0L))
+            struct(nb.as("bal"),
+              (acc.getField("z") + when(nb === 0L, 1L).otherwise(0L))
+                .as("z"))
+          }).as("fold"))
+      .select(col("user_id"), col("n_days"),
+        col("fold.bal").as("final_bal_cents"),
+        col("fold.z").as("days_at_zero"))
+  }
+
+  // NOTE the field ORDER in the fold struct: DuckDB 1.0's list_reduce
+  // updates the accumulator struct field-by-field in declaration order,
+  // so a field reading acc.bal must be declared BEFORE the field that
+  // overwrites bal (z first) — with bal first, z's condition read the
+  // already-updated balance and miscounted (reproduced on this corpus).
+  val q225Oracle: String =
+    """WITH nets AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+      |    sum(CASE WHEN event_type = 'view'
+      |        THEN CAST(round(value * 100.0) AS BIGINT)
+      |        ELSE -CAST(round(value * 100.0) AS BIGINT) END) AS net
+      |  FROM events
+      |  WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY 1, 2
+      |), series AS (
+      |  SELECT user_id, count(*) AS n_days,
+      |    list_prepend({'z': CAST(0 AS BIGINT), 'bal': CAST(0 AS BIGINT)},
+      |      list_transform(list(net ORDER BY day),
+      |        x -> {'z': CAST(0 AS BIGINT), 'bal': CAST(x AS BIGINT)}))
+      |      AS l
+      |  FROM nets GROUP BY 1)
+      |SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+      |  f.bal AS final_bal_cents, f.z AS days_at_zero
+      |FROM (
+      |  SELECT user_id, n_days,
+      |    list_reduce(l, (acc, x) ->
+      |      {'z': acc.z + CASE WHEN greatest(acc.bal + x.bal, 0) = 0
+      |                    THEN 1 ELSE 0 END,
+      |       'bal': greatest(acc.bal + x.bal, 0)}) AS f
+      |  FROM series)""".stripMargin
 }

@@ -249,4 +249,35 @@ class SessionsSpec extends AnyFunSuite {
       assert(inverse.contains(r.getAs[String]("relation")),
         s"unknown relation: $r"))
   }
+
+  test("q225: clamped fold equals a local sequential recompute per user") {
+    import org.apache.spark.sql.functions._
+    import graft.{Tables, TestSpark}
+    val dir = TestSpark.sfDir
+    val got = Sessions.q225ClampedBalance(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("final_bal_cents"),
+          r.getAs[Long]("days_at_zero"))).toMap
+    val raw = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(when(col("event_type") === "view",
+          round(col("value") * 100.0).cast("long"))
+        .otherwise(-round(col("value") * 100.0).cast("long"))).as("net"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"),
+        r.getAs[Long]("net")))
+    val expect = raw.groupBy(_._1).map { case (u, rows) =>
+      var bal = 0L; var z = 0L
+      rows.sortBy(_._2).foreach { case (_, _, net) =>
+        bal = math.max(bal + net, 0L)
+        if (bal == 0L) z += 1
+      }
+      u -> (rows.length.toLong, bal, z)
+    }
+    assert(got == expect)
+    got.values.foreach { case (n, bal, z) =>
+      assert(bal >= 0L && z <= n)
+    }
+  }
 }
