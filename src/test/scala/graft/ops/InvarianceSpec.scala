@@ -168,7 +168,25 @@ class InvarianceSpec extends AnyFunSuite {
     ("q205 time-weighted average (rank-joined successor durations)",
       () => Audit.q205TimeWeightedAvg(spark, TestSpark.sfDir)),
     ("q206 column NDV (melt + KMV smallest-k per column)",
-      () => Kmv.q206ColumnNdv(spark, TestSpark.sfDir)))
+      () => Kmv.q206ColumnNdv(spark, TestSpark.sfDir)),
+    ("q209 min-cost supplier (argmin join with suppkey tie-break)",
+      () => Classic.q209MinCostSupplier(spark, TestSpark.sfDir)),
+    ("q214 temperature mix (largest-remainder apportionment ties)",
+      () => Curation.q214TemperatureMix(spark, TestSpark.sfDir)),
+    ("q216 k-center coreset (iterative argmax with min-id ties)",
+      () => SimilarityOps.q216KcenterCoreset(spark, TestSpark.sfDir)),
+    ("q218 recursive hierarchy rollup (WITH RECURSIVE closure)",
+      () => SqlOps.q218RecursiveRollup(spark, TestSpark.sfDir)),
+    ("q219 lateral top-k (decorrelated ranking, total order)",
+      () => SqlOps.q219LateralTopk(spark, TestSpark.sfDir)),
+    ("q220 Kaplan-Meier (recursive truncating product fold)",
+      () => SqlOps.q220KaplanMeier(spark, TestSpark.sfDir)),
+    ("q221 weighted sample (min-of-w hashes + TakeOrdered)",
+      () => Curation.q221WeightedSample(spark, TestSpark.sfDir)),
+    ("q222 conformal intervals (two-phase calibration rank)",
+      () => Audit.q222ConformalInterval(spark, TestSpark.sfDir)),
+    ("q225 clamped balance (non-associative sorted fold)",
+      () => Sessions.q225ClampedBalance(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
