@@ -309,4 +309,53 @@ class EquivalenceSpec extends AnyFunSuite {
     assert(streaming.map(_._2).nonEmpty)
     assert(streaming === batch, s"batch=$batch\nstream=$streaming")
   }
+
+  test("batch clamped balance equals the streaming wallet fold mid-stream split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two users over six days: credits (view) and debits (purchase)
+    // sized so user 1 pins at zero twice and user 2 never does
+    val fixture = Seq(
+      (1L, 0, "view", 10.0), (1L, 1, "purchase", 25.0),  // clamp day 1
+      (1L, 2, "view", 7.0), (1L, 3, "purchase", 7.0),    // exact zero day 3
+      (1L, 4, "view", 3.0),
+      (2L, 0, "view", 50.0), (2L, 2, "purchase", 20.0), (2L, 5, "view", 1.0))
+    def evRow(i: Int, u: Long, day: Int, t: String, v: Double) =
+      (i.toLong, Timestamp.valueOf(f"2024-01-${day + 1}%02d 09:00:00"),
+        u, t, v, "{}")
+    val tmp = java.nio.file.Files.createTempDirectory("balstream").toString
+    fixture.zipWithIndex
+      .map { case ((u, d, t, v), i) => evRow(i, u, d, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val batch = graft.ops.Sessions.q225ClampedBalance(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val nets = fixture.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((u, d), rs) =>
+        BalanceStream.DayNet(u, d.toLong,
+          rs.map(r => if (r._3 == "view") math.round(r._4 * 100)
+            else -math.round(r._4 * 100)).sum)
+      }.sortBy(r => (r.user_id, r.day))
+    val in = MemoryStream[BalanceStream.DayNet]
+    val out = BalanceStream.balances(in.toDS())
+    val q = out.writeStream.format("memory").queryName("equiv_bal")
+      .outputMode("append").start()
+    val (first, rest) = nets.partition(_.day < 2)
+    in.addData(first: _*); q.processAllAvailable()
+    in.addData(rest: _*); q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    // the stream's LAST row per user is the batch operator's row
+    val finals = spark.table("equiv_bal")
+      .as[BalanceStream.BalanceRow].collect()
+      .groupBy(_.user_id).values
+      .map(rs => { val l = rs.maxBy(_.day); (l.user_id, l.n_days, l.bal, l.z) })
+      .toSet
+    assert(finals === batch, s"batch=$batch\nstream=$finals")
+    // and the zero-pins land where designed
+    val u1 = spark.table("equiv_bal").as[BalanceStream.BalanceRow]
+      .collect().filter(_.user_id == 1L).sortBy(_.day)
+    assert(u1.map(_.bal).toSeq == Seq(1000L, 0L, 700L, 0L, 300L))
+    assert(u1.last.z == 2L)
+  }
 }
