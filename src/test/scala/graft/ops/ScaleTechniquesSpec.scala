@@ -39,6 +39,30 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(filtered.count() < ev.count())
   }
 
+  test("dynamic partition pruning reaches the fact scan through a join") {
+    // the 100 TB shape: a date-partitioned fact joined to a filtered
+    // dimension with NO literal predicate on the fact — the partition
+    // filter must be INJECTED at runtime from the dimension's build
+    // side (DPP), or every partition of the fact is read
+    val out = java.nio.file.Files.createTempDirectory("dpp").toString
+    val ev = Tables.load(spark, TestSpark.sfDir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    // the dim side must carry a SELECTIVE FILTER (the PartitionPruning
+    // rule keys on one); an orderBy/limit derivation does not qualify
+    val dim = ev.select(col("event_date").as("d")).distinct()
+      .filter(dayofmonth(col("d")) <= 2)
+    val fact = spark.read.parquet(out)
+    val joined = fact.join(broadcast(dim), col("event_date") === col("d"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no DPP subquery in the fact scan:\n${plan.take(2000)}")
+    // correctness: same rows as the literal-filtered equivalent
+    val dates = dim.collect().map(_.getDate(0))
+    val expect = ev.filter(col("event_date").isin(dates: _*)).count()
+    assert(joined.count() == expect && expect > 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
