@@ -1387,14 +1387,18 @@ object Curation {
       .agg(sum(round(col("l_quantity")).cast("long")).as("qty_sum"))
       .select(col("l_orderkey"), col("l_linenumber"),
         (lit(1) + (col("qty_sum") / lit(10L)).cast("int")).as("w"))
+    // the min-of-w hashes folds INLINE over a generated array — after
+    // the item pre-aggregation the key is unique, so a second
+    // item-cardinality shuffle (explode → regroup → min) would only
+    // re-partition what is already grouped; array_min keeps the whole
+    // priority computation map-side (measured 8x-soak: 20.1 s → the
+    // one-shuffle plan, with the TakeOrdered heap the only exchange
+    // after the pre-agg)
     li.select(col("l_orderkey"), col("l_linenumber"), col("w"),
-        explode(sequence(lit(1), col("w"))).as("i"))
-      .select(col("l_orderkey"), col("l_linenumber"), col("w"),
-        md5(concat(lit("ws_"), col("l_orderkey").cast("string"), lit("_"),
-          col("l_linenumber").cast("string"), lit("_"),
-          col("i").cast("string"))).as("h"))
-      .groupBy(col("l_orderkey"), col("l_linenumber"), col("w"))
-      .agg(min(col("h")).as("priority"))
+        array_min(transform(sequence(lit(1), col("w")),
+          i => md5(concat(lit("ws_"), col("l_orderkey").cast("string"),
+            lit("_"), col("l_linenumber").cast("string"), lit("_"),
+            i.cast("string"))))).as("priority"))
       .orderBy(col("priority"), col("l_orderkey"), col("l_linenumber"))
       .limit(Q221K)
   }
