@@ -214,4 +214,23 @@ class GraphSpec extends AnyFunSuite {
         "max-rescaling must pin the top score to Scale")
     }
   }
+
+  test("q226: double-sweep invariants — second eccentricity dominates") {
+    val r = Graph.q226GraphDiameter(spark, graft.TestSpark.sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val ecc1 = row.getAs[Long]("sweep1_ecc")
+    val lb = row.getAs[Long]("diameter_lb")
+    // dist(start, far1) = ecc1 is one path from far1, so ecc(far1) ≥ ecc1
+    // (both capped by the same hop limit)
+    assert(lb >= ecc1 && ecc1 >= 1L)
+    assert(lb <= Graph.DiamMaxHops)
+    assert(row.getAs[Long]("n_reached") >= 2L)
+    // bipartite parity: an even-hop endpoint is the same side as far1
+    val far1 = row.getAs[String]("sweep1_far")
+    val far2 = row.getAs[String]("sweep2_far")
+    val sameSide = far1.charAt(0) == far2.charAt(0)
+    assert(sameSide == (lb % 2 == 0),
+      s"bipartite parity violated: $far1 -> $far2 at hop $lb")
+  }
 }
