@@ -1667,30 +1667,43 @@ object SimilarityOps {
     * engines materialize the identical matrix — projection output is
     * exact integers, hash-checkable.
     *
-    * Scale shape: the 16×64 sign matrix is a broadcast (it is
-    * CONSTANT-sized); each embedding row melts to 64 (d, value) pairs,
-    * joins the matrix map-side, and re-aggregates to 16 output dims
-    * keyed by (vec_id, j) — no shuffle touches the corpus until the
-    * final (vec_id, j) hash aggregate, which is linear in output size.
-    * At 1000 executors this is embarrassingly parallel. */
+    * Scale shape: the 16×64 sign matrix is a LITERAL (constant-sized,
+    * inlined into the expression), so the projection is a pure per-row
+    * fold — the physical plan contains ZERO exchanges; every executor
+    * projects its scan split independently. At 1000 executors this is
+    * embarrassingly parallel by construction. */
   val Q215OutDims = 16
   val Q215InDims = 64
 
   def q215RandomProjection(spark: SparkSession, dir: String): DataFrame = {
-    val signs = spark.range((Q215OutDims * Q215InDims).toLong)
-      .select((col("id") / Q215InDims).cast("long").as("j"),
-        (col("id") % Q215InDims).as("d"))
-      .select(col("j"), col("d"),
-        when(substring(md5(concat(lit("rp_"), col("j").cast("string"),
-          lit("_"), col("d").cast("string"))), 1, 1) <= "7", 1L)
-          .otherwise(-1L).as("sgn"))
-    val melted = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), posexplode(toDouble(col("embedding"))))
-      .select(col("vec_id"), col("pos").cast("long").as("d"),
-        floor(col("col") * 10000.0 + 0.5).cast("long").as("vq"))
-    melted.join(broadcast(signs), "d")
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("sgn") * col("vq")).as("proj"))
+    // The sign matrix is a CONSTANT (16×64 md5 bits): materialize it
+    // driver-side and inline it as a literal, so the projection is a
+    // pure per-row fold — ZERO exchanges in the whole plan (the melt →
+    // broadcast-join → (vec_id, j) re-aggregation formulation shuffled
+    // 16×N rows for the same arithmetic; 8×-soak 1.83 s → this plan).
+    // Java's MD5 produces the same hex the oracle's md5() builds the
+    // matrix from, so both engines still hold the identical matrix.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val signs: Seq[Seq[Long]] = (0 until Q215OutDims).map { j =>
+      (0 until Q215InDims).map { d =>
+        if (md5hex(s"rp_${j}_$d").charAt(0) <= '7') 1L else -1L
+      }
+    }
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(toDouble(col("embedding")),
+          x => floor(x * 10000.0 + 0.5).cast("long")).as("vq"))
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(Q215OutDims - 1)),
+          j => aggregate(
+            zip_with(col("vq"),
+              element_at(typedlit(signs), (j + 1).cast("int")),
+              (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        col("col").as("proj"))
   }
 
   val q215Oracle: String =
