@@ -894,6 +894,91 @@ object Sessions {
         col("fold.z").as("days_at_zero"))
   }
 
+  /** q227: time-to-convert percentiles per signup cohort — the product
+    * funnel's latency dashboard: for each user, the seconds from first
+    * `signup` to the first `purchase` AT OR AFTER it; converters are
+    * grouped by signup week and each cohort reports its conversion
+    * count plus exact P50/P90 latency (nearest-rank, ⌈p·n⌉-th
+    * smallest).
+    *
+    * Exactness: latencies are integer seconds; the percentile is a
+    * rank lookup, not an interpolation. Scale shape: one grouped
+    * min-filter pass to per-user (signup, first purchase ≥ signup),
+    * then the cohort percentiles come from [[Rank.groupRank]]'s
+    * bucketed two-phase plan — no per-cohort single-task sort; the
+    * final rollup joins two rank-filtered single-row-per-cohort
+    * frames. */
+  def q227ConvertLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(signups, "user_id")
+      .filter(col("ts") >= col("t_signup"))
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(col("ts")).as("t_conv"))
+      .select(col("user_id"),
+        expr("unix_millis(t_signup) div (86400000 * 7)").as("cohort_week"),
+        expr("(unix_millis(t_conv) - unix_millis(t_signup)) div 1000")
+          .as("lat_s"))
+    val ranked = Rank.groupRank(conv, Seq("cohort_week"), "lat_s",
+      Seq("user_id"), "rk", "n")
+    def pick(p: Int, name: String) = ranked
+      // nearest-rank ⌈p·n/100⌉ as a 0-based rank
+      .filter(col("rk") === expr(s"(($p * n) + 99) div 100") - 1L)
+      .groupBy(col("cohort_week"))
+      .agg(min(col("lat_s")).as(name))
+    signupsPerCohort(signups)
+      .join(conv.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("n_converted")), Seq("cohort_week"))
+      .join(pick(50, "p50_s"), Seq("cohort_week"))
+      .join(pick(90, "p90_s"), Seq("cohort_week"))
+  }
+
+  private def signupsPerCohort(signups: DataFrame): DataFrame =
+    signups
+      .select(expr("unix_millis(t_signup) div (86400000 * 7)")
+        .as("cohort_week"))
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("n_signups"))
+
+  val q227Oracle: String =
+    """WITH s AS (
+      |  SELECT user_id, min(ts) AS t_signup FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), conv AS (
+      |  SELECT e.user_id, s.t_signup, min(e.ts) AS t_conv
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s.t_signup
+      |  GROUP BY 1, 2
+      |), lat AS (
+      |  SELECT user_id,
+      |    epoch_ms(t_signup) // (86400000 * 7) AS cohort_week,
+      |    (epoch_ms(t_conv) - epoch_ms(t_signup)) // 1000 AS lat_s
+      |  FROM conv
+      |), rk AS (
+      |  SELECT cohort_week, lat_s,
+      |    row_number() OVER (PARTITION BY cohort_week
+      |      ORDER BY lat_s, user_id) AS r,
+      |    count(*) OVER (PARTITION BY cohort_week) AS n
+      |  FROM lat
+      |), coh AS (
+      |  SELECT epoch_ms(t_signup) // (86400000 * 7) AS cohort_week,
+      |    count(*) AS n_signups
+      |  FROM s GROUP BY 1
+      |)
+      |SELECT coh.cohort_week, coh.n_signups,
+      |  (SELECT count(*) FROM lat
+      |   WHERE lat.cohort_week = coh.cohort_week) AS n_converted,
+      |  CAST((SELECT min(lat_s) FROM rk WHERE rk.cohort_week = coh.cohort_week
+      |        AND r = (50 * n + 99) // 100) AS BIGINT) AS p50_s,
+      |  CAST((SELECT min(lat_s) FROM rk WHERE rk.cohort_week = coh.cohort_week
+      |        AND r = (90 * n + 99) // 100) AS BIGINT) AS p90_s
+      |FROM coh
+      |WHERE EXISTS (SELECT 1 FROM lat
+      |              WHERE lat.cohort_week = coh.cohort_week)""".stripMargin
+
   // NOTE the field ORDER in the fold struct: DuckDB 1.0's list_reduce
   // updates the accumulator struct field-by-field in declaration order,
   // so a field reading acc.bal must be declared BEFORE the field that

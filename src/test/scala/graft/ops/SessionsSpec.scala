@@ -280,4 +280,43 @@ class SessionsSpec extends AnyFunSuite {
       assert(bal >= 0L && z <= n)
     }
   }
+
+  test("q227: cohort percentiles equal a window recompute; invariants hold") {
+    import org.apache.spark.sql.functions._
+    import graft.{Tables, TestSpark}
+    val dir = TestSpark.sfDir
+    val rows = Sessions.q227ConvertLatency(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p90_s") >= r.getAs[Long]("p50_s"))
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_signups"))
+    }
+    // plain-window recompute of the per-cohort nearest-rank percentiles
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("signup", "purchase"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .join(s, "user_id").filter(col("ts") >= col("t_signup"))
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(col("ts")).as("t_conv"))
+      .select(col("user_id"),
+        expr("unix_millis(t_signup) div (86400000 * 7)").as("w"),
+        expr("(unix_millis(t_conv) - unix_millis(t_signup)) div 1000")
+          .as("lat_s"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("lat_s"), col("user_id"))
+    val ranked = lat.withColumn("r", row_number().over(win))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
+    def q(p: Int) = ranked
+      .filter(col("r") === expr(s"(($p * n) + 99) div 100"))
+      .collect().map(r => r.getAs[Long]("w") -> r.getAs[Long]("lat_s")).toMap
+    val (p50, p90) = (q(50), q(90))
+    rows.foreach { r =>
+      val w = r.getAs[Long]("cohort_week")
+      assert(r.getAs[Long]("p50_s") == p50(w), s"p50 mismatch at $w")
+      assert(r.getAs[Long]("p90_s") == p90(w), s"p90 mismatch at $w")
+    }
+  }
 }

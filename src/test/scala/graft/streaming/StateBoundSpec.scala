@@ -130,4 +130,43 @@ class StateBoundSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("wallet-fold state is key-bounded over a long feed on RocksDB") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // BalanceStream keeps EXACTLY one 3-long state row per user: over
+    // a 40-round feed the state row count must pin at |users| — never
+    // at rows seen — on the production provider
+    val prev = Streams.useRocksDbStateStore(spark)
+    val users = 50
+    val in = MemoryStream[BalanceStream.DayNet]
+    val out = BalanceStream.balances(in.toDS())
+    val q = out.writeStream.format("memory").queryName("wallet_state_soak")
+      .outputMode("append").start()
+    try {
+      val rounds = 40
+      val sizes = (0 until rounds).map { day =>
+        in.addData((0 until users).map(u =>
+          BalanceStream.DayNet(u.toLong, day.toLong,
+            if ((u + day) % 3 == 0) -500L else 300L)): _*)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.head.numRowsTotal
+      }
+      assert(sizes.last == users.toLong,
+        s"state not key-bounded: ${sizes.takeRight(5).mkString(",")}")
+      assert(sizes.max == users.toLong)
+      // every user emitted every day, and balances never go negative
+      val rows = spark.table("wallet_state_soak")
+        .as[BalanceStream.BalanceRow].collect()
+      assert(rows.length == users * rounds)
+      assert(rows.forall(_.bal >= 0L))
+    } finally {
+      q.stop()
+      q.awaitTermination()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
