@@ -1658,6 +1658,66 @@ object SimilarityOps {
        |WHERE rank <= 10""".stripMargin
   }
 
+  /** q228: contrastive semi-hard NEGATIVE mining — q149's complement:
+    * for every anchor, the most-similar embedding of a DIFFERENT label
+    * inside the anchor's trained IVF cell (the confusable impostor a
+    * triplet/contrastive trainer needs; cross-label similarity is
+    * where the margin gradient lives). A different-label search has no
+    * label-block bound, so the candidate set is blocked by the q37
+    * Lloyd-trained cells instead (q79's co-partitioned cell self-join
+    * plan): candidates per anchor are bounded by its cell, never the
+    * corpus, and anchors whose cell holds no impostor drop out —
+    * exactly the semi-hard contract. Argmax per anchor is the
+    * struct-MAX hash aggregate (cosine DESC, id ASC), map-side
+    * combinable; the oracle replays training via the shared unrolled
+    * k-means prefix and the same cell join. */
+  def q228HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir).persist()
+    val assigned = ivfAssignments(emb, kmeansCentroids(emb, KmeansIters))
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val mem = emb.join(assigned, "vec_id").join(labels, "vec_id")
+    val a = mem.select(col("cell_id"), col("label").as("label_a"),
+      col("vec_id").as("anchor_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = mem.select(col("cell_id"), col("label").as("label_b"),
+      col("vec_id").as("cand_id"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("label_a") =!= col("label_b"))
+      .select(col("label_a").as("label"), col("anchor_id"), col("cand_id"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .groupBy(col("label"), col("anchor_id"))
+      .agg(max(struct(col("cosine"), (-col("cand_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("label"), col("anchor_id"), (-col("m.nid")).as("neg_id"),
+        col("m.cosine").as("cosine"), col("n_candidates"))
+  }
+
+  val q228Oracle: String =
+    s"""$kmeansOraclePrefix,
+       |lab AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+       |), scored AS (
+       |  SELECT la.label, a1.vec_id AS anchor_id, a2.vec_id AS cand_id,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(n1.v, n2.v),
+       |        p -> p[1] * p[2])), (x,y) -> x + y) / (n1.nrm * n2.nrm)
+       |      AS cosine
+       |  FROM afin a1
+       |  JOIN afin a2 ON a1.cell_id = a2.cell_id
+       |  JOIN lab la ON la.vec_id = a1.vec_id
+       |  JOIN lab lb ON lb.vec_id = a2.vec_id AND la.label <> lb.label
+       |  JOIN n n1 ON n1.vec_id = a1.vec_id
+       |  JOIN n n2 ON n2.vec_id = a2.vec_id
+       |), ranked AS (
+       |  SELECT label, anchor_id, cand_id, cosine,
+       |    row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY cosine DESC, cand_id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY anchor_id) AS n_candidates
+       |  FROM scored
+       |)
+       |SELECT label, anchor_id, cand_id AS neg_id, cosine,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates
+       |FROM ranked WHERE rk = 1""".stripMargin
+
   /** q215: Johnson–Lindenstrauss sign random projection — the
     * dimensionality-reduction step before sketching/clustering a
     * 100 TB embedding corpus (Achlioptas 2003: ±1 entries preserve

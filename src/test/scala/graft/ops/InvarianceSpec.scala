@@ -186,7 +186,9 @@ class InvarianceSpec extends AnyFunSuite {
     ("q222 conformal intervals (two-phase calibration rank)",
       () => Audit.q222ConformalInterval(spark, TestSpark.sfDir)),
     ("q225 clamped balance (non-associative sorted fold)",
-      () => Sessions.q225ClampedBalance(spark, TestSpark.sfDir)))
+      () => Sessions.q225ClampedBalance(spark, TestSpark.sfDir)),
+    ("q228 hard negatives (trained-cell block + struct-max argmax)",
+      () => SimilarityOps.q228HardNegatives(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {

@@ -362,6 +362,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q228: negatives cross labels and dominate their cell's impostors") {
+    import org.apache.spark.sql.functions._
+    import graft.Tables
+    val dir = TestSpark.sfDir
+    val rows = SimilarityOps.q228HardNegatives(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.load(spark, dir, "embeddings")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Int]("label").toLong).toMap
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("neg_id")) != r.getAs[Long]("label"),
+        s"negative shares the anchor's label: $r")
+      assert(labels(r.getAs[Long]("anchor_id")) == r.getAs[Long]("label"))
+      assert(r.getAs[Long]("n_candidates") >= 1L)
+    }
+    // no anchor appears twice; every picked cosine is a valid cosine
+    assert(rows.map(_.getAs[Long]("anchor_id")).distinct.length == rows.length)
+    rows.foreach(r => {
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0000001 && c <= 1.0000001)
+    })
+  }
+
   test("q216: assignment is the true argmin over the selected centers") {
     import org.apache.spark.sql.functions._
     import graft.Tables
