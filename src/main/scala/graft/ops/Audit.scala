@@ -1616,8 +1616,8 @@ object Audit {
           .otherwise(0L)).as("covered"))
       .select(col("segment"), col("n_calib"), col("n_test"),
         col("qhat_scaled"), col("covered"),
-        (col("covered").cast("decimal(38,0)") * 1000000L / col("n_test"))
-          .cast("long").as("coverage_ppm"))
+        expr("CAST(covered AS DECIMAL(38,0)) * 1000000 div n_test")
+          .as("coverage_ppm"))
   }
 
   val q222Oracle: String =
@@ -1689,21 +1689,30 @@ object Audit {
     cells.select(
         (col("a") + col("b")).as("n_treat"), col("a").as("conv_treat"),
         (col("c") + col("d")).as("n_ctrl"), col("c").as("conv_ctrl"),
-        // truncate-toward-zero on BOTH engines: abs first, resign after
-        // (Spark `div` truncates, DuckDB `//` floors — they disagree on
-        // negatives unless the operand is made non-negative)
-        expr("""CAST(CASE WHEN CAST(a AS DECIMAL(38,0)) * (c + d) >=
+        // truncate-toward-zero on BOTH engines: abs first, resign after.
+        // (Belt-and-braces: DuckDB's `//` empirically truncates toward
+        // zero like Spark's `div` — SELECT -657 // 2 → -328 — so the
+        // abs/resign form is equivalent to plain div; it is kept because
+        // it is correct under EITHER division convention.)
+        // zero-denominator guard (identical on both engines): a control
+        // arm with no conversions, or an empty arm, yields NULL rather
+        // than Spark-NULL-vs-DuckDB-error divergence (q205's discipline)
+        expr("""CASE WHEN c = 0 OR a + b = 0 THEN NULL ELSE
+               | CAST(CASE WHEN CAST(a AS DECIMAL(38,0)) * (c + d) >=
                |   CAST(c AS DECIMAL(38,0)) * (a + b) THEN 1 ELSE -1 END
                | * (abs(CAST(a AS DECIMAL(38,0)) * (c + d)
                |        - CAST(c AS DECIMAL(38,0)) * (a + b)) * 1000000
                |    div (CAST(c AS DECIMAL(38,0)) * (a + b))) AS BIGINT)
-               |""".stripMargin).as("lift_ppm"),
-        expr("""CAST(CAST(a + b + c + d AS DECIMAL(38,0))
+               |END""".stripMargin).as("lift_ppm"),
+        expr("""CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0
+               | THEN NULL ELSE
+               | CAST(CAST(a + b + c + d AS DECIMAL(38,0))
                | * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
                | * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
                | * 1000000
                | div (CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))
-               |   AS BIGINT)""".stripMargin).as("chi2_e6"),
+               |   AS BIGINT)
+               |END""".stripMargin).as("chi2_e6"),
         expr("""CAST(a + b + c + d AS DECIMAL(38,0))
                | * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
                | * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
@@ -1733,11 +1742,15 @@ object Audit {
       |SELECT CAST(a + b AS BIGINT) AS n_treat, CAST(a AS BIGINT)
       |    AS conv_treat,
       |  CAST(c + d AS BIGINT) AS n_ctrl, CAST(c AS BIGINT) AS conv_ctrl,
-      |  CAST(CASE WHEN a * (c + d) >= c * (a + b) THEN 1 ELSE -1 END
+      |  CASE WHEN c = 0 OR a + b = 0 THEN NULL ELSE
+      |    CAST(CASE WHEN a * (c + d) >= c * (a + b) THEN 1 ELSE -1 END
       |    * (abs(a * (c + d) - c * (a + b)) * 1000000 // (c * (a + b)))
-      |    AS BIGINT) AS lift_ppm,
-      |  CAST((a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 1000000
-      |    // ((a + b) * (c + d) * (a + c) * (b + d)) AS BIGINT) AS chi2_e6,
+      |    AS BIGINT) END AS lift_ppm,
+      |  CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0
+      |    THEN NULL ELSE
+      |    CAST((a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 1000000
+      |    // ((a + b) * (c + d) * (a + c) * (b + d)) AS BIGINT)
+      |    END AS chi2_e6,
       |  (a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 10000 >=
       |    (a + b) * (c + d) * (a + c) * (b + d) * 38415 AS significant
       |FROM cells""".stripMargin

@@ -72,7 +72,13 @@ object BitmapIndex {
     * distinct-presence joins — bitmap algebra ≡ set algebra. */
   val q199Oracle: String = {
     val inList = IndexTerms.map(t => s"'$t'").mkString(", ")
-    s"""WITH pres AS (
+    val values = IndexTerms.sorted.map(t => s"('$t')").mkString(", ")
+    // Pairs come from the fixed IndexTerms vocabulary (not terms present
+    // in this corpus) so a term absent from a sparse corpus still yields
+    // its (0, 0) rows — matching the Spark side, which always emits one
+    // row per vocabulary pair.
+    s"""WITH terms(term) AS (VALUES $values
+       |), pres AS (
        |  SELECT DISTINCT doc_id, term FROM (
        |    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
        |    FROM documents)
@@ -84,10 +90,13 @@ object BitmapIndex {
        |  FROM pres a JOIN pres b
        |    ON a.doc_id = b.doc_id AND a.term < b.term
        |  GROUP BY 1, 2)
-       |SELECT ca.term AS term_a, cb.term AS term_b,
+       |SELECT ta.term AS term_a, tb.term AS term_b,
        |  CAST(coalesce(x.n_and, 0) AS BIGINT) AS and_count,
-       |  CAST(ca.n + cb.n - coalesce(x.n_and, 0) AS BIGINT) AS or_count
-       |FROM cnt ca JOIN cnt cb ON ca.term < cb.term
-       |LEFT JOIN andc x ON x.ta = ca.term AND x.tb = cb.term""".stripMargin
+       |  CAST(coalesce(ca.n, 0) + coalesce(cb.n, 0) - coalesce(x.n_and, 0)
+       |    AS BIGINT) AS or_count
+       |FROM terms ta JOIN terms tb ON ta.term < tb.term
+       |LEFT JOIN cnt ca ON ca.term = ta.term
+       |LEFT JOIN cnt cb ON cb.term = tb.term
+       |LEFT JOIN andc x ON x.ta = ta.term AND x.tb = tb.term""".stripMargin
   }
 }

@@ -1311,8 +1311,7 @@ object Curation {
     val totW = weighted.agg(sum(col("weight")).as("tot_w"))
     val shares = weighted.crossJoin(broadcast(totW))
       .withColumn("alloc_floor",
-        (col("weight").cast("decimal(38,0)") * Q214Budget / col("tot_w"))
-          .cast("long"))
+        expr(s"CAST(weight AS DECIMAL(38,0)) * $Q214Budget div tot_w"))
       .withColumn("rem", (col("weight") * Q214Budget) % col("tot_w"))
     // everything below operates on the |languages|-sized frame
     val wRem = Window.orderBy(col("rem").desc, col("lang"))

@@ -60,8 +60,8 @@ object Governance {
         .crossJoin(all.agg(count(lit(1)).as("total_rows")))
         .select(lit(name).as("table_name"), col("rows_to_delete"),
           col("total_rows"),
-          (col("rows_to_delete").cast("decimal(38,0)") * 1000000L /
-            col("total_rows")).cast("long").as("share_ppm"))
+          expr("CAST(rows_to_delete AS DECIMAL(38,0)) * 1000000" +
+            " div total_rows").as("share_ppm"))
 
     tally("customer", cohort, custAll)
       .unionByName(tally("orders", hitOrders, orders))
@@ -124,8 +124,8 @@ object Governance {
           sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"))
         .select(lit(s"$table: $lhs -> $rhs").as("fd"),
           col("n_keys"), col("n_violating"),
-          (col("n_violating").cast("decimal(38,0)") * 1000000L /
-            col("n_keys")).cast("long").as("violation_ppm"))
+          expr("CAST(n_violating AS DECIMAL(38,0)) * 1000000" +
+            " div n_keys").as("violation_ppm"))
 
     fd("nation", "n_nationkey", "n_regionkey")
       .unionByName(fd("customer", "c_nationkey", "c_mktsegment"))
@@ -238,8 +238,8 @@ object Governance {
             .as("rows_suppressed"))
         .select(lit(k.toLong).as("k"), col("n_classes"),
           col("classes_below"), col("rows_suppressed"),
-          (col("rows_suppressed").cast("decimal(38,0)") * 1000000L /
-            col("n_rows")).cast("long").as("suppressed_ppm"))
+          expr("CAST(rows_suppressed AS DECIMAL(38,0)) * 1000000" +
+            " div n_rows").as("suppressed_ppm"))
     }.reduce(_ unionByName _)
   }
 

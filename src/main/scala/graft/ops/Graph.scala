@@ -687,8 +687,18 @@ object Graph {
     // persist node-sized frames so the two 1-row max broadcasts read
     // cache instead of re-running the iteration chain (the q104
     // lesson); released by the consumer's clearCache.
-    val hubP = hub.persist()
+    //
+    // ORDER MATTERS (the q104 lesson applied one node earlier): auth is
+    // hub's ancestor, and persist() compiles the cached plan at call
+    // time — persisting hub first would bake in an UNcached auth
+    // subtree and run the whole power-iteration chain twice (once to
+    // fill hub's cache, once for auth's). So: persist auth, materialize
+    // it (one count — the chain runs exactly once), THEN persist hub,
+    // whose cached plan is now just one join + aggregate over auth's
+    // populated cache.
     val authP = auth.persist()
+    authP.count()
+    val hubP = hub.persist()
     val hMax = hubP.agg(max(col("h")).as("hm"))
     val aMax = authP.agg(max(col("a")).as("am"))
     (hubP.crossJoin(broadcast(hMax))

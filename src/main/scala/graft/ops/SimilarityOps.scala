@@ -1411,16 +1411,24 @@ object SimilarityOps {
       col("rel").as("a_rel"), col("v").as("av"), col("nrm").as("anrm"))
     val rhs = cv.select(col("query_id"), col("neighbor_id").as("b"),
       col("v").as("bv"), col("nrm").as("bnrm"))
-    val pairs = lhs.join(rhs, Seq("query_id"))
-      .filter(col("a") =!= col("b"))
-      .select(col("query_id"), col("a"), col("a_rel"), col("b"),
-        (dot(col("av"), col("bv")) / (col("anrm") * col("bnrm"))).as("sim"))
+    // LEFT join: a candidate with no same-query sibling (a lone top-k
+    // hit on a degenerate/tiny corpus) still reaches the greedy loop as
+    // one (a, b = −1) row — otherwise that query would vanish from the
+    // output while the oracle's first CTE step still emits it at rank 1.
+    val pairs = lhs.join(rhs,
+        lhs("query_id") === rhs("query_id") && col("a") =!= col("b"), "left")
+      .select(lhs("query_id").as("query_id"), col("a"), col("a_rel"),
+        coalesce(col("b"), lit(-1L)).as("b"),
+        coalesce(dot(col("av"), col("bv")) / (col("anrm") * col("bnrm")),
+          lit(0.0)).as("sim"))
     pairs.as[(Long, Long, Double, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
         val rel = scala.collection.mutable.Map.empty[Long, Double]
         val sim = scala.collection.mutable.Map.empty[(Long, Long), Double]
-        it.foreach { case (_, a, ar, b, s) => rel(a) = ar; sim((a, b)) = s }
+        it.foreach { case (_, a, ar, b, s) =>
+          rel(a) = ar; if (b >= 0L) sim((a, b)) = s
+        }
         val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rel.keys
         val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
         val out = scala.collection.mutable.ArrayBuffer
@@ -1434,7 +1442,7 @@ object SimilarityOps {
           remaining.foreach { c =>
             val maxSim =
               if (selected.isEmpty) 0.0
-              else selected.iterator.map(s => sim((c, s))).max
+              else selected.iterator.map(s => sim.getOrElse((c, s), 0.0)).max
             val score = MmrLambda * rel(c) - MmrMu * maxSim
             if (score > bestScore) { bestScore = score; bestId = c }
           }

@@ -20,11 +20,11 @@ class PlanLintSpec extends AnyFunSuite {
   private val globalWindowAllowed = Set(
     "q28_global_topk",      // global sort+limit demo (tiny top-k frame)
     "q59_sequence_pack",    // block-offset prefix sum over block TOTALS
-    "q214_temperature_mix", // Hamilton apportionment over the LANGUAGE
+    "q214_temperature_mix") // Hamilton apportionment over the LANGUAGE
                             // COUNT frame: |languages| rows, not corpus
-    "q220_kaplan_meier")    // rank + risk-set windows over the per-DAY
-                            // event table: time-range bounded (q97/q202
-                            // argument), independent of corpus rows
+    // q220 left this list in r6: its risk-set + survival windows became
+    // one ordered aggregate-HOF fold over the per-day table (no Window
+    // node at all — and no per-day recursion either)
 
   /** Every windowspecdefinition whose argument list holds NO partition
     * expressions: the first depth-0 argument is then already an
