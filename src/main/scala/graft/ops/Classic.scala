@@ -408,8 +408,7 @@ object Classic {
       .filter(col("value_u4") * 2000L > col("total_u4"))
       .select(col("l_partkey").as("p_partkey"),
         col("value_u4").cast("long").as("value_u4"),
-        ((col("value_u4") * 1000000L) / col("total_u4"))
-          .cast("long").as("share_ppm"))
+        expr("value_u4 * 1000000 div total_u4").as("share_ppm"))
   }
 
   val q207Oracle: String =
@@ -579,4 +578,75 @@ object Classic {
       |JOIN supplier s ON ship.l_suppkey = s.s_suppkey
       |JOIN nation n ON s.s_nationkey = n.n_nationkey
       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q231: RFM segmentation — the canonical CRM/warehouse customer
+    * scoring: per customer the Recency (last order day), Frequency
+    * (order count) and Monetary (lifetime cents) metrics, each mapped
+    * to its quintile 0–4 over the customer base, then the 125-cell
+    * segment matrix with population and value totals (the "champions /
+    * at-risk / hibernating" grid every retention report draws).
+    *
+    * Quintile protocol (deterministic, tie-stable): a customer's
+    * quintile for metric v is ⌊cnt_lt(v)·5 / n⌋ where cnt_lt counts
+    * customers with STRICTLY smaller v — all ties land in one
+    * quintile, so the assignment is a pure function of the value
+    * (partitioning-independent), and the oracle's `rank() − 1`
+    * computes the identical number.
+    *
+    * Scale shape: the per-customer metric frame is one map-combined
+    * aggregate of orders; each metric's cnt_lt comes from
+    * [[Rank.globalPrefixSum]] over the DISTINCT-value frame (the
+    * two-phase 256-bucket plan — no global window, no driver sort;
+    * the q183 percentile discipline ×3), joined back on the metric
+    * value; the final segment rollup is a ≤125-group aggregate. */
+  def q231RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("r_day"),
+        Exact.units(col("o_totalprice"), 2).as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("r_day")).as("r_day"), count(lit(1)).as("f_cnt"),
+        sum(col("cents")).as("m_cents"))
+      .persist()
+    val totals = cust.agg(count(lit(1)).as("n_cust"))
+    def quintileMap(metric: String): DataFrame = {
+      val pv = cust.groupBy(col(metric)).agg(count(lit(1)).as("_c"))
+      Rank.globalPrefixSum(pv, metric, Nil, "_c", "_cum")
+        .crossJoin(broadcast(totals))
+        .select(col(metric),
+          expr(s"((_cum - _c) * 5) div n_cust").as(s"${metric}_q"))
+    }
+    cust
+      .join(quintileMap("r_day"), Seq("r_day"))
+      .join(quintileMap("f_cnt"), Seq("f_cnt"))
+      .join(quintileMap("m_cents"), Seq("m_cents"))
+      .groupBy(col("r_day_q"), col("f_cnt_q"), col("m_cents_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m_cents")).as("segment_cents"))
+      .select(col("r_day_q"), col("f_cnt_q"), col("m_cents_q"),
+        col("n_customers"), col("segment_cents"))
+  }
+
+  val q231Oracle: String =
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS r_day,
+      |    count(*) AS f_cnt,
+      |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS m_cents
+      |  FROM orders GROUP BY 1
+      |), n AS (SELECT count(*) AS n_cust FROM c
+      |), q AS (
+      |  SELECT m_cents,
+      |    ((rank() OVER (ORDER BY r_day) - 1) * 5) // n_cust AS r_day_q,
+      |    ((rank() OVER (ORDER BY f_cnt) - 1) * 5) // n_cust AS f_cnt_q,
+      |    ((rank() OVER (ORDER BY m_cents) - 1) * 5) // n_cust
+      |      AS m_cents_q
+      |  FROM c CROSS JOIN n
+      |)
+      |SELECT CAST(r_day_q AS BIGINT) AS r_day_q,
+      |  CAST(f_cnt_q AS BIGINT) AS f_cnt_q,
+      |  CAST(m_cents_q AS BIGINT) AS m_cents_q,
+      |  count(*) AS n_customers,
+      |  CAST(sum(m_cents) AS BIGINT) AS segment_cents
+      |FROM q GROUP BY 1, 2, 3""".stripMargin
 }

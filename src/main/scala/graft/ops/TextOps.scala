@@ -1235,4 +1235,82 @@ object TextOps {
        |  CAST(min(pos) AS BIGINT) AS first_pos
        |FROM m GROUP BY 1""".stripMargin
   }
+
+  /** q230 spectrum depth: adjusted counts reported for the
+    * [[GoodTuringMaxR]] SMALLEST observed counts — the low-count
+    * regime where Good–Turing matters (high counts are reliable
+    * as-is). Selecting by spectrum position rather than by absolute r
+    * keeps the report non-degenerate on corpora whose rarest token
+    * still appears many times (synthetic fixed-vocabulary corpora
+    * included). */
+  val GoodTuringMaxR = 10
+
+  /** q230: Good–Turing frequency spectrum (Good 1953) of the
+    * whitespace-token unigram distribution — the smoothing/coverage
+    * estimate every LM tokenizer and data-mixing run needs: the
+    * frequency-of-frequencies table N_r, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r in ppm of a token (NULL where the spectrum
+    * has a hole, the standard raw-GT caveat), and the leave-one-out
+    * unseen-mass estimate p₀ = N₁/N — the probability the NEXT token
+    * drawn from the stream is a type never seen in this corpus.
+    *
+    * Scale shape: corpus → token counts is one map-combined aggregate
+    * (vocabulary-sized shuffle, q32's argument); counts → spectrum is a
+    * second aggregate onto ≤ max-count rows, then everything (the r+1
+    * self-join, the total broadcast) runs on the spectrum frame —
+    * tens of rows however large the corpus. Exact integers end to end:
+    * the ppm divisions are the only divisions and they floor
+    * identically on both engines. */
+  def q230GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("r"))
+    val spectrum = counts.groupBy(col("r"))
+      .agg(count(lit(1)).as("n_r"))
+      .persist()
+    val totals = spectrum.agg(
+      sum(col("r") * col("n_r")).as("n_tokens"),
+      sum(when(col("r") === 1L, col("n_r")).otherwise(0L)).as("n1"))
+    val next = spectrum.select((col("r") - 1L).as("r"),
+      col("n_r").as("n_r_next"))
+    // low end of the spectrum: tiny global TakeOrdered over the
+    // spectrum frame (≤ max-count rows), not a corpus sort
+    spectrum.orderBy(col("r").asc).limit(GoodTuringMaxR)
+      .join(next, Seq("r"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_r_next"), lit(0L)).as("n_r_next"),
+        expr("""CASE WHEN coalesce(n_r_next, 0) = 0 THEN NULL
+               |  ELSE (r + 1) * n_r_next * 1000000 div n_r
+               |END""".stripMargin).as("rstar_ppm"),
+        expr("n1 * 1000000 div n_tokens").as("unseen_ppm"),
+        col("n_tokens"), col("n1"))
+  }
+
+  val q230Oracle: String =
+    s"""WITH counts AS (
+       |  SELECT token, count(*) AS r FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+       |      AS token
+       |    FROM documents)
+       |  GROUP BY token
+       |), spectrum AS (
+       |  SELECT r, count(*) AS n_r FROM counts GROUP BY r
+       |), totals AS (
+       |  SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT)
+       |      AS n1
+       |  FROM spectrum
+       |)
+       |SELECT CAST(s.r AS BIGINT) AS r, CAST(s.n_r AS BIGINT) AS n_r,
+       |  CAST(coalesce(nx.n_r, 0) AS BIGINT) AS n_r_next,
+       |  CASE WHEN coalesce(nx.n_r, 0) = 0 THEN NULL
+       |    ELSE CAST((s.r + 1) * nx.n_r * 1000000 // s.n_r AS BIGINT)
+       |  END AS rstar_ppm,
+       |  CAST(n1 * 1000000 // n_tokens AS BIGINT) AS unseen_ppm,
+       |  n_tokens, n1
+       |FROM (SELECT r, n_r FROM spectrum
+       |      ORDER BY r LIMIT $GoodTuringMaxR) s
+       |LEFT JOIN spectrum nx ON nx.r = s.r + 1
+       |CROSS JOIN totals""".stripMargin
 }

@@ -188,7 +188,13 @@ class InvarianceSpec extends AnyFunSuite {
     ("q225 clamped balance (non-associative sorted fold)",
       () => Sessions.q225ClampedBalance(spark, TestSpark.sfDir)),
     ("q228 hard negatives (trained-cell block + struct-max argmax)",
-      () => SimilarityOps.q228HardNegatives(spark, TestSpark.sfDir)))
+      () => SimilarityOps.q228HardNegatives(spark, TestSpark.sfDir)),
+    ("q229 Holt trend (grouped order-sensitive integer fold)",
+      () => Trend.q229HoltTrend(spark, TestSpark.sfDir)),
+    ("q231 RFM segments (three global prefix-sum quintiles)",
+      () => Classic.q231RfmSegments(spark, TestSpark.sfDir)),
+    ("q234 isotonic calibration (single-group PAV stack scan)",
+      () => Causal.q234IsotonicCalibration(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
