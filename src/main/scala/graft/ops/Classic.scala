@@ -627,6 +627,65 @@ object Classic {
         col("n_customers"), col("segment_cents"))
   }
 
+  /** q237: product-type profit by supplier nation and year (the TPC-H
+    * Q9 plan shape, adapted to this star's tables: with no partsupp,
+    * line cost is the catalog retail price × quantity — the same
+    * 6-table join tree and the same exact-money discipline). Profit
+    * per line = extendedprice·(100 − disc) − retailprice·qty, all in
+    * u4 integer units (cents × centi-fraction); the part filter
+    * (`p_name LIKE '%red%'`) is pushed to the part scan and the part
+    * join prunes lineitem via the FK before the orders join.
+    *
+    * Scale shape: the canonical snowflake profit rollup — lineitem
+    * joins part (filtered, broadcast-able at catalog scale), supplier
+    * → nation (two broadcast hops), orders only for the date (FK
+    * shuffle on orderkey). Group-by is |nations|×|years|. */
+  def q237NationProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), Exact.units(col("p_retailprice"), 2)
+        .as("retail_cents"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (Exact.units(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.units(col("l_discount"), 2)))
+          .cast(DecimalType(38, 0)).as("rev_u4"),
+        Exact.units(col("l_quantity"), 2).as("qty_centi"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long")
+        .as("o_year"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_year"),
+        (col("rev_u4") - (col("retail_cents") * col("qty_centi"))
+          .cast(DecimalType(38, 0))).as("profit_u4"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("profit_u4")).cast("long").as("profit_u4"))
+  }
+
+  val q237Oracle: String =
+    """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT)
+      |    AS o_year,
+      |  count(*) AS n_lines,
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS HUGEINT)
+      |      * (100 - CAST(round(l.l_discount * 100.0) AS BIGINT))
+      |    - CAST(round(p.p_retailprice * 100.0) AS HUGEINT)
+      |      * CAST(round(l.l_quantity * 100.0) AS BIGINT))
+      |    AS BIGINT) AS profit_u4
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
   val q231Oracle: String =
     """WITH c AS (
       |  SELECT o_custkey,

@@ -258,4 +258,76 @@ object Governance {
          |      FROM customer GROUP BY 1, 2, 3)""".stripMargin
     Q223Ks.map(one).mkString("\nUNION ALL\n")
   }
+
+  /** q236: r×c mixture-independence audit — Pearson's χ² over the
+    * source × language contingency table of the document corpus (the
+    * generalization of q224's 2×2 test): a data-mixture bug that makes
+    * language composition depend on source (a crawler that dropped
+    * zh from one feed, a dedup pass that ate one source's French)
+    * shows up as large cells here before it shows up in model evals.
+    *
+    * Exact protocol: per cell, the χ² contribution is
+    * (obs·N − row·col)² · 10⁶ div (N · row · col) — one truncating
+    * division per cell on pure integer counts (floored per cell, then
+    * summed: a defined protocol both engines replay bit-for-bit; row
+    * and col marginals are nonzero by construction since every
+    * observed label has at least one row). Output: one row per cell
+    * with observed count, expected count in milli-units, the cell's
+    * ppm-scaled contribution, and the table-wide χ²_e6 + degrees of
+    * freedom repeated for context.
+    *
+    * Scale shape: corpus → cells is one map-combined aggregate;
+    * marginals re-aggregate the CELL frame (|sources|·|langs| rows),
+    * never the corpus; the total is a broadcast cross join. */
+  def q236MixtureIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(spark, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("obs"))
+      .persist()
+    val rows = cells.groupBy(col("source")).agg(sum(col("obs")).as("row_n"))
+    val cols = cells.groupBy(col("lang")).agg(sum(col("obs")).as("col_n"))
+    val tot = cells.agg(sum(col("obs")).as("n"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    val scored = cells
+      .join(rows, Seq("source")).join(cols, Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("obs"),
+        expr("row_n * col_n * 1000 div n").as("expected_milli"),
+        expr("""CAST((CAST(obs AS DECIMAL(38,0)) * n - row_n * col_n)
+               | * (CAST(obs AS DECIMAL(38,0)) * n - row_n * col_n)
+               | * 1000000
+               | div (CAST(n AS DECIMAL(38,0)) * row_n * col_n) AS BIGINT)
+               |""".stripMargin).as("contrib_e6"),
+        ((col("n_sources") - 1L) * (col("n_langs") - 1L)).as("dof"))
+      .persist()
+    val total = scored.agg(sum(col("contrib_e6")).as("chi2_e6"))
+    scored.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("obs"),
+        col("expected_milli"), col("contrib_e6"), col("dof"),
+        col("chi2_e6"))
+  }
+
+  val q236Oracle: String =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS obs FROM documents GROUP BY 1, 2
+      |), r AS (SELECT source, CAST(sum(obs) AS BIGINT) AS row_n
+      |         FROM cells GROUP BY 1
+      |), c AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS col_n
+      |         FROM cells GROUP BY 1
+      |), t AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+      |    count(DISTINCT source) AS n_sources,
+      |    count(DISTINCT lang) AS n_langs
+      |  FROM cells
+      |), scored AS (
+      |  SELECT cells.source, cells.lang, CAST(obs AS BIGINT) AS obs,
+      |    CAST(row_n * col_n * 1000 // n AS BIGINT) AS expected_milli,
+      |    CAST((obs * n - row_n * col_n) * (obs * n - row_n * col_n)
+      |      * 1000000 // (n * row_n * col_n) AS BIGINT) AS contrib_e6,
+      |    CAST((n_sources - 1) * (n_langs - 1) AS BIGINT) AS dof
+      |  FROM cells JOIN r USING (source) JOIN c USING (lang) CROSS JOIN t
+      |)
+      |SELECT source, lang, obs, expected_milli, contrib_e6, dof,
+      |  (SELECT CAST(sum(contrib_e6) AS BIGINT) FROM scored) AS chi2_e6
+      |FROM scored""".stripMargin
 }

@@ -1878,4 +1878,107 @@ object SimilarityOps {
        |SELECT vec_id, cid AS center_id, d2 AS dist2
        |FROM ranked WHERE rk = 1""".stripMargin
   }
+
+  /** q235: margin-based bitext mining (Artetxe & Schwenk 2019) — the
+    * parallel-corpus construction step of a multilingual training-data
+    * pipeline: pair each English document with its best German
+    * translation candidate by MARGIN score, cos(x,y) normalized by the
+    * two sides' average candidate similarity, which suppresses "hub"
+    * vectors that are close to everything (raw cosine's classic
+    * failure on this task).
+    *
+    * Protocol (exact, hash-checkable): candidate pairs are en×de pairs
+    * sharing a TRAINED IVF cell (q228's blocked cross-group join —
+    * never corpus × corpus); per-pair cosine quantizes to ⌊cos·10⁶⌋
+    * BEFORE any aggregation, so the per-side candidate averages are
+    * integer sums with truncating division — no order-sensitive double
+    * summation anywhere — and the margin is the integer
+    * cos_e6·2·10⁶ div (avg_src + avg_tgt), NULL-guarded on a
+    * non-positive denominator (dropped identically on both engines).
+    * The per-anchor winner is a map-combinable struct-MAX
+    * (margin DESC, tgt ASC), not a ranking window.
+    *
+    * Scale shape: candidate generation is cell-blocked (|cell|²
+    * cross-lingual pairs per cell, the q228 bound); the two
+    * average frames group BY the pair frame's own keys (no extra scan);
+    * the final argmax is a bounded aggregate. At 100 TB the only knob
+    * is cell count — more centroids, smaller blocks, same plan. */
+  def q235BitextMining(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir).persist()
+    val assigned = ivfAssignments(emb, kmeansCentroids(emb, KmeansIters))
+    val langs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val mem = emb.join(assigned, "vec_id")
+      .join(langs, col("vec_id") === col("doc_id"))
+    val src = mem.filter(col("lang") === "en")
+      .select(col("cell_id"), col("vec_id").as("src_id"),
+        col("v").as("sv"), col("nrm").as("sn"))
+    val tgt = mem.filter(col("lang") === "de")
+      .select(col("cell_id"), col("vec_id").as("tgt_id"),
+        col("v").as("tv"), col("nrm").as("tn"))
+    val pairs = src.join(tgt, Seq("cell_id"))
+      .select(col("src_id"), col("tgt_id"),
+        floor(dot(col("sv"), col("tv")) / (col("sn") * col("tn"))
+          * lit(1000000.0)).cast("long").as("cos_e6"))
+      .persist()
+    val ax = pairs.groupBy(col("src_id"))
+      .agg(expr("sum(cos_e6) div count(1)").as("avg_src_e6"))
+    val ay = pairs.groupBy(col("tgt_id"))
+      .agg(expr("sum(cos_e6) div count(1)").as("avg_tgt_e6"))
+    pairs.join(ax, Seq("src_id")).join(ay, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cos_e6"),
+        expr("""CASE WHEN avg_src_e6 + avg_tgt_e6 <= 0 THEN NULL
+               |  ELSE cos_e6 * 2000000 div (avg_src_e6 + avg_tgt_e6)
+               |END""".stripMargin).as("margin_ppm"))
+      .filter(col("margin_ppm").isNotNull)
+      .groupBy(col("src_id"))
+      .agg(max(struct(col("margin_ppm"), (-col("tgt_id")).as("nid"),
+        col("cos_e6"))).as("m"), count(lit(1)).as("n_candidates"))
+      .select(col("src_id"), (-col("m.nid")).as("tgt_id"),
+        col("m.cos_e6").as("cos_e6"),
+        col("m.margin_ppm").as("margin_ppm"), col("n_candidates"))
+  }
+
+  val q235Oracle: String = {
+    val dotN = "list_reduce(list_prepend(0.0, list_transform(" +
+      "list_zip(n1.v, n2.v), p -> p[1] * p[2])), (x,y) -> x + y)"
+    s"""$kmeansOraclePrefix,
+       |lng AS (SELECT doc_id, lang FROM documents),
+       |pairs AS (
+       |  SELECT a1.vec_id AS src_id, a2.vec_id AS tgt_id,
+       |    CAST(floor($dotN / (n1.nrm * n2.nrm) * 1000000.0) AS BIGINT)
+       |      AS cos_e6
+       |  FROM afin a1
+       |  JOIN afin a2 ON a1.cell_id = a2.cell_id
+       |  JOIN lng l1 ON l1.doc_id = a1.vec_id AND l1.lang = 'en'
+       |  JOIN lng l2 ON l2.doc_id = a2.vec_id AND l2.lang = 'de'
+       |  JOIN n n1 ON n1.vec_id = a1.vec_id
+       |  JOIN n n2 ON n2.vec_id = a2.vec_id
+       |), ax AS (
+       |  SELECT src_id, CAST(sum(cos_e6) // count(*) AS BIGINT)
+       |    AS avg_src_e6
+       |  FROM pairs GROUP BY 1
+       |), ay AS (
+       |  SELECT tgt_id, CAST(sum(cos_e6) // count(*) AS BIGINT)
+       |    AS avg_tgt_e6
+       |  FROM pairs GROUP BY 1
+       |), scored AS (
+       |  SELECT p.src_id, p.tgt_id, p.cos_e6,
+       |    CASE WHEN ax.avg_src_e6 + ay.avg_tgt_e6 <= 0 THEN NULL
+       |      ELSE CAST(p.cos_e6 * 2000000
+       |        // (ax.avg_src_e6 + ay.avg_tgt_e6) AS BIGINT)
+       |    END AS margin_ppm
+       |  FROM pairs p
+       |  JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+       |), ranked AS (
+       |  SELECT src_id, tgt_id, cos_e6, margin_ppm,
+       |    row_number() OVER (PARTITION BY src_id
+       |      ORDER BY margin_ppm DESC, tgt_id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY src_id) AS n_candidates
+       |  FROM scored WHERE margin_ppm IS NOT NULL
+       |)
+       |SELECT src_id, tgt_id, cos_e6, margin_ppm,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates
+       |FROM ranked WHERE rk = 1""".stripMargin
+  }
 }
