@@ -218,12 +218,31 @@ object Kmv {
     * which is the point of auditing estimator error per column before
     * trusting it. */
   def q206ColumnNdv(spark: SparkSession, dir: String): DataFrame = {
-    val melted = Tables.load(spark, dir, "lineitem")
-      .select(explode(array(NdvCols.map { case (n, sparkExpr, _) =>
-        struct(lit(n).as("col_name"), expr(sparkExpr).as("v"))
-      }: _*)).as("cell"))
-      .select(col("cell.col_name").as("col_name"), col("cell.v").as("v"))
-      .distinct()
+    // One column-pruned scan + TYPED distinct per column, unioned,
+    // with stringification AFTER the distinct: the former melt plan
+    // stringified every cell and shuffled 7×|rows| 15-char strings
+    // through one distinct; this plan shuffles each column's native
+    // longs with map-side partial dedup (a few percent of the rows for
+    // the low-NDV columns) and runs the one cast + md5 only on the
+    // |distinct| survivors. Same values, same hashes, same oracle.
+    // Local wall time is parity (~5.4 s A/B at sf0.1 — the small-scale
+    // cost is elsewhere); the win is shuffle BYTES (longs vs strings,
+    // deduped early), which is what matters at cluster scale.
+    val li = Tables.load(spark, dir, "lineitem")
+    // pre-stringification typed form of each NdvCols expr: the distinct
+    // dedupes native longs, then ONE cast per surviving value rebuilds
+    // exactly the string the melt plan hashed
+    val typed = Map(
+      "l_orderkey" -> "l_orderkey", "l_partkey" -> "l_partkey",
+      "l_suppkey" -> "l_suppkey",
+      "l_quantity" -> "CAST(round(l_quantity * 100.0) AS BIGINT)",
+      "l_extendedprice" -> "CAST(round(l_extendedprice * 100.0) AS BIGINT)",
+      "l_returnflag" -> "l_returnflag",
+      "l_shipdate" -> "unix_timestamp(l_shipdate)")
+    val melted = NdvCols.map { case (n, _, _) =>
+      li.select(expr(typed(n)).as("tv")).distinct()
+        .select(lit(n).as("col_name"), col("tv").cast("string").as("v"))
+    }.reduce(_ unionAll _)
       .withColumn("h15", substring(md5(col("v")), 1, 15))
       .withColumn("hv", conv(col("h15"), 16, 10).cast("long"))
     val kept = Rank.groupRank(melted, Seq("col_name"), "hv", Seq("h15"),
