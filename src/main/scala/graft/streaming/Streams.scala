@@ -122,4 +122,24 @@ object Streams {
       delay: String = "5 minutes"): DataFrame =
     applyChangeFeed(leftChanges).withWatermark(leftTime, delay)
       .join(applyChangeFeed(rightChanges).withWatermark(rightTime, delay), cond, "inner")
+
+  /** Exactly-once ingestion dedup: drop redelivered rows by business
+    * key, holding each key's dedup state only within the watermark —
+    * `dropDuplicatesWithinWatermark`, the at-least-once → effectively-
+    * once bridge every streaming source (Kafka redeliveries, retried
+    * file commits) needs in front of the bronze layer. Plain
+    * `dropDuplicates` on a stream keeps EVERY key forever (state =
+    * distinct keys seen — unbounded, the q17-on-a-stream trap);
+    * the within-watermark form evicts a key's state once the watermark
+    * passes its event time, so state is a sliding window over keys,
+    * exactly the interval-join bounding argument applied to dedup.
+    *
+    * Batch twin for equivalence tests: `dropDuplicates(keys)` over the
+    * same rows (any redelivery inside the watermark dedupes
+    * identically; duplicates that arrive AFTER the watermark passes
+    * are late data, dropped by the watermark itself on the stream). */
+  def dedupWithinWatermark(stream: DataFrame, eventCol: String,
+      keys: Seq[String], delay: String = "5 minutes"): DataFrame =
+    stream.withWatermark(eventCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
 }

@@ -131,6 +131,57 @@ class StateBoundSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup-within-watermark drops redeliveries and evicts key state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // exactly-once ingestion: every batch delivers each id TWICE (the
+    // at-least-once redelivery), rounds advance far past the delay so
+    // old keys' dedup state must evict — output has each id once,
+    // state plateaus at ~one round's keys instead of all keys ever
+    val in = MemoryStream[(Long, Timestamp)]
+    val deduped = Streams.dedupWithinWatermark(
+      in.toDF().toDF("event_id", "ts"), "ts", Seq("event_id"), "5 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    try {
+      val rounds = 8
+      val perBatch = 100
+      val sizes = (0 until rounds).map { round =>
+        val base = round * 20
+        val ids = (0 until perBatch).map(i => (round * perBatch + i).toLong)
+        // redelivery: same (id, ts) twice in one delivery + a second
+        // in-batch duplicate at a slightly later ts
+        val delivery: Seq[(Long, Timestamp)] =
+          ids.map(id => (id, ts(base))) ++
+            ids.map(id => (id, ts(base))) ++
+            ids.map(id => (id, ts(base + 1)))
+        in.addData(delivery: _*)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.head.numRowsTotal
+      }
+      // exactly once: every id surfaced exactly one time
+      val out = spark.table("dedup_wm_out")
+      assert(out.count() == rounds.toLong * perBatch)
+      assert(out.groupBy(col("event_id")).count()
+        .filter(col("count") > 1).count() == 0)
+      // key state evicts: the peak stays near one round's key count,
+      // nowhere near the rounds × perBatch keys ever seen
+      val peak = sizes.max
+      assert(peak <= 4L * perBatch,
+        s"dedup state never evicted: peak $peak (sizes ${sizes.mkString(",")})")
+      // batch twin equivalence: dropDuplicates over the same rows
+      val batchIds: Seq[Long] = (0 until rounds).flatMap { round =>
+        (0 until perBatch).map(i => (round * perBatch + i).toLong)
+      }
+      val streamed: Seq[Long] =
+        out.select(col("event_id")).as[Long].collect().toSeq
+      assert(streamed.sorted == batchIds.sorted)
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
+  }
+
   test("wallet-fold state is key-bounded over a long feed on RocksDB") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
