@@ -103,4 +103,26 @@ class PushdownSpec extends AnyFunSuite {
         s.contains("l_quantity") || s.contains("l_shipdate")),
       s"lineitem scan unpruned: ${scans.mkString("; ")}")
   }
+
+  test("q237 nation profit: the name LIKE filter is pushed to the part scan") {
+    val p = physical("q237_nation_profit")
+    assert(p.contains("StringContains(p_name,red)"),
+      "p_name LIKE '%red%' did not reach the part scan")
+    // the part scan reads only the key, the filter column, and the
+    // retail price the profit formula needs
+    val part = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("p_partkey")).toSeq
+    assert(part.nonEmpty && !part.exists(_.contains("p_brand")),
+      s"part scan unpruned: ${part.mkString("; ")}")
+  }
+
+  test("q231 RFM: the orders scan prunes to custkey, date, price") {
+    val p = physical("q231_rfm_segments")
+    val scans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("o_custkey")).toSeq
+    assert(scans.nonEmpty, "no orders scan found")
+    assert(!scans.exists(s => s.contains("o_orderstatus") ||
+        s.contains("o_orderpriority")),
+      s"orders scan unpruned: ${scans.mkString("; ")}")
+  }
 }
