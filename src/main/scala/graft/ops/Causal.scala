@@ -120,6 +120,31 @@ object Causal {
   /** q234 bin count: the calibration curve's score axis resolution. */
   val IsotonicBins = 10
 
+  /** Pure PAV kernel (exposed for property tests): given the ordered
+    * per-bin (conversions, trials) sequence, returns each input bin's
+    * POOL totals after pool-adjacent-violators — the classic stack
+    * scan, violations compared by cross-multiplication only. The
+    * result is the unique isotonic L2 fit, so any merge order
+    * reaches it; the property suite checks monotonicity, total
+    * preservation, idempotence, and agreement with a brute-force
+    * leftmost-merge fixpoint. */
+  def pavPool(bins: IndexedSeq[(Long, Long)]): IndexedSeq[(Long, Long)] = {
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+    for (i <- bins.indices) {
+      var cur = (i, i, bins(i)._1, bins(i)._2)
+      while (st.nonEmpty && st.last._3 * cur._4 > cur._3 * st.last._4) {
+        val p = st.remove(st.length - 1)
+        cur = (p._1, cur._2, p._3 + cur._3, p._4 + cur._4)
+      }
+      st += cur
+    }
+    val out = new Array[(Long, Long)](bins.length)
+    st.foreach { case (s, e, c, n) =>
+      (s to e).foreach(i => out(i) = (c, n))
+    }
+    out.toIndexedSeq
+  }
+
   /** q234: isotonic calibration via pool-adjacent-violators (Ayer et
     * al. 1955; the `CalibratedClassifierCV(method="isotonic")` step of
     * every score-producing pipeline). The "score" is the event value
@@ -160,22 +185,11 @@ object Causal {
       .groupByKey(_ => 0)
       .flatMapGroups { (_, it) =>
         val bins = it.toArray.sortBy(_._1) // ≤ IsotonicBins rows
-        // stack of pools (startIdx, endIdx, conv, n), classic PAV scan
-        val st = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
-        for (i <- bins.indices) {
-          var cur = (i, i, bins(i)._3, bins(i)._2)
-          while (st.nonEmpty &&
-              st.last._3 * cur._4 > cur._3 * st.last._4) {
-            val p = st.remove(st.length - 1)
-            cur = (p._1, cur._2, p._3 + cur._3, p._4 + cur._4)
-          }
-          st += cur
-        }
-        st.iterator.flatMap { case (s, e, c, n) =>
-          (s to e).iterator.map { i =>
-            val (bin, bn, bc) = bins(i)
-            (bin, bn, bc, c * 1000000L / n)
-          }
+        val pooled = pavPool(bins.toIndexedSeq.map {
+          case (_, n, conv) => (conv, n)
+        })
+        bins.iterator.zip(pooled.iterator).map {
+          case ((bin, bn, bc), (c, n)) => (bin, bn, bc, c * 1000000L / n)
         }
       }
       .toDF("bin", "n", "conv", "calibrated_ppm")

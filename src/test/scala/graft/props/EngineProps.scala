@@ -130,4 +130,55 @@ object EngineProps extends Properties("graft.kernels") {
       val d = cents / 100.0
       Math.round(d * 100.0) == cents
     }
+
+  // ---- q234 PAV kernel -------------------------------------------------
+
+  private val pavBins: Gen[IndexedSeq[(Long, Long)]] =
+    Gen.chooseNum(1, 12).flatMap { k =>
+      Gen.listOfN(k, for {
+        n <- Gen.chooseNum(1L, 50L)
+        c <- Gen.chooseNum(0L, 50L).map(x => math.min(x, 50L))
+      } yield (math.min(c, n), n)).map(_.toIndexedSeq)
+    }
+
+  /** O(n³) reference: merge the LEFTMOST adjacent violating pool pair
+    * until none remains — the oracle's unrolled-CTE strategy. PAV's
+    * fixpoint is unique, so the stack scan must land on it. */
+  private def pavBrute(bins: IndexedSeq[(Long, Long)]): IndexedSeq[(Long, Long)] = {
+    var pools = bins.map { case (c, n) => (c, n, 1) } // (c, n, width)
+    var merged = true
+    while (merged) {
+      merged = false
+      val i = pools.indices.dropRight(1).find(j =>
+        pools(j)._1 * pools(j + 1)._2 > pools(j + 1)._1 * pools(j)._2)
+      i match {
+        case Some(j) =>
+          val (c1, n1, w1) = pools(j); val (c2, n2, w2) = pools(j + 1)
+          pools = (pools.take(j) :+ ((c1 + c2, n1 + n2, w1 + w2))) ++
+            pools.drop(j + 2)
+          merged = true
+        case None =>
+      }
+    }
+    pools.flatMap { case (c, n, w) => Seq.fill(w)((c, n)) }
+  }
+
+  property("PAV stack scan equals the leftmost-merge fixpoint") =
+    forAll(pavBins) { bins =>
+      graft.ops.Causal.pavPool(bins) == pavBrute(bins)
+    }
+
+  property("PAV output rates are monotone nondecreasing (cross-multiplied)") =
+    forAll(pavBins) { bins =>
+      val out = graft.ops.Causal.pavPool(bins)
+      out.zip(out.tail).forall { case ((c1, n1), (c2, n2)) =>
+        c1 * n2 <= c2 * n1
+      }
+    }
+
+  property("PAV is idempotent: pooling the pooled rates changes nothing") =
+    forAll(pavBins) { bins =>
+      val out = graft.ops.Causal.pavPool(bins)
+      graft.ops.Causal.pavPool(out) == out
+    }
 }
