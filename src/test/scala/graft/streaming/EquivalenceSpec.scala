@@ -310,6 +310,42 @@ class EquivalenceSpec extends AnyFunSuite {
     assert(streaming === batch, s"batch=$batch\nstream=$streaming")
   }
 
+  test("batch Holt trend equals the streaming level+trend state mid-stream split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a rise-then-fall count profile so the trend state goes NEGATIVE
+    // mid-stream — the div-truncation regime where batch and streaming
+    // could drift if their division conventions differed
+    def rate(h: Int): Int = if (h < 6) 2 + h else math.max(1, 14 - 2 * h)
+    def evRows(hours: Range) = for {
+      h <- hours; i <- 0 until rate(h)
+    } yield (2000L + h * 100 + i,
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:${i % 60}%02d:30"),
+      3L, "holt", 0.0, "{}")
+    val tmp = java.nio.file.Files.createTempDirectory("holtstream").toString
+    evRows(0 until 14)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val batch = graft.ops.Trend.q229HoltTrend(spark, tmp)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+
+    def hourly(hours: Range) = evRows(hours)
+      .groupBy(r => r._2.getTime / 3600000)
+      .map { case (h, rs) => HoltStream.HourCount("holt", h, rs.size.toLong) }
+      .toSeq.sortBy(_.h)
+    val in = MemoryStream[HoltStream.HourCount]
+    val out = HoltStream.holt(in.toDS())
+    val q = out.writeStream.format("memory").queryName("equiv_holt")
+      .outputMode("append").start()
+    in.addData(hourly(0 until 9): _*); q.processAllAvailable()
+    in.addData(hourly(9 until 14): _*); q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val streaming = spark.table("equiv_holt")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streaming.nonEmpty)
+    assert(streaming === batch, s"batch=$batch\nstream=$streaming")
+  }
+
   test("batch clamped balance equals the streaming wallet fold mid-stream split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
