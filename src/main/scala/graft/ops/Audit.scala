@@ -1754,4 +1754,64 @@ object Audit {
       |  (a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 10000 >=
       |    (a + b) * (c + d) * (a + c) * (b + d) * 38415 AS significant
       |FROM cells""".stripMargin
+
+  /** q242: Gini-impurity diversity profile of the corpus's categorical
+    * columns — the exact-arithmetic companion to q206's NDV scan:
+    * NDV says how MANY values a column holds, impurity says how
+    * BALANCED they are (1 − Σpᵢ², the probability two random rows
+    * disagree — CART's split criterion, and the "is this mixture
+    * collapsing to one source/language" alarm a training-data pipeline
+    * watches). Entropy would need a transcendental log; Gini is pure
+    * integer arithmetic: impurity_ppm = (n² − Σc²)·10⁶ div n², with
+    * the modal share alongside for the same money.
+    *
+    * Scale shape: the columns melt through one generated `stack` into
+    * (column, value) pairs — ONE shuffle over the melted corpus builds
+    * the per-value counts (map-combined), and the impurity rollup
+    * re-aggregates the counts frame, bounded by Σ per-column NDV.
+    * Products run in DECIMAL(38,0): n² overflows a long past ~3e9
+    * rows. */
+  val Q242Cols: Seq[(String, String)] = Seq(
+    "documents" -> "lang", "documents" -> "source",
+    "events" -> "event_type", "orders" -> "o_orderpriority")
+
+  def q242GiniImpurity(spark: SparkSession, dir: String): DataFrame = {
+    Q242Cols.groupBy(_._1).toSeq.map { case (table, cols) =>
+      val pairs = cols.map(_._2).map { c =>
+        s"'$c', CAST(`$c` AS STRING)"
+      }.mkString(", ")
+      Tables.load(spark, dir, table)
+        .select(expr(s"stack(${cols.length}, $pairs)")
+          .as(Seq("col_name", "val")))
+        .groupBy(col("col_name"), col("val"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("col_name"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("sum_c2"),
+          max(col("c")).as("top_cnt"))
+        .select(lit(table).as("table_name"), col("col_name"), col("n"),
+          col("n_distinct"),
+          expr("""CAST((CAST(n AS DECIMAL(38,0)) * n
+                 | - CAST(sum_c2 AS DECIMAL(38,0))) * 1000000
+                 | div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""
+            .stripMargin).as("gini_ppm"),
+          expr("CAST(CAST(top_cnt AS DECIMAL(38,0)) * 1000000 div n" +
+            " AS BIGINT)").as("top_share_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  val q242Oracle: String = {
+    def one(table: String, c: String): String =
+      s"""SELECT '$table' AS table_name, '$c' AS col_name,
+         |  CAST(sum(cnt) AS BIGINT) AS n, count(*) AS n_distinct,
+         |  CAST((CAST(sum(cnt) AS HUGEINT) * sum(cnt)
+         |    - sum(CAST(cnt AS HUGEINT) * cnt)) * 1000000
+         |    // (CAST(sum(cnt) AS HUGEINT) * sum(cnt)) AS BIGINT)
+         |    AS gini_ppm,
+         |  CAST(CAST(max(cnt) AS HUGEINT) * 1000000 // sum(cnt) AS BIGINT)
+         |    AS top_share_ppm
+         |FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt
+         |      FROM $table GROUP BY 1)""".stripMargin
+    Q242Cols.map { case (t, c) => one(t, c) }.mkString("\nUNION ALL\n")
+  }
 }

@@ -243,4 +243,103 @@ object Causal {
        |FROM binned bi
        |JOIN s${IsotonicBins - 1} p ON bi.bin BETWEEN p.ps AND p.pe""".stripMargin
   }
+
+  /** q241: difference-in-differences (the Card–Krueger 1994 two-group
+    * two-period estimator) — the panel companion to q233's stratified
+    * ATE: when "treatment" arrives as a POLICY at a known date rather
+    * than as a randomized split, the causal read is (post − pre) in
+    * the treated group minus (post − pre) in the controls, which
+    * cancels both the permanent group gap and the common time trend.
+    * Treated group: BUILDING-segment customers; event date:
+    * 1998-01-01; outcome: per-order value in cents.
+    *
+    * Exact protocol: the four cell means are each ONE truncating
+    * milli-cent division of exact integer sums (q233's discipline);
+    * the DiD is then pure subtraction of those already-floored longs —
+    * a defined protocol both engines replay bit-for-bit (div and //
+    * both truncate toward zero on the possibly-negative deltas). An
+    * empty cell yields NULL, not an error, on both engines.
+    *
+    * Scale shape: one map-combined conditional aggregate over orders
+    * with the customer dimension broadcast into the fact join — the
+    * corpus collapses straight to the 2×2 cell totals; every division
+    * happens on the single-row frame. */
+  val DidCutoff = "1998-01-01"
+
+  def q241DiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").as("treat"))
+    def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+      sum(when(col("treat") === t && col("post") === p, 1L).otherwise(0L))
+        .as(s"n_$suffix"),
+      sum(when(col("treat") === t && col("post") === p, col("cents"))
+        .otherwise(0L)).as(s"y_$suffix"))
+    val cells = cell(t = true, p = false, "treat_pre") ++
+      cell(t = true, p = true, "treat_post") ++
+      cell(t = false, p = false, "ctrl_pre") ++
+      cell(t = false, p = true, "ctrl_post")
+    val avgs = Seq("treat_pre", "treat_post", "ctrl_pre", "ctrl_post").map {
+      s =>
+        expr(s"CASE WHEN n_$s = 0 THEN NULL" +
+          s" ELSE y_$s * 1000 div n_$s END").as(s"avg_${s}_milli")
+    }
+    Tables.load(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("treat"),
+        (col("o_orderdate") >= lit(DidCutoff).cast("timestamp")).as("post"),
+        Exact.units(col("o_totalprice"), 2).as("cents"))
+      .agg(cells.head, cells.tail: _*)
+      .select((Seq("treat_pre", "treat_post", "ctrl_pre", "ctrl_post")
+        .map(s => col(s"n_$s")) ++ avgs): _*)
+      .withColumn("did_milli",
+        (col("avg_treat_post_milli") - col("avg_treat_pre_milli")) -
+          (col("avg_ctrl_post_milli") - col("avg_ctrl_pre_milli")))
+  }
+
+  val q241Oracle: String =
+    s"""WITH o AS (
+       |  SELECT (c.c_mktsegment = 'BUILDING') AS treat,
+       |    (o.o_orderdate >= TIMESTAMP '$DidCutoff') AS post,
+       |    CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS cents
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |), cells AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_treat_pre,
+       |    CAST(sum(CASE WHEN treat AND post THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_treat_post,
+       |    CAST(sum(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_ctrl_pre,
+       |    CAST(sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_ctrl_post,
+       |    CAST(sum(CASE WHEN treat AND NOT post THEN cents ELSE 0 END)
+       |      AS BIGINT) AS y_treat_pre,
+       |    CAST(sum(CASE WHEN treat AND post THEN cents ELSE 0 END)
+       |      AS BIGINT) AS y_treat_post,
+       |    CAST(sum(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END)
+       |      AS BIGINT) AS y_ctrl_pre,
+       |    CAST(sum(CASE WHEN NOT treat AND post THEN cents ELSE 0 END)
+       |      AS BIGINT) AS y_ctrl_post
+       |  FROM o
+       |), a AS (
+       |  SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+       |    CASE WHEN n_treat_pre = 0 THEN NULL
+       |      ELSE CAST(y_treat_pre * 1000 // n_treat_pre AS BIGINT) END
+       |      AS avg_treat_pre_milli,
+       |    CASE WHEN n_treat_post = 0 THEN NULL
+       |      ELSE CAST(y_treat_post * 1000 // n_treat_post AS BIGINT) END
+       |      AS avg_treat_post_milli,
+       |    CASE WHEN n_ctrl_pre = 0 THEN NULL
+       |      ELSE CAST(y_ctrl_pre * 1000 // n_ctrl_pre AS BIGINT) END
+       |      AS avg_ctrl_pre_milli,
+       |    CASE WHEN n_ctrl_post = 0 THEN NULL
+       |      ELSE CAST(y_ctrl_post * 1000 // n_ctrl_post AS BIGINT) END
+       |      AS avg_ctrl_post_milli
+       |  FROM cells
+       |)
+       |SELECT *,
+       |  (avg_treat_post_milli - avg_treat_pre_milli)
+       |    - (avg_ctrl_post_milli - avg_ctrl_pre_milli) AS did_milli
+       |FROM a""".stripMargin
 }

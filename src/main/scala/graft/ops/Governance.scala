@@ -330,4 +330,58 @@ object Governance {
       |SELECT source, lang, obs, expected_milli, contrib_e6, dof,
       |  (SELECT CAST(sum(contrib_e6) AS BIGINT) FROM scored) AS chi2_e6
       |FROM scored""".stripMargin
+
+  /** q238: l-diversity audit (Machanavalli et al. 2007) — the attack
+    * q223's k-anonymity misses: a QI class can hold k ≥ 10 members and
+    * still leak if every member shares one SENSITIVE value (the
+    * homogeneity attack — "all ten people in that class ordered
+    * 1-URGENT" identifies nothing but reveals everything). Per QI
+    * class of the released customer–orders extract (nation × segment ×
+    * coarse balance bucket, q223's exact QI tuple), report: order
+    * count, distinct-l over the sensitive order priority, the modal
+    * priority's share in ppm (recursive-(c,l) screening), and the
+    * distinct-l ≥ 3 release flag.
+    *
+    * Scale shape: one shuffle on (QI, sensitive) builds the cell
+    * frame, bounded by |QI domain| × |priorities|, with the dimension
+    * side broadcast into the fact join; the class rollup re-aggregates
+    * CELLS, never orders. Exact integers end to end; the ppm share is
+    * one truncating division. */
+  def q238LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+    val cells = Tables.load(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    cells.groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(sum(col("cnt")).as("n_orders"),
+        count(lit(1)).as("l_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_mktsegment"), col("bal_bucket"), col("n_orders"),
+        col("l_distinct"),
+        expr("CAST(top_cnt AS DECIMAL(38,0)) * 1000000 div n_orders")
+          .cast("long").as("top_share_ppm"),
+        (col("l_distinct") >= 3L).as("l_diverse"))
+  }
+
+  val q238Oracle: String =
+    """WITH cells AS (
+      |  SELECT c.c_nationkey, c.c_mktsegment,
+      |    CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+      |    o.o_orderpriority, count(*) AS cnt
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+      |  bal_bucket,
+      |  CAST(sum(cnt) AS BIGINT) AS n_orders,
+      |  count(*) AS l_distinct,
+      |  CAST(CAST(max(cnt) AS HUGEINT) * 1000000 // sum(cnt) AS BIGINT)
+      |    AS top_share_ppm,
+      |  count(*) >= 3 AS l_diverse
+      |FROM cells GROUP BY 1, 2, 3""".stripMargin
 }

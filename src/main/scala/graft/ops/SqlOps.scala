@@ -207,4 +207,87 @@ object SqlOps {
       |SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_risk,
       |  CAST(d AS BIGINT) AS d_events, CAST(s AS BIGINT) AS surv_ppm
       |FROM km WHERE d > 0""".stripMargin
+
+  /** q244: Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978) —
+    * the additive counterpart to q220's Kaplan–Meier product over the
+    * identical user-lifetime frame: Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ. Where KM
+    * answers "what fraction survives past t", NA answers "how much
+    * hazard has accumulated by t" — the estimator of choice when rates
+    * get compared or fed into a downstream intensity model, and its
+    * sum form is numerically tame where a product underflows.
+    *
+    * Exact protocol: each day's increment is ONE truncating ppm
+    * division dᵢ·10⁶ div nᵢ, and the cumulative hazard is the plain
+    * integer prefix sum of those already-floored increments — order
+    * fixed by day, bit-identical on both engines. Same
+    * intent-to-treat/censoring frame as q220 (death = an `error`
+    * event; everyone else right-censored at last observed day);
+    * censored days carry d = 0, an exact zero increment.
+    *
+    * Scale shape: q220's exactly — corpus → per-user aggregate →
+    * per-day event table bounded by the TIME RANGE; the risk-set
+    * countdown and both hazard columns ride ONE aggregate-HOF fold
+    * over the sorted aggregate-sized array (no window over rows, no
+    * recursion, no driver loop). The oracle uses DuckDB windows over
+    * the same day table — the two formulations agreeing bit-for-bit
+    * is the test. */
+  def q244NelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "events")
+    spark.sql(
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (unix_millis(max(ts)) - unix_millis(min(ts))) div 86400000 AS lt,
+        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS death
+        |  FROM events_sql GROUP BY user_id
+        |), tot AS (SELECT count(*) AS n_tot FROM u
+        |), ev AS (
+        |  SELECT lt AS t, sum(death) AS d, count(*) AS ended
+        |  FROM u GROUP BY lt
+        |), folded AS (
+        |  SELECT aggregate(
+        |    array_sort(collect_list(named_struct('t', t, 'd', d,
+        |      'e', ended))),
+        |    named_struct('h', CAST(0 AS BIGINT), 'rem', max(n_tot),
+        |      'out', CAST(array() AS
+        |        ARRAY<STRUCT<t: BIGINT, n: BIGINT, d: BIGINT,
+        |          inc: BIGINT, h: BIGINT>>)),
+        |    (acc, x) -> named_struct(
+        |      'h', acc.h + (x.d * 1000000) div acc.rem,
+        |      'rem', acc.rem - x.e,
+        |      'out', array_append(acc.out, named_struct(
+        |        't', x.t, 'n', acc.rem, 'd', x.d,
+        |        'inc', (x.d * 1000000) div acc.rem,
+        |        'h', acc.h + (x.d * 1000000) div acc.rem))),
+        |    acc -> acc.out) AS curve
+        |  FROM ev CROSS JOIN tot
+        |)
+        |SELECT f.t AS t_days, f.n AS n_risk, f.d AS d_events,
+        |  f.inc AS hazard_inc_ppm, f.h AS cum_hazard_ppm
+        |FROM folded LATERAL VIEW explode(curve) AS f
+        |WHERE f.d > 0""".stripMargin)
+  }
+
+  val q244Oracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    (epoch_ms(max(ts)) - epoch_ms(min(ts))) // 86400000 AS lt,
+      |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS death
+      |  FROM events GROUP BY user_id
+      |), tot AS (SELECT count(*) AS n_tot FROM u
+      |), ev AS (
+      |  SELECT lt AS t, sum(death) AS d, count(*) AS ended
+      |  FROM u GROUP BY lt
+      |), ranked AS (
+      |  SELECT t, d,
+      |    n_tot - coalesce(sum(ended) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      |  FROM ev CROSS JOIN tot
+      |), inc AS (
+      |  SELECT t, n, d, (d * 1000000) // n AS hinc FROM ranked
+      |)
+      |SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_risk,
+      |  CAST(d AS BIGINT) AS d_events,
+      |  CAST(hinc AS BIGINT) AS hazard_inc_ppm,
+      |  CAST(sum(hinc) OVER (ORDER BY t) AS BIGINT) AS cum_hazard_ppm
+      |FROM inc WHERE d > 0""".stripMargin
 }

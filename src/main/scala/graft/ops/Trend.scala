@@ -162,6 +162,214 @@ object Trend {
                |  ELSE 'none' END""".stripMargin).as("direction"))
   }
 
+  /** q239: index-of-dispersion (Fano factor) audit per event type over
+    * the hourly count series — the classic "is this arrival process
+    * Poisson?" check (variance-to-mean ratio; Fano 1947). Bursty bot
+    * traffic and retry storms are overdispersed (ratio ≫ 1), while a
+    * rate-limited or batched feed is underdispersed (ratio ≪ 1); a
+    * pipeline that alerts on either catches upstream behavior changes
+    * before volume alarms do.
+    *
+    * Exact protocol: with S = Σc and Q = Σc² over the n observed
+    * hours, sample-variance-to-mean = (nQ − S²) / ((n−1)·S), emitted
+    * as one truncating ppm division over pure integer counts —
+    * bit-identical on both engines. Intermediate products run in
+    * DECIMAL(38,0): at cluster scale an hourly count is bounded by
+    * ingest rate, not corpus size, but nQ crosses 2⁶³ long before the
+    * ratio loses meaning.
+    *
+    * Scale shape: corpus → (type, hour) counts is one map-combined
+    * aggregate bounded by |types| × time range (the q229/q232 frame);
+    * the dispersion rollup re-aggregates that frame, never the
+    * corpus. */
+  def q239Dispersion(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("sum_c"),
+        sum(col("x") * col("x")).as("sum_c2"))
+      .select(col("event_type"), col("n_hours"), col("sum_c"),
+        expr("sum_c * 1000 div n_hours").as("mean_milli"),
+        expr("""CAST((CAST(n_hours AS DECIMAL(38,0)) * sum_c2
+               | - CAST(sum_c AS DECIMAL(38,0)) * sum_c) * 1000000
+               | div ((n_hours - 1) * CAST(sum_c AS DECIMAL(38,0)))
+               | AS BIGINT)""".stripMargin).as("dispersion_ppm"))
+      .withColumn("verdict",
+        when(col("dispersion_ppm") > 1100000L, lit("overdispersed"))
+          .when(col("dispersion_ppm") < 900000L, lit("underdispersed"))
+          .otherwise(lit("poisson-like")))
+  }
+
+  val q239Oracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS x
+      |  FROM events GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT event_type, count(*) AS n_hours,
+      |    CAST(sum(x) AS BIGINT) AS sum_c,
+      |    CAST(sum(x * x) AS BIGINT) AS sum_c2
+      |  FROM hourly GROUP BY 1
+      |)
+      |SELECT event_type, n_hours, sum_c,
+      |  CAST(sum_c * 1000 // n_hours AS BIGINT) AS mean_milli,
+      |  CAST((CAST(n_hours AS HUGEINT) * sum_c2
+      |    - CAST(sum_c AS HUGEINT) * sum_c) * 1000000
+      |    // ((n_hours - 1) * CAST(sum_c AS HUGEINT)) AS BIGINT)
+      |    AS dispersion_ppm,
+      |  CASE WHEN CAST((CAST(n_hours AS HUGEINT) * sum_c2
+      |      - CAST(sum_c AS HUGEINT) * sum_c) * 1000000
+      |      // ((n_hours - 1) * CAST(sum_c AS HUGEINT)) AS BIGINT)
+      |      > 1100000 THEN 'overdispersed'
+      |    WHEN CAST((CAST(n_hours AS HUGEINT) * sum_c2
+      |      - CAST(sum_c AS HUGEINT) * sum_c) * 1000000
+      |      // ((n_hours - 1) * CAST(sum_c AS HUGEINT)) AS BIGINT)
+      |      < 900000 THEN 'underdispersed'
+      |    ELSE 'poisson-like' END AS verdict
+      |FROM agg""".stripMargin
+
+  /** q243: Theil–Sen slope estimator (Theil 1950, Sen 1968) per event
+    * type over the hourly count series — the robust companion to
+    * q232's Mann–Kendall direction test: MK says WHETHER the series
+    * trends, Theil–Sen says HOW FAST, and unlike the q96/q109 OLS
+    * family it shrugs off the outlier hours a traffic spike plants.
+    * Estimate = the median of all pairwise slopes (x_j − x_i)/(h_j −
+    * h_i), each slope held as one exact ppm-scaled truncating
+    * division; the median is the LOWER median (0-based rank
+    * (n−1) div 2), so the reported value is an element of the slope
+    * set, not an average — exact on both engines.
+    *
+    * Scale shape: the pair join is |hours|² per type — quadratic in
+    * the TIME RANGE, not the corpus (q232's argument; 720 hours →
+    * 259k pairs/type) — equi-joined on event_type so pairs never
+    * cross types. The median runs through [[Rank.groupRank]]'s
+    * two-phase bucketed rank: no per-type full sort, no window over
+    * the pair set. */
+  def q243TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("x"))
+      .persist()
+    val a = hourly.select(col("event_type"), col("h").as("hi"),
+      col("x").as("xi"))
+    val b = hourly.select(col("event_type"), col("h").as("hj"),
+      col("x").as("xj"))
+    val slopes = a.join(b, Seq("event_type")).filter(col("hi") < col("hj"))
+      .select(col("event_type"),
+        expr("(xj - xi) * 1000000 div (hj - hi)").as("slope_ppm"))
+    Rank.groupRank(slopes, Seq("event_type"), "slope_ppm", Seq.empty,
+        "rk", "n_pairs")
+      .filter(col("rk") === expr("(n_pairs - 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        col("slope_ppm").as("sen_slope_ppm"))
+  }
+
+  val q243Oracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS x
+      |  FROM events GROUP BY 1, 2
+      |), slopes AS (
+      |  SELECT a.event_type,
+      |    CAST((b.x - a.x) * 1000000 // (b.h - a.h) AS BIGINT)
+      |      AS slope_ppm
+      |  FROM hourly a JOIN hourly b
+      |    ON b.event_type = a.event_type AND a.h < b.h
+      |), ranked AS (
+      |  SELECT event_type, slope_ppm,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY slope_ppm)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+      |  FROM slopes
+      |)
+      |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  slope_ppm AS sen_slope_ppm
+      |FROM ranked WHERE rn = (n_pairs + 1) // 2""".stripMargin
+
+  /** q245: lagged cross-covariance between the purchase and error
+    * hourly series — "do errors follow purchases?" The lead–lag sign
+    * and magnitude of cov(x_t, y_{t+L}) over L ∈ {0..3} hours is the
+    * screening statistic behind incident correlation and
+    * cause-precedes-effect dashboards (the cross-series step up from
+    * q191's single-series ACF).
+    *
+    * Exactness: both series are ZERO-FILLED onto the complete hour
+    * grid [min h, max h] of the whole event stream before aligning —
+    * a missing hour is a 0 count, not a dropped observation (skipping
+    * it would silently bias every lag differently). The covariance
+    * numerator n·Σxy − Σx·Σy is pure integer arithmetic in
+    * DECIMAL(38,0); no normalization is applied, so no sqrt and no
+    * float enters the output.
+    *
+    * Scale shape: events collapse once to the (type, hour) count
+    * frame; the grid is `sequence()` over a 1-row min/max aggregate —
+    * everything after the first aggregate is time-range-bounded
+    * (|hours| × |lags| rows), independent of corpus size. */
+  val Q245Lags: Seq[Int] = Seq(0, 1, 2, 3)
+
+  def q245CrossCov(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("h"))
+    val hourly = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    // bounds from the already-aggregated hourly frame, not a second
+    // corpus scan: min/max hour over counts == min/max hour over rows
+    val grid = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("t"),
+        col("mx"))
+    val px = hourly.filter(col("event_type") === "purchase")
+      .select(col("h"), col("c").as("xc"))
+    val ex = hourly.filter(col("event_type") === "error")
+      .select(col("h"), col("c").as("yc"))
+    Q245Lags.map { lag =>
+      grid.filter(col("t") <= col("mx") - lag.toLong)
+        .join(px, col("t") === px("h"), "left")
+        .drop("h")
+        .join(ex, col("t") + lag.toLong === ex("h"), "left")
+        .select(col("t"), coalesce(col("xc"), lit(0L)).as("x"),
+          coalesce(col("yc"), lit(0L)).as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
+          sum(col("y")).as("sum_y"),
+          sum(col("x") * col("y")).as("sum_xy"))
+        .select(lit(lag.toLong).as("lag"), col("n"), col("sum_x"),
+          col("sum_y"), col("sum_xy"),
+          expr("""CAST(CAST(n AS DECIMAL(38,0)) * sum_xy
+                 | - CAST(sum_x AS DECIMAL(38,0)) * sum_y
+                 | AS BIGINT)""".stripMargin).as("cov_num"))
+    }.reduce(_ unionByName _)
+  }
+
+  val q245Oracle: String = {
+    def one(lag: Int): String =
+      s"""SELECT CAST($lag AS BIGINT) AS lag, count(*) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+         |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         |  CAST(count(*) * CAST(sum(x * y) AS HUGEINT)
+         |    - CAST(sum(x) AS HUGEINT) * sum(y) AS BIGINT) AS cov_num
+         |FROM (
+         |  SELECT g.t,
+         |    coalesce(px.c, 0) AS x, coalesce(ex.c, 0) AS y
+         |  FROM (SELECT unnest(generate_series(b.mn, b.mx - $lag)) AS t
+         |        FROM bounds b) g
+         |  LEFT JOIN hc px ON px.event_type = 'purchase' AND px.h = g.t
+         |  LEFT JOIN hc ex ON ex.event_type = 'error' AND ex.h = g.t + $lag
+         |)""".stripMargin
+    s"""WITH hc AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), bounds AS (
+       |  SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS mn,
+       |         max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS mx
+       |  FROM events
+       |)
+       |${Q245Lags.map(one).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val q232Oracle: String =
     """WITH hourly AS (
       |  SELECT event_type,

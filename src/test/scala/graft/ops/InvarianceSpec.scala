@@ -194,7 +194,15 @@ class InvarianceSpec extends AnyFunSuite {
     ("q231 RFM segments (three global prefix-sum quintiles)",
       () => Classic.q231RfmSegments(spark, TestSpark.sfDir)),
     ("q234 isotonic calibration (single-group PAV stack scan)",
-      () => Causal.q234IsotonicCalibration(spark, TestSpark.sfDir)))
+      () => Causal.q234IsotonicCalibration(spark, TestSpark.sfDir)),
+    ("q240 band join (bucketed keyless range equi-join)",
+      () => BandJoin.q240BandJoin(spark, TestSpark.sfDir)),
+    ("q243 Theil-Sen slope (two-phase rank lower median of pair slopes)",
+      () => Trend.q243TheilSen(spark, TestSpark.sfDir)),
+    ("q244 Nelson-Aalen (risk-set countdown + hazard prefix fold)",
+      () => SqlOps.q244NelsonAalen(spark, TestSpark.sfDir)),
+    ("q245 lagged cross-covariance (zero-filled grid lag joins)",
+      () => Trend.q245CrossCov(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
