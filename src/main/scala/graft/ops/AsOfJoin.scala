@@ -88,6 +88,95 @@ object AsOfJoin {
         col("o_totalprice").as("last_order_total"))
   }
 
+  /** Forward as-of join — the mirror of [[asOfLeft]]: for every left
+    * row, the EARLIEST right row with rightTime >= leftTime for the
+    * same key (the "next scheduled event / next order after this
+    * touchpoint" lookup attribution and SLA pipelines need). Same
+    * union trick, same single shuffle+sort cost: the window scans
+    * time DESCENDING, so rows-unbounded-preceding holds exactly the
+    * at-or-after right rows, and `last(payload, ignoreNulls)` is the
+    * nearest of them. Ties on right time break toward the SMALLEST
+    * tiebreak (the deterministic "first" next row; _tb desc in the
+    * sort makes the min the last seen). */
+  def asOfForward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], rightTiebreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadFields = (rightTiebreak +: rightPayload).distinct
+    val payload = struct(payloadFields.map(col): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadFields.map(f => right.schema(f)))
+    val lTagged = left
+      .withColumn("_k", col(leftKey))
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .withColumn("_tb", lit(null).cast("long"))
+      .withColumn("_payload", lit(null).cast(payloadType))
+    val rTagged = right
+      .select(
+        col(rightKey).as("_k"),
+        col(rightTime).as("_t"),
+        lit(0).as("_side"),
+        col(rightTiebreak).cast("long").as("_tb"),
+        payload.as("_payload"))
+    val rAligned = leftCols.foldLeft(rTagged) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((leftCols.map(col) ++ Seq(col("_k"), col("_t"), col("_side"), col("_tb"), col("_payload"))): _*)
+    val unioned = lTagged
+      .select((leftCols.map(col) ++ Seq(col("_k"), col("_t"), col("_side"), col("_tb"), col("_payload"))): _*)
+      .unionAll(rAligned)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").desc, col("_side").asc, col("_tb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col(s"_match.$c").as(c)): _*)
+  }
+
+  /** q247: for each `view` event, the same user's NEXT `purchase`
+    * event at or after the view — q29's mirror and the point-lookup
+    * form of the funnel question ("which purchase did this view lead
+    * to, and how long did it take"): one forward as-of join instead of
+    * a session reconstruction. Seconds-to-convert rides along as an
+    * exact integer; views that never convert keep NULL payload. */
+  def q247ForwardAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    asOfForward(views, purchases,
+      leftKey = "user_id", rightKey = "p_user",
+      leftTime = "ts", rightTime = "p_ts",
+      rightPayload = Seq("p_id", "p_ts"),
+      rightTiebreak = "p_id")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("p_id").as("next_purchase_id"),
+        expr("(unix_millis(p_ts) - unix_millis(ts)) div 1000")
+          .as("secs_to_purchase"))
+  }
+
+  val q247Oracle: String =
+    """SELECT event_id, user_id, next_purchase_id, secs_to_purchase
+      |FROM (
+      |  SELECT v.event_id, v.user_id,
+      |    p.event_id AS next_purchase_id,
+      |    CAST((epoch_ms(p.ts) - epoch_ms(v.ts)) // 1000 AS BIGINT)
+      |      AS secs_to_purchase,
+      |    row_number() OVER (PARTITION BY v.event_id
+      |                       ORDER BY p.ts ASC, p.event_id ASC) AS rk
+      |  FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |    ON p.user_id = v.user_id AND p.ts >= v.ts) t
+      |WHERE rk = 1""".stripMargin
+
   /** Deterministic oracle: explicit argmax instead of DuckDB's ASOF
     * JOIN, whose equal-time tie choice is unspecified. */
   val q29Oracle: String =

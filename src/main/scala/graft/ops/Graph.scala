@@ -860,4 +860,201 @@ object Graph {
        |    (SELECT CAST(hop AS BIGINT) FROM far2) AS diameter_lb,
        |    (SELECT count(*) FROM d2) AS n_reached)
        |SELECT * FROM lbl""".stripMargin
+
+  /** q246 iteration count / restart scale (α = 1/2 as an exact dyadic,
+    * the q229 discipline: every smoothing step is one truncating
+    * division). */
+  val PprIters = 3
+  val PprScale = 1000000000L
+
+  /** q246: personalized PageRank (random walk with restart; Haveliwala
+    * 2002) from a SEED SET — "which customers and suppliers sit
+    * closest, by co-transaction structure, to the best-covered
+    * nation's suppliers?"
+    * The recommendation/expansion primitive q84's global PageRank
+    * can't answer: teleport mass returns to the seeds, so proximity
+    * is measured FROM the seed neighborhood instead of from the whole
+    * graph's stationary flow.
+    *
+    * Exact integer protocol: rank mass starts as ⌊S/|seeds|⌋ on each
+    * seed; one round is r'(v) = (Σ_{u∼v} r(u) div d(u)) div 2 +
+    * ⌊⌊S/|seeds|⌋/2⌋·[v ∈ seeds] — per-neighbor floor first, then the
+    * α = 1/2 damping floor, teleport last: a defined order both
+    * engines replay bit-for-bit (div ≡ // on nonnegative mass). The
+    * walk runs on the symmetrized supplier–customer co-transaction
+    * graph in packed-long id space (q122's trick: supplier k → 2k,
+    * customer k → 2k+1).
+    *
+    * Scale shape: [[PprIters]] rounds of (edges ⋈ rank frame on src,
+    * map-combined sum per dst, full-outer with the broadcast seed
+    * frame) — the rank frame stays node-sized, only it shuffles per
+    * round, and the chain is LINEAR (each r_i consumed exactly once —
+    * no q195-style double materialization to guard). Seed-share
+    * derivation is a 1-row broadcast, not a driver collect. */
+  def q246PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val sc = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2L).as("s"),
+        (col("o_custkey") * 2L + 1L).as("c"))
+      .distinct()
+    val edges = sc.select(col("s").as("src"), col("c").as("dst"))
+      .unionAll(sc.select(col("c").as("src"), col("s").as("dst")))
+      .persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ecd = edges.join(deg, "src")
+
+    // seed nation: the one with the MOST suppliers (ties -> lowest
+    // key) — deterministic and non-empty at every scale factor (a
+    // fixed nation id would seed nothing at sf0.001's 10 suppliers)
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val seedNat = sup.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(max(struct(col("cnt"),
+        (-col("s_nationkey")).as("negk"))).as("m"))
+      .select((-col("m.negk")).cast("int").as("seed_nat"),
+        col("m.cnt").as("n_seeds"))
+    val seeds = sup
+      .join(broadcast(seedNat), col("s_nationkey") === col("seed_nat"))
+      .select((col("s_suppkey") * 2L).as("v"),
+        expr(s"$PprScale div n_seeds").as("share"))
+      .persist()
+
+    var r = seeds.select(col("v"), col("share").as("r"))
+    for (_ <- 1 to PprIters) {
+      val flow = ecd.join(r, col("src") === r("v"))
+        .groupBy(col("dst").as("fv"))
+        .agg(expr("sum(r div d) div 2").as("fl"))
+      r = flow.join(seeds.select(col("v"), expr("share div 2").as("tele")),
+          col("fv") === col("v"), "full")
+        .select(coalesce(col("fv"), col("v")).as("v"),
+          (coalesce(col("fl"), lit(0L)) + coalesce(col("tele"), lit(0L)))
+            .as("r"))
+    }
+    r.filter(col("r") > 0L)
+      .select(
+        concat(when(col("v") % 2L === 0L, lit("s")).otherwise(lit("c")),
+          expr("v div 2")).as("node"),
+        col("r").as("ppr_score"))
+  }
+
+  val q246Oracle: String = {
+    val rounds = (1 to PprIters).map { i =>
+      s"""r$i AS (
+         |  SELECT coalesce(f.v, s.v) AS v,
+         |    coalesce(f.fl, 0) + coalesce(s.tele, 0) AS r
+         |  FROM (
+         |    SELECT e.dst AS v, CAST(sum(r.r // d.d) // 2 AS BIGINT) AS fl
+         |    FROM e JOIN r${i - 1} r ON r.v = e.src
+         |    JOIN deg d ON d.v = e.src
+         |    GROUP BY 1) f
+         |  FULL JOIN (SELECT v, CAST(share // 2 AS BIGINT) AS tele
+         |             FROM seeds) s ON s.v = f.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sc AS (
+       |  SELECT DISTINCT l.l_suppkey * 2 AS s, o.o_custkey * 2 + 1 AS c
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), e AS (
+       |  SELECT s AS src, c AS dst FROM sc
+       |  UNION ALL
+       |  SELECT c AS src, s AS dst FROM sc
+       |), deg AS (
+       |  SELECT src AS v, count(*) AS d FROM e GROUP BY 1
+       |), sn AS (
+       |  SELECT s_nationkey AS seed_nat, count(*) AS n_seeds
+       |  FROM supplier GROUP BY 1
+       |  ORDER BY n_seeds DESC, seed_nat ASC LIMIT 1
+       |), seeds AS (
+       |  SELECT s_suppkey * 2 AS v,
+       |    CAST($PprScale // n_seeds AS BIGINT) AS share
+       |  FROM supplier JOIN sn ON s_nationkey = seed_nat
+       |), r0 AS (
+       |  SELECT v, share AS r FROM seeds
+       |),
+       |$rounds
+       |SELECT (CASE WHEN v % 2 = 0 THEN 's' ELSE 'c' END ||
+       |    CAST(v // 2 AS VARCHAR)) AS node,
+       |  CAST(r AS BIGINT) AS ppr_score
+       |FROM r$PprIters WHERE r > 0""".stripMargin
+  }
+
+  /** q248: degree-distribution profile of the co-transaction graph —
+    * the first thing anyone asks of a graph at scale ("is it
+    * power-law? where does the tail start?") and the diagnostic that
+    * decides whether the OTHER graph queries need skew handling: a
+    * heavy log-log tail here is exactly what breaks per-key joins in
+    * q84/q195 (and what q91's salting exists for).
+    *
+    * Buckets are EXACT log2 bins — bucket = bit length of the degree
+    * (length of its binary representation: an integer string op on
+    * both engines, no transcendental log whose floor could flip at a
+    * power-of-two boundary). Per (node kind, bucket): node count, edge
+    * sum, degree extremes, and the kind-share in ppm (one truncating
+    * division on the ≤64-row bucket frame).
+    *
+    * Scale shape: one shuffle to the per-node degree frame (map-
+    * combined count on src), one aggregate to the |kinds|×|buckets|
+    * frame, kind totals re-aggregate THAT frame broadcast back — the
+    * corpus is touched once. */
+  def q248DegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val sc = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2L).as("s"),
+        (col("o_custkey") * 2L + 1L).as("c"))
+      .distinct()
+    val deg = sc.select(col("s").as("v")).unionAll(sc.select(col("c").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val buckets = deg
+      .select(when(col("v") % 2L === 0L, lit("supplier"))
+          .otherwise(lit("customer")).as("kind"),
+        length(expr("bin(d)")).cast("long").as("bucket"), col("d"))
+      .groupBy(col("kind"), col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("sum_deg"),
+        min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+    val totals = buckets.groupBy(col("kind"))
+      .agg(sum(col("n_nodes")).as("kind_nodes"))
+    buckets.join(broadcast(totals), Seq("kind"))
+      .select(col("kind"), col("bucket"),
+        expr("CAST(shiftleft(1, CAST(bucket - 1 AS INT)) AS BIGINT)")
+          .as("deg_lo"),
+        col("n_nodes"), col("sum_deg"), col("min_deg"), col("max_deg"),
+        expr("CAST(n_nodes AS DECIMAL(38,0)) * 1000000 div kind_nodes")
+          .cast("long").as("share_ppm"))
+  }
+
+  val q248Oracle: String =
+    """WITH sc AS (
+      |  SELECT DISTINCT l.l_suppkey * 2 AS s, o.o_custkey * 2 + 1 AS c
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), deg AS (
+      |  SELECT v, count(*) AS d FROM (
+      |    SELECT s AS v FROM sc UNION ALL SELECT c AS v FROM sc)
+      |  GROUP BY 1
+      |), b AS (
+      |  SELECT CASE WHEN v % 2 = 0 THEN 'supplier' ELSE 'customer' END
+      |      AS kind,
+      |    CAST(length(printf('%b', d)) AS BIGINT) AS bucket, d
+      |  FROM deg
+      |), agg AS (
+      |  SELECT kind, bucket, count(*) AS n_nodes,
+      |    CAST(sum(d) AS BIGINT) AS sum_deg,
+      |    CAST(min(d) AS BIGINT) AS min_deg,
+      |    CAST(max(d) AS BIGINT) AS max_deg
+      |  FROM b GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT kind, CAST(sum(n_nodes) AS BIGINT) AS kind_nodes
+      |  FROM agg GROUP BY 1
+      |)
+      |SELECT a.kind, a.bucket,
+      |  CAST(1 << CAST(a.bucket - 1 AS INT) AS BIGINT) AS deg_lo,
+      |  a.n_nodes, a.sum_deg, a.min_deg, a.max_deg,
+      |  CAST(CAST(a.n_nodes AS HUGEINT) * 1000000 // t.kind_nodes
+      |    AS BIGINT) AS share_ppm
+      |FROM agg a JOIN tot t ON t.kind = a.kind""".stripMargin
 }

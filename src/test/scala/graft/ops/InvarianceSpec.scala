@@ -202,7 +202,11 @@ class InvarianceSpec extends AnyFunSuite {
     ("q244 Nelson-Aalen (risk-set countdown + hazard prefix fold)",
       () => SqlOps.q244NelsonAalen(spark, TestSpark.sfDir)),
     ("q245 lagged cross-covariance (zero-filled grid lag joins)",
-      () => Trend.q245CrossCov(spark, TestSpark.sfDir)))
+      () => Trend.q245CrossCov(spark, TestSpark.sfDir)),
+    ("q246 personalized PageRank (integer teleport power iteration)",
+      () => Graph.q246PersonalizedPagerank(spark, TestSpark.sfDir)),
+    ("q247 forward as-of (union-trick descending window)",
+      () => AsOfJoin.q247ForwardAsof(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
