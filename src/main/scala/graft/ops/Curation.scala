@@ -1419,4 +1419,156 @@ object Curation {
        |GROUP BY 1, 2, 3
        |ORDER BY priority, l_orderkey, l_linenumber
        |LIMIT $Q221K""".stripMargin
+
+  /** q250: CART split-gain feature ranking — before anyone trains a
+    * model on the event stream, which candidate features actually
+    * separate converters from non-converters? For each feature, the
+    * Gini impurity DECREASE of splitting the corpus by its values
+    * (Breiman et al. 1984's split criterion, the supervised step up
+    * from q242's unsupervised impurity): gain = G(parent) −
+    * Σ_v (n_v/n)·G(child_v). A near-zero gain says drop the feature
+    * before it bloats the pipeline; a suspiciously LARGE gain on an
+    * id-like feature is the leakage smell q188 splits guard against.
+    *
+    * Exact protocol: every child impurity is one truncating ppm
+    * division on integer counts (G_ppm = (n² − pos² − neg²)·10⁶ div
+    * n²), the weighted sum floors once more over the cell frame, and
+    * the parent term uses the same formula — both engines replay the
+    * identical floor order. Candidate features are deterministic
+    * integer buckets (hour of day, day of week, value band, a user
+    * hash bucket).
+    *
+    * Scale shape: the corpus melts through one generated `stack` into
+    * (feature, bucket, label) triples — ONE map-combined shuffle to
+    * the cell frame (bounded by Σ per-feature buckets), and both
+    * impurity rollups re-aggregate cells. */
+  val Q250Features: Seq[(String, String)] = Seq(
+    "hour_of_day" -> "hour(ts)",
+    "day_of_week" -> "dayofweek(ts)",
+    "value_band" -> "CAST(round(value * 100.0) AS BIGINT) div 2000",
+    "user_bucket" -> "pmod(user_id, 16)")
+
+  def q250SplitGain(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Q250Features.map { case (n, e) =>
+      s"'$n', CAST($e AS BIGINT)"
+    }.mkString(", ")
+    val cells = Tables.load(spark, dir, "events")
+      .select(expr(s"stack(${Q250Features.length}, $pairs)")
+          .as(Seq("feature", "bucket")),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("feature"), col("bucket"))
+      .agg(count(lit(1)).as("n_v"), sum(col("pos")).as("pos_v"))
+    cells.groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n_v")).as("n"), sum(col("pos_v")).as("pos"),
+        sum(expr("""n_v * ((CAST(n_v AS DECIMAL(38,0)) * n_v
+                   | - CAST(pos_v AS DECIMAL(38,0)) * pos_v
+                   | - CAST(n_v - pos_v AS DECIMAL(38,0)) * (n_v - pos_v))
+                   | * 1000000
+                   | div (CAST(n_v AS DECIMAL(38,0)) * n_v))"""
+          .stripMargin)).as("wsum"))
+      .select(col("feature"), col("n_buckets"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * n
+               | - CAST(pos AS DECIMAL(38,0)) * pos
+               | - CAST(n - pos AS DECIMAL(38,0)) * (n - pos)) * 1000000
+               | div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""
+          .stripMargin).as("parent_ppm"),
+        expr("CAST(wsum div n AS BIGINT)").as("weighted_child_ppm"))
+      .withColumn("gain_ppm",
+        col("parent_ppm") - col("weighted_child_ppm"))
+  }
+
+  val q250Oracle: String = {
+    def one(n: String, e: String): String =
+      s"SELECT '$n' AS feature, CAST($e AS BIGINT) AS bucket," +
+        s" CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos" +
+        s" FROM events"
+    val melted = Q250Features.map { case (n, e) =>
+      val de = e
+        .replace("hour(ts)", "CAST(hour(ts) AS BIGINT)")
+        .replace("dayofweek(ts)", "CAST(dayofweek(ts) + 1 AS BIGINT)")
+        .replace(" div ", " // ")
+        .replace("pmod(user_id, 16)", "user_id % 16")
+      one(n, de)
+    }.mkString("\nUNION ALL\n")
+    s"""WITH melted AS (
+       |$melted
+       |), cells AS (
+       |  SELECT feature, bucket, count(*) AS n_v,
+       |    CAST(sum(pos) AS BIGINT) AS pos_v
+       |  FROM melted GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT feature, count(*) AS n_buckets,
+       |    CAST(sum(n_v) AS BIGINT) AS n, CAST(sum(pos_v) AS BIGINT) AS pos,
+       |    CAST(sum(n_v * ((CAST(n_v AS HUGEINT) * n_v
+       |      - CAST(pos_v AS HUGEINT) * pos_v
+       |      - CAST(n_v - pos_v AS HUGEINT) * (n_v - pos_v)) * 1000000
+       |      // (CAST(n_v AS HUGEINT) * n_v))) AS HUGEINT) AS wsum
+       |  FROM cells GROUP BY 1
+       |)
+       |SELECT feature, n_buckets,
+       |  CAST((CAST(n AS HUGEINT) * n - CAST(pos AS HUGEINT) * pos
+       |    - CAST(n - pos AS HUGEINT) * (n - pos)) * 1000000
+       |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS parent_ppm,
+       |  CAST(wsum // n AS BIGINT) AS weighted_child_ppm,
+       |  CAST((CAST(n AS HUGEINT) * n - CAST(pos AS HUGEINT) * pos
+       |    - CAST(n - pos AS HUGEINT) * (n - pos)) * 1000000
+       |    // (CAST(n AS HUGEINT) * n) AS BIGINT)
+       |    - CAST(wsum // n AS BIGINT) AS gain_ppm
+       |FROM agg""".stripMargin
+  }
+
+  /** q251: smoothed target encoding (the m-estimate / "mean encoding"
+    * of Micci-Barreca 2001) — replacing a high-cardinality categorical
+    * (the user id) with its shrunken conversion rate, the standard
+    * feature-prep step before gradient-boosting on tabular events.
+    * enc = (conversions + m·prior) / (n + m) with m = [[Q251M]]: a
+    * user with 2 events reads mostly as the global prior, a user with
+    * 500 events reads as their own rate — exactly the bias/variance
+    * knob the raw per-key mean lacks (and the raw mean is the classic
+    * overfit-leak this op exists to prevent).
+    *
+    * Exact protocol: prior_ppm = total_conv·10⁶ div n (floored once,
+    * globally); enc_ppm = (conv_u·10⁶ + m·prior_ppm) div (n_u + m) —
+    * integer end to end, one truncating division per key, the prior
+    * broadcast as a 1-row frame.
+    *
+    * Scale shape: ONE map-combined aggregate to the per-key frame;
+    * the prior re-aggregates it. Keys are emitted with their support
+    * so a consumer can threshold. */
+  val Q251M = 10L
+
+  def q251TargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("pos")).as("n_conv"))
+    val prior = perUser
+      .agg(sum(col("n_events")).as("n"), sum(col("n_conv")).as("conv"))
+      .select(expr("CAST(conv AS DECIMAL(38,0)) * 1000000 div n")
+        .cast("long").as("prior_ppm"))
+    perUser.crossJoin(broadcast(prior))
+      .select(col("user_id"), col("n_events"), col("n_conv"),
+        col("prior_ppm"),
+        expr(s"""CAST((CAST(n_conv AS DECIMAL(38,0)) * 1000000
+                 | + $Q251M * prior_ppm) div (n_events + $Q251M)
+                 | AS BIGINT)""".stripMargin).as("enc_ppm"))
+  }
+
+  val q251Oracle: String =
+    s"""WITH u AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_conv
+       |  FROM events GROUP BY 1
+       |), p AS (
+       |  SELECT CAST(CAST(sum(n_conv) AS HUGEINT) * 1000000
+       |    // sum(n_events) AS BIGINT) AS prior_ppm
+       |  FROM u
+       |)
+       |SELECT user_id, n_events, n_conv, prior_ppm,
+       |  CAST((CAST(n_conv AS HUGEINT) * 1000000 + $Q251M * prior_ppm)
+       |    // (n_events + $Q251M) AS BIGINT) AS enc_ppm
+       |FROM u CROSS JOIN p""".stripMargin
 }

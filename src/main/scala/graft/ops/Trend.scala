@@ -370,6 +370,110 @@ object Trend {
        |${Q245Lags.map(one).mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** q249: Holt–Winters additive seasonal smoothing (Winters 1960) —
+    * the seasonal completion of q229's level+trend Holt: hourly event
+    * traffic has a strong hour-of-day cycle, and a forecaster that
+    * ignores it pages someone every midnight. State per series is
+    * (level, trend, 24 seasonal slots); weights are exact dyadics
+    * (α = 1/4, β = 1/2, γ = 1/2), every step one truncating integer
+    * division in a DEFINED order:
+    *
+    *   det  = x_t·1000 − S[h mod 24]
+    *   L_t  = (det + 3·(L₋ + B₋)) div 4
+    *   B_t  = (B₋ + (L_t − L₋)) div 2
+    *   S[h mod 24] ← (S[h mod 24] + (x_t·1000 − L_t)) div 2
+    *   forecast(next hour) = L_t + B_t + S[(h+1) mod 24]
+    *
+    * seeded L₁ = x₁·1000, B₁ = 0, S ≡ 0 (the first cycle learns the
+    * seasonals from zero — a defined protocol, not an estimate).
+    *
+    * Scale shape: q229's exactly — corpus → (type, hour) counts in one
+    * map-combined aggregate, then the order-sensitive recurrence runs
+    * as ONE grouped aggregate-HOF fold whose state is 26 longs per
+    * series (the 24-slot array rides inside the fold struct); no
+    * window, no driver loop, no recursion. The DuckDB oracle replays
+    * the identical recurrence as a recursive CTE carrying the 24-slot
+    * LIST — the two formulations agreeing bit-for-bit is the test. */
+  def q249HoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val M = HoltScale
+    val slot = "CAST(x.h % 24 AS INT)"
+    val nextSlot = "CAST((x.h + 1) % 24 AS INT)"
+    val det = s"(x.x * $M - element_at(acc.s, $slot + 1))"
+    val lN = s"(($det + 3 * (acc.l + acc.b)) div 4)"
+    val bN = s"((acc.b + ($lN - acc.l)) div 2)"
+    val sN = s"((element_at(acc.s, $slot + 1) + (x.x * $M - $lN)) div 2)"
+    val sUpd = s"transform(acc.s, (e, i) -> IF(i = $slot, $sN, e))"
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(expr(
+        s"""aggregate(
+           |  array_sort(collect_list(named_struct('h', h, 'x', x))),
+           |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+           |    's', array_repeat(CAST(0 AS BIGINT), 24), 'first', true,
+           |    'out', CAST(array() AS ARRAY<STRUCT<
+           |      h: BIGINT, x: BIGINT, level_milli: BIGINT,
+           |      trend_milli: BIGINT, seasonal_milli: BIGINT,
+           |      forecast_milli: BIGINT>>)),
+           |  (acc, x) -> CASE WHEN acc.first THEN named_struct(
+           |      'l', x.x * $M, 'b', CAST(0 AS BIGINT), 's', acc.s,
+           |      'first', false,
+           |      'out', array_append(acc.out, named_struct(
+           |        'h', x.h, 'x', x.x, 'level_milli', x.x * $M,
+           |        'trend_milli', CAST(0 AS BIGINT),
+           |        'seasonal_milli', CAST(0 AS BIGINT),
+           |        'forecast_milli',
+           |          x.x * $M + element_at(acc.s, $nextSlot + 1))))
+           |    ELSE named_struct(
+           |      'l', $lN, 'b', $bN, 's', $sUpd, 'first', false,
+           |      'out', array_append(acc.out, named_struct(
+           |        'h', x.h, 'x', x.x, 'level_milli', $lN,
+           |        'trend_milli', $bN, 'seasonal_milli', $sN,
+           |        'forecast_milli',
+           |          $lN + $bN + element_at(acc.s, $nextSlot + 1)))) END,
+           |  acc -> acc.out)""".stripMargin).as("curve"))
+      .select(col("event_type"), explode(col("curve")).as("f"))
+      .select(col("event_type"), col("f.h").as("h"), col("f.x").as("x"),
+        col("f.level_milli"), col("f.trend_milli"),
+        col("f.seasonal_milli"), col("f.forecast_milli"))
+  }
+
+  val q249Oracle: String = {
+    val M = HoltScale
+    val slot = "CAST(r.h % 24 AS INT)"
+    val det = s"(r.x * $M - p.s[($slot) + 1])"
+    val lN = s"(($det + 3 * (p.l + p.b)) // 4)"
+    val bN = s"((p.b + ($lN - p.l)) // 2)"
+    val sN = s"((p.s[($slot) + 1] + (r.x * $M - $lN)) // 2)"
+    val sUpd = s"p.s[1:($slot)] || [$sN] || p.s[($slot) + 2:24]"
+    val zeros = "[" + Seq.fill(24)("CAST(0 AS BIGINT)").mkString(", ") + "]"
+    s"""WITH RECURSIVE hourly AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS x
+       |  FROM events GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT event_type, h, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |  FROM hourly
+       |), hw(event_type, rk, h, x, l, b, s) AS (
+       |  SELECT event_type, rk, h, x, x * $M AS l, CAST(0 AS BIGINT) AS b,
+       |    $zeros AS s
+       |  FROM ranked WHERE rk = 1
+       |  UNION ALL
+       |  SELECT r.event_type, r.rk, r.h, r.x, $lN, $bN, $sUpd
+       |  FROM hw p JOIN ranked r
+       |    ON r.event_type = p.event_type AND r.rk = p.rk + 1
+       |)
+       |SELECT event_type, CAST(h AS BIGINT) AS h, CAST(x AS BIGINT) AS x,
+       |  CAST(l AS BIGINT) AS level_milli, CAST(b AS BIGINT) AS trend_milli,
+       |  CAST(s[(CAST(h % 24 AS INT)) + 1] AS BIGINT) AS seasonal_milli,
+       |  CAST(l + b + s[(CAST((h + 1) % 24 AS INT)) + 1] AS BIGINT)
+       |    AS forecast_milli
+       |FROM hw""".stripMargin
+  }
+
   val q232Oracle: String =
     """WITH hourly AS (
       |  SELECT event_type,

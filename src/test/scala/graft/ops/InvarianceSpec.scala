@@ -206,7 +206,9 @@ class InvarianceSpec extends AnyFunSuite {
     ("q246 personalized PageRank (integer teleport power iteration)",
       () => Graph.q246PersonalizedPagerank(spark, TestSpark.sfDir)),
     ("q247 forward as-of (union-trick descending window)",
-      () => AsOfJoin.q247ForwardAsof(spark, TestSpark.sfDir)))
+      () => AsOfJoin.q247ForwardAsof(spark, TestSpark.sfDir)),
+    ("q249 Holt-Winters (26-long seasonal state, order-sensitive fold)",
+      () => Trend.q249HoltWinters(spark, TestSpark.sfDir)))
 
   for ((name, mk) <- cases) {
     test(s"$name is bit-identical under perturbed partitioning") {
