@@ -902,9 +902,11 @@ object Graph {
       .distinct()
     val edges = sc.select(col("s").as("src"), col("c").as("dst"))
       .unionAll(sc.select(col("c").as("src"), col("s").as("dst")))
-      .persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val ecd = edges.join(deg, "src")
+    // persist the degree-annotated edge list, not the bare edges: it is
+    // what every round joins against, and an unpersisted ecd would
+    // re-run the lineitem⋈orders scan + degree shuffle once per round
+    val ecd = edges.join(deg, "src").persist()
 
     // seed nation: the one with the MOST suppliers (ties -> lowest
     // key) — deterministic and non-empty at every scale factor (a
