@@ -125,4 +125,24 @@ class PushdownSpec extends AnyFunSuite {
         s.contains("o_orderpriority")),
       s"orders scan unpruned: ${scans.mkString("; ")}")
   }
+
+  test("q240 band join: both event_type filters reach the events scans, text stays unread") {
+    val p = physical("q240_band_join")
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      "purchase filter did not reach the scan")
+    assert(p.contains("EqualTo(event_type,error)"),
+      "error filter did not reach the scan")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty && !scans.exists(_.contains("props")),
+      s"events scan reads the wide props column: ${scans.mkString("; ")}")
+  }
+
+  test("q250 split gain: the events scan prunes to the feature source columns") {
+    val p = physical("q250_split_gain")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty, "no ReadSchema in plan")
+    assert(!scans.exists(_.contains("props")) &&
+      !scans.exists(_.contains("event_id")),
+      s"events scan unpruned: ${scans.mkString("; ")}")
+  }
 }
