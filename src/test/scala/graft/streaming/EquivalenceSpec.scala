@@ -394,4 +394,49 @@ class EquivalenceSpec extends AnyFunSuite {
     assert(u1.map(_.bal).toSeq == Seq(1000L, 0L, 700L, 0L, 300L))
     assert(u1.last.z == 2L)
   }
+
+  test("batch Holt-Winters equals the streaming 26-long seasonal state mid-stream split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two full seasonal cycles with a superimposed trend so every
+    // slot gets a second visit (the seasonal update path), plus a
+    // falling tail that drives trend AND seasonals negative — the
+    // truncation regime where conventions could drift
+    def rate(h: Int): Int = {
+      val season = if (h % 24 < 12) 3 else 1
+      math.max(1, season + h / 12 - (if (h > 40) h - 40 else 0))
+    }
+    def evRows(hours: Range) = for {
+      h <- hours; i <- 0 until rate(h)
+    } yield (9000L + h * 100 + i,
+      java.sql.Timestamp.valueOf(
+        f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:${i % 60}%02d:30"),
+      5L, "hw", 0.0, "{}")
+    val tmp = java.nio.file.Files.createTempDirectory("hwstream").toString
+    evRows(0 until 50)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val batch = graft.ops.Trend.q249HoltWinters(spark, tmp)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+
+    def hourly(hours: Range) = evRows(hours)
+      .groupBy(r => r._2.getTime / 3600000)
+      .map { case (h, rs) => HwStream.HourCount("hw", h, rs.size.toLong) }
+      .toSeq.sortBy(_.h)
+    val in = MemoryStream[HwStream.HourCount]
+    val out = HwStream.holtWinters(in.toDS())
+    val q = out.writeStream.format("memory").queryName("equiv_hw")
+      .outputMode("append").start()
+    // three uneven cuts, one mid-cycle — the split must not matter
+    in.addData(hourly(0 until 17): _*); q.processAllAvailable()
+    in.addData(hourly(17 until 18): _*); q.processAllAvailable()
+    in.addData(hourly(18 until 50): _*); q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val streaming = spark.table("equiv_hw")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streaming.nonEmpty)
+    assert(streaming === batch, s"batch=$batch\nstream=$streaming")
+    // the seasonal path genuinely exercised: some negative seasonals
+    assert(streaming.exists(_._6 < 0L))
+  }
 }
