@@ -1800,6 +1800,107 @@ object Audit {
     }.reduce(_ unionByName _)
   }
 
+  /** q252: rank-correlation audit (Spearman ρ + Kendall τ) between two
+    * per-nation business metrics — revenue rank vs order-count rank.
+    * The metric-agreement question every dashboard migration and
+    * ranking-model eval asks ("do the two orderings tell the same
+    * story?"), answered with BOTH classical rank statistics: ρ from
+    * squared rank displacements, τ from pairwise concordance — exact
+    * integers end to end (ranks by strict (metric, key) comparison
+    * count, a defined total order; one truncating ppm division per
+    * statistic), so the result hash-matches DuckDB bit-for-bit where
+    * a float covariance formulation would not.
+    *
+    * Scale shape: the corpus collapses to the |nations|-row metric
+    * frame in one map-combined aggregate (dimension joins broadcast);
+    * ranks and concordance both come from the frame's self-join —
+    * |nations|² pairs, aggregate-sized squared, NEVER the corpus —
+    * and no Window node exists anywhere in the plan (ranks are
+    * smaller-than counts, the PlanLint-cleanest formulation). */
+  def q252RankCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.load(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(Exact.units(col("o_totalprice"), 2)).as("rev"),
+        count(lit(1)).as("cnt"))
+      .persist()
+    val b = nat.select(col("nk").as("nk2"), col("rev").as("rev2"),
+      col("cnt").as("cnt2"))
+    // strict-total-order ranks: #rows sorting strictly before (metric, key)
+    val ranked = nat.crossJoin(broadcast(b))
+      .groupBy(col("nk"))
+      .agg(
+        sum(when(col("rev2") < col("rev") ||
+          (col("rev2") === col("rev") && col("nk2") < col("nk")), 1L)
+          .otherwise(0L)).as("r_rev"),
+        sum(when(col("cnt2") < col("cnt") ||
+          (col("cnt2") === col("cnt") && col("nk2") < col("nk")), 1L)
+          .otherwise(0L)).as("r_cnt"))
+    val spearman = ranked
+      .agg(count(lit(1)).as("n"),
+        sum((col("r_rev") - col("r_cnt")) * (col("r_rev") - col("r_cnt")))
+          .as("sum_d2"))
+    val kendall = nat.crossJoin(broadcast(b)).filter(col("nk") < col("nk2"))
+      .agg(
+        sum(when((col("rev") - col("rev2")) * (col("cnt") - col("cnt2")) > 0,
+          1L).otherwise(0L)).as("concordant"),
+        sum(when((col("rev") - col("rev2")) * (col("cnt") - col("cnt2")) < 0,
+          1L).otherwise(0L)).as("discordant"),
+        sum(when(col("rev") === col("rev2") || col("cnt") === col("cnt2"),
+          1L).otherwise(0L)).as("tied_pairs"))
+    spearman.crossJoin(broadcast(kendall))
+      .select(col("n"), col("sum_d2"),
+        expr("""CAST(1000000 - CAST(6 AS DECIMAL(38,0)) * sum_d2 * 1000000
+               | div (CAST(n AS DECIMAL(38,0)) * (n * n - 1)) AS BIGINT)"""
+          .stripMargin).as("spearman_ppm"),
+        col("concordant"), col("discordant"), col("tied_pairs"),
+        expr("""CAST((CAST(concordant AS DECIMAL(38,0)) - discordant)
+               | * 1000000 div (CAST(n AS DECIMAL(38,0)) * (n - 1) div 2)
+               | AS BIGINT)""".stripMargin).as("tau_ppm"))
+  }
+
+  val q252Oracle: String =
+    """WITH nat AS (
+      |  SELECT c.c_nationkey AS nk,
+      |    CAST(sum(CAST(round(o.o_totalprice * 100.0) AS HUGEINT))
+      |      AS BIGINT) AS rev,
+      |    count(*) AS cnt
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1
+      |), ranked AS (
+      |  SELECT a.nk,
+      |    CAST(sum(CASE WHEN b.rev < a.rev
+      |      OR (b.rev = a.rev AND b.nk < a.nk) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r_rev,
+      |    CAST(sum(CASE WHEN b.cnt < a.cnt
+      |      OR (b.cnt = a.cnt AND b.nk < a.nk) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r_cnt
+      |  FROM nat a CROSS JOIN nat b
+      |  GROUP BY 1
+      |), sp AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum((r_rev - r_cnt) * (r_rev - r_cnt)) AS BIGINT) AS sum_d2
+      |  FROM ranked
+      |), kd AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN (a.rev - b.rev) * (a.cnt - b.cnt) > 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      |    CAST(sum(CASE WHEN (a.rev - b.rev) * (a.cnt - b.cnt) < 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+      |    CAST(sum(CASE WHEN a.rev = b.rev OR a.cnt = b.cnt
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tied_pairs
+      |  FROM nat a JOIN nat b ON a.nk < b.nk
+      |)
+      |SELECT n, sum_d2,
+      |  CAST(1000000 - CAST(6 AS HUGEINT) * sum_d2 * 1000000
+      |    // (CAST(n AS HUGEINT) * (n * n - 1)) AS BIGINT) AS spearman_ppm,
+      |  concordant, discordant, tied_pairs,
+      |  CAST((CAST(concordant AS HUGEINT) - discordant) * 1000000
+      |    // (CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT) AS tau_ppm
+      |FROM sp CROSS JOIN kd""".stripMargin
+
   val q242Oracle: String = {
     def one(table: String, c: String): String =
       s"""SELECT '$table' AS table_name, '$c' AS col_name,
