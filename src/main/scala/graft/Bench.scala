@@ -30,15 +30,21 @@ object Bench {
     // first read of each table measures cold-disk IO that no steady-state
     // deployment pays (r5: driver 298.5s vs quiet warm box 187.7s for
     // the same binary). One sequential pass, a few seconds at sf0.1.
-    try {
-      val dir = new java.io.File(sfDir)
+    locally {
       val buf = new Array[Byte](1 << 20)
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+      // per-file try/catch: one unreadable entry (or a directory-style
+      // .parquet) must not abort warming for the remaining tables
+      def warm(f: java.io.File): Unit =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(warm)
+        else try {
           val in = new java.io.FileInputStream(f)
           try { while (in.read(buf) >= 0) () } finally in.close()
-        }
-    } catch { case _: Throwable => () }
+        } catch { case _: Throwable => () }
+      Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") || f.isDirectory)
+        .foreach(warm)
+    }
     // Release anything a query persisted (operator-level caches,
     // eager localCheckpoints): a 30+-query session must not accumulate
     // block-manager residue across queries.
@@ -56,6 +62,29 @@ object Bench {
       // An explicit GC per timed run keeps the 220-query sweep
       // measuring the QUERY, not the harness's garbage.
       System.gc()
+    }
+    // SPARK_GRAFT_BENCH_DEBUG=1: after each query, print the JVM-state
+    // line that explains (or exonerates) in-sweep inflation — heap
+    // after GC, metaspace, JIT code cache (a full code cache disables
+    // compilation and silently de-optimizes every later loop),
+    // cumulative JIT time, and leftover block-manager entries.
+    val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
+    def jvmLine(tag: String): Unit = if (debug) {
+      import scala.jdk.CollectionConverters._
+      import java.lang.management.ManagementFactory
+      def mb(b: Long): Long = b >> 20
+      val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      def pool(name: String): Long =
+        pools.filter(_.getName.contains(name)).map(_.getUsage.getUsed).sum
+      val heap = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+      val jit = ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+      val rdds = spark.sparkContext.getPersistentRDDs.size
+      val mem = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, free) => max - free }.sum
+      println(s"""{"jvm":"$tag","heap_mb":${mb(heap.getUsed)},""" +
+        s""""meta_mb":${mb(pool("Metaspace"))},""" +
+        s""""codecache_mb":${mb(pool("CodeHeap"))},""" +
+        s""""jit_ms":$jit,"rdds":$rdds,"bm_mb":${mb(mem)}}""")
     }
     // min of 3 timed runs per query: local-mode timings on a shared box
     // are noisy (GC, JIT, neighbors); the min is the stable signal. If
@@ -83,6 +112,7 @@ object Bench {
       // incremental line per query: numbers survive even if a bounded
       // log capture truncates the one big summary line
       println(s"""{"q":"$name","sec":${all.min}}""")
+      jvmLine(name)
       name -> all.min
     }.toMap
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }

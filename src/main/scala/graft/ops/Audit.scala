@@ -1820,8 +1820,10 @@ object Audit {
   def q252RankCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
+    // no broadcast hint on customer (grows with the corpus — q138 rule);
+    // the optimizer broadcasts the 2-column projection while it fits
     val nat = Tables.load(spark, dir, "orders")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nk"))
       .agg(sum(Exact.units(col("o_totalprice"), 2)).as("rev"),
         count(lit(1)).as("cnt"))

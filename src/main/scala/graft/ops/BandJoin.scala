@@ -43,12 +43,19 @@ object BandJoin {
     * before calling); the bucket columns are dropped on exit. */
   def temporalBand(left: DataFrame, leftTs: Column, right: DataFrame,
       rightTs: Column, bandSeconds: Long): DataFrame = {
+    // FLOOR division, not truncating `div`: for negative epoch seconds
+    // (pre-1970 timestamps) truncation rounds toward zero, which would
+    // put a qualifying right row outside the two probe buckets. With
+    // floor, rsec ∈ (lsec, lsec+band] ⇒ ⌊rsec/band⌋ ∈ {⌊lsec/band⌋,
+    // ⌊lsec/band⌋+1} holds for ALL epochs.
+    def fdiv(x: String): String =
+      s"($x div $bandSeconds) + (CASE WHEN $x % $bandSeconds < 0" +
+        " THEN -1 ELSE 0 END)"
     val lb = left.withColumn("_lsec", unix_timestamp(leftTs))
       .withColumn("_probe_bkt",
-        explode(array(expr(s"_lsec div $bandSeconds"),
-          expr(s"_lsec div $bandSeconds + 1"))))
+        explode(array(expr(fdiv("_lsec")), expr(fdiv("_lsec") + " + 1"))))
     val rb = right.withColumn("_rsec", unix_timestamp(rightTs))
-      .withColumn("_rbkt", expr(s"_rsec div $bandSeconds"))
+      .withColumn("_rbkt", expr(fdiv("_rsec")))
     lb.join(rb, col("_probe_bkt") === col("_rbkt") &&
         rightTs > leftTs &&
         rightTs <= leftTs + expr(s"INTERVAL $bandSeconds SECONDS"))

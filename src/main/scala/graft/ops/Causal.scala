@@ -284,8 +284,11 @@ object Causal {
         expr(s"CASE WHEN n_$s = 0 THEN NULL" +
           s" ELSE y_$s * 1000 div n_$s END").as(s"avg_${s}_milli")
     }
+    // no broadcast hint on customer — it grows with the corpus and a
+    // forced hint OOMs at scale; the optimizer (or AQE) broadcasts the
+    // projection exactly while it fits (the q138 rule)
     Tables.load(spark, dir, "orders")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("treat"),
         (col("o_orderdate") >= lit(DidCutoff).cast("timestamp")).as("post"),
         Exact.units(col("o_totalprice"), 2).as("cents"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -597,30 +597,72 @@ object Classic {
     * aggregate of orders; each metric's cnt_lt comes from
     * [[Rank.globalPrefixSum]] over the DISTINCT-value frame (the
     * two-phase 256-bucket plan — no global window, no driver sort;
-    * the q183 percentile discipline ×3), joined back on the metric
-    * value; the final segment rollup is a ≤125-group aggregate. */
-  def q231RfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.load(spark, dir, "orders")
+    * the q183 percentile discipline ×3). The quintile FUNCTION is then
+    * fully determined by ≤4 boundary rows per metric — the smallest
+    * value whose quintile reaches q, for q = 1..4 — so instead of
+    * joining each quintile map back onto the customer frame by raw
+    * metric value (three extra customer-frame shuffle joins), the
+    * prefix frame is collapsed to ONE 4-value row per metric,
+    * collected at build time (12 longs — the statistics-sized driver
+    * collect globalPrefixSum already performs internally), and
+    * quintiles are assigned as literal comparison sums in ONE
+    * aggregation pass over `cust`: quintile(v) = #{q : v ≥ b_q},
+    * exact because the quintile is nondecreasing in v and b_q is its
+    * level-crossing point (ties all land with their value; a
+    * mass-heavy value that skips a quintile simply yields
+    * b_q = b_{q+1}, and the count still lands on the right level).
+    * The final segment rollup is a ≤125-group aggregate. */
+  /** q231's per-customer (Recency, Frequency, Monetary) metric frame —
+    * shared with the streaming twin ([[graft.streaming.RfmStream]]),
+    * whose final per-key state must equal this frame bit-for-bit
+    * (EquivalenceSpec): one map-combined aggregate of orders. */
+  def rfmMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
       .select(col("o_custkey"),
         expr("unix_timestamp(o_orderdate) div 86400").as("r_day"),
         Exact.units(col("o_totalprice"), 2).as("cents"))
       .groupBy(col("o_custkey"))
       .agg(max(col("r_day")).as("r_day"), count(lit(1)).as("f_cnt"),
         sum(col("cents")).as("m_cents"))
-      .persist()
-    val totals = cust.agg(count(lit(1)).as("n_cust"))
-    def quintileMap(metric: String): DataFrame = {
-      val pv = cust.groupBy(col(metric)).agg(count(lit(1)).as("_c"))
-      Rank.globalPrefixSum(pv, metric, Nil, "_c", "_cum")
-        .crossJoin(broadcast(totals))
-        .select(col(metric),
-          expr(s"((_cum - _c) * 5) div n_cust").as(s"${metric}_q"))
-    }
+
+  def q231RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val cust = rfmMetrics(spark, dir).persist()
+    // ONE pipeline for all three metrics (job count is the local cost:
+    // three separate prefix pipelines pay 3× the scheduling floor):
+    // unpivot cust to (metric, v), one grouped two-phase prefix sum,
+    // one ≤3-row boundary collect — the statistics-sized driver
+    // collect the Rank primitives already perform internally. n_cust
+    // is collected first (one long; also materializes the persist).
+    val nCust = cust.count()
+    val metricNames = Seq("r_day", "f_cnt", "m_cents")
+    val unpiv = cust.select(explode(array(metricNames.map(m =>
+        struct(lit(m).as("metric"), col(m).as("v"))): _*)).as("mv"))
+      .select(col("mv.metric").as("metric"), col("mv.v").as("v"))
+    val pv = unpiv.groupBy(col("metric"), col("v"))
+      .agg(count(lit(1)).as("_c"))
+    val pre = Rank.groupPrefixSum(pv, Seq("metric"), "v", Nil, "_c", "_cum")
+    val bndAggs = (1 to 4).map(q =>
+      min(when(expr(s"((_cum - _c) * 5) div $nCust") >= q, col("v")))
+        .as(s"b$q"))
+    val bnd: Map[String, Seq[Option[Long]]] = pre.groupBy(col("metric"))
+      .agg(bndAggs.head, bndAggs.tail: _*)
+      .collect()
+      .map(r => r.getString(0) ->
+        (1 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+      .toMap
+    // quintile(v) = #{q : v ≥ b_q} as a literal comparison sum — exact
+    // because the quintile is nondecreasing in v and b_q is its
+    // level-crossing point; a missing boundary (metric with <5
+    // occupied quintiles) contributes 0
+    def quintile(metric: String): Column =
+      bnd.getOrElse(metric, Seq.fill(4)(Option.empty[Long])).map {
+        case Some(b) => when(col(metric) >= lit(b), 1L).otherwise(0L)
+        case None => lit(0L)
+      }.reduce(_ + _)
     cust
-      .join(quintileMap("r_day"), Seq("r_day"))
-      .join(quintileMap("f_cnt"), Seq("f_cnt"))
-      .join(quintileMap("m_cents"), Seq("m_cents"))
-      .groupBy(col("r_day_q"), col("f_cnt_q"), col("m_cents_q"))
+      .groupBy(quintile("r_day").as("r_day_q"),
+        quintile("f_cnt").as("f_cnt_q"),
+        quintile("m_cents").as("m_cents_q"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("m_cents")).as("segment_cents"))
       .select(col("r_day_q"), col("f_cnt_q"), col("m_cents_q"),
@@ -660,7 +702,9 @@ object Classic {
       .select(col("n_nationkey"), col("n_name"))
     li.join(part, col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      // supplier carries no hint (grows with the corpus — q138 rule);
+      // nation is a fixed 25-row dimension, the hint stays
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("nation"), col("o_year"),
         (col("rev_u4") - (col("retail_cents") * col("qty_centi"))

@@ -322,8 +322,10 @@ object Governance {
       |), scored AS (
       |  SELECT cells.source, cells.lang, CAST(obs AS BIGINT) AS obs,
       |    CAST(row_n * col_n * 1000 // n AS BIGINT) AS expected_milli,
-      |    CAST((obs * n - row_n * col_n) * (obs * n - row_n * col_n)
-      |      * 1000000 // (n * row_n * col_n) AS BIGINT) AS contrib_e6,
+      |    CAST(CAST(obs * n - row_n * col_n AS HUGEINT)
+      |      * (obs * n - row_n * col_n) * 1000000
+      |      // (CAST(n AS HUGEINT) * row_n * col_n) AS BIGINT)
+      |      AS contrib_e6,
       |    CAST((n_sources - 1) * (n_langs - 1) AS BIGINT) AS dof
       |  FROM cells JOIN r USING (source) JOIN c USING (lang) CROSS JOIN t
       |)
@@ -351,8 +353,10 @@ object Governance {
     val cust = Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+    // no broadcast hint on customer (grows with the corpus — q138 rule);
+    // the optimizer broadcasts the 4-column projection while it fits
     val cells = Tables.load(spark, dir, "orders")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
         col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"))

@@ -214,29 +214,66 @@ object Spatial {
     members.unionAll(noise)
   }
 
+  /** How many unrolled hook+jump rounds the oracle's connected
+    * components run. Min-label propagation advances the component-min
+    * frontier ONE eps-hop per hook round (the jump floods a region
+    * only once its rep hub converts), so the bound is the largest
+    * cluster's hop diameter: measured 36 rounds to fixpoint at sf0.01
+    * (sparse lattice → long chains), 20 at sf0.1 (denser → shorter);
+    * 48 carries a 33 % margin over the worst observed. */
+  val OracleCcRounds = 48
+
+  /** The q194 DuckDB oracle, grid-blocked like the Spark side (the
+    * q134 discipline): candidate pairs come from a 3×3-cell equi-join
+    * on ⌊coord/eps⌋ cells — NOT the textbook all-pairs product, which
+    * DNFs at sf0.1 — and connected components run as [[OracleCcRounds]]
+    * unrolled hook+jump rounds (min over eps-neighbors, then one
+    * pointer jump rep := rep(rep)), the q56 unrolled-CTE replay
+    * discipline standing in for the recursive closure whose pair set
+    * is quadratic in component size. `AS MATERIALIZED` pins every
+    * multiply-referenced CTE: DuckDB 1.0 inlines CTEs per reference,
+    * which would re-expand the whole chain exponentially. */
   val q194Oracle: String = {
     val r2 = RadiusE4 * RadiusE4
-    s"""WITH RECURSIVE p AS (
+    val rounds = (1 to OracleCcRounds).map { i =>
+      s"""h$i AS MATERIALIZED (
+         |  SELECT l.k, min(least(l.rep, coalesce(n.rep, l.rep))) AS rep
+         |  FROM l${i - 1} l LEFT JOIN ce ON ce.ak = l.k
+         |  LEFT JOIN l${i - 1} n ON n.k = ce.bk
+         |  GROUP BY l.k),
+         |l$i AS MATERIALIZED (
+         |  SELECT a.k, b.rep FROM h$i a JOIN h$i b ON b.k = a.rep)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
        |  SELECT c_custkey AS k,
        |    (c_custkey % 80) * 10000 + (c_custkey * 7 % 10000) AS lat,
        |    (c_custkey * 3 % 170) * 10000 + (c_custkey * 13 % 10000) AS lon
        |  FROM customer),
-       |e AS (
-       |  SELECT a.k AS ak, b.k AS bk FROM p a JOIN p b ON a.k <> b.k
-       |  WHERE (a.lat - b.lat) * (a.lat - b.lat) +
+       |g AS MATERIALIZED (
+       |  SELECT k, lat, lon, lat // $RadiusE4 AS cx, lon // $RadiusE4 AS cy
+       |  FROM p),
+       |off(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+       |                       (1,-1),(1,0),(1,1)),
+       |probe AS (
+       |  SELECT k, lat, lon, cx + dx AS cx, cy + dy AS cy
+       |  FROM g CROSS JOIN off),
+       |e AS MATERIALIZED (
+       |  SELECT a.k AS ak, b.k AS bk
+       |  FROM probe a JOIN g b ON a.cx = b.cx AND a.cy = b.cy
+       |  WHERE a.k <> b.k
+       |    AND (a.lat - b.lat) * (a.lat - b.lat) +
        |        (a.lon - b.lon) * (a.lon - b.lon) <= $r2),
        |deg AS (
        |  SELECT p.k, count(e.bk) AS nb FROM p
        |  LEFT JOIN e ON e.ak = p.k GROUP BY p.k),
-       |core AS (SELECT k FROM deg WHERE nb + 1 >= $DbscanMinPts),
-       |ce AS (
+       |core AS MATERIALIZED (SELECT k FROM deg WHERE nb + 1 >= $DbscanMinPts),
+       |ce AS MATERIALIZED (
        |  SELECT ak, bk FROM e
        |  WHERE ak IN (SELECT k FROM core) AND bk IN (SELECT k FROM core)),
-       |reach AS (
-       |  SELECT k AS a, k AS b FROM core
-       |  UNION
-       |  SELECT r.a, ce.bk FROM reach r JOIN ce ON ce.ak = r.b),
-       |corerep AS (SELECT a AS k, min(b) AS rep FROM reach GROUP BY a),
+       |l0 AS MATERIALIZED (SELECT k, k AS rep FROM core),
+       |$rounds,
+       |corerep AS (SELECT k, rep FROM l$OracleCcRounds),
        |borderrep AS (
        |  SELECT e.ak AS k, min(cr.rep) AS rep
        |  FROM e JOIN corerep cr ON cr.k = e.bk

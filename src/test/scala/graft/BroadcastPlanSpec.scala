@@ -19,7 +19,12 @@ class BroadcastPlanSpec extends AnyFunSuite {
     "q161_ship_priority" -> "c_custkey",   // filtered customer
     "q166_big_orders" -> "c_custkey",      // customer name join
     "q2_weather_pivot" -> "c_custkey",     // events ⋈ customer
-    "q5_fact_orders" -> "c_custkey")       // detail chain customer hop
+    "q5_fact_orders" -> "c_custkey",       // detail chain customer hop
+    // r7: the last four authoring-time hints on growing tables dropped
+    "q252_rank_correlation" -> "c_custkey",
+    "q241_diff_in_diff" -> "c_custkey",
+    "q238_l_diversity" -> "c_custkey",
+    "q237_nation_profit" -> "s_suppkey")
 
   for ((name, key) <- expectations if SparkEntry.queries.contains(name)) {
     test(s"$name broadcasts its $key join without a hint") {

@@ -439,4 +439,46 @@ class EquivalenceSpec extends AnyFunSuite {
     // the seasonal path genuinely exercised: some negative seasonals
     assert(streaming.exists(_._6 < 0L))
   }
+
+  test("batch RFM metric frame equals the streaming triple's final state under shuffled arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three customers, interleaved orders across two micro-batches in
+    // SHUFFLED (non-chronological) order: (max, count, sum) is a
+    // commutative monoid, so the final state must match the batch
+    // aggregate regardless of arrival order — the stronger contract
+    // RfmStream documents (vs the in-order Holt/EWMA recurrences)
+    val fixture = Seq(
+      (1L, "2024-01-05", 10.25), (2L, "2024-01-02", 99.99),
+      (1L, "2024-01-01", 5.50), (3L, "2024-02-10", 1.01),
+      (2L, "2024-01-20", 0.49), (1L, "2024-01-12", 7.00),
+      (3L, "2024-01-30", 42.42))
+    val tmp = java.nio.file.Files.createTempDirectory("rfmstream").toString
+    fixture.zipWithIndex.map { case ((c, d, p), i) =>
+      (i.toLong, c, Timestamp.valueOf(s"$d 09:30:00"), p)
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val batch = graft.ops.Classic.rfmMetrics(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    def orderRow(c: Long, d: String, p: Double) = {
+      val ms = Timestamp.valueOf(s"$d 09:30:00").getTime
+      RfmStream.OrderRow(c, ms / 86400000L, math.round(p * 100))
+    }
+    val rows = fixture.map((orderRow _).tupled)
+    val in = MemoryStream[RfmStream.OrderRow]
+    val q = RfmStream.rfm(in.toDS()).writeStream.format("memory")
+      .queryName("equiv_rfm").outputMode("append").start()
+    in.addData(rows.take(4): _*); q.processAllAvailable()
+    in.addData(rows.drop(4): _*); q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val emissions = spark.table("equiv_rfm")
+      .as[(Long, Long, Long, Long)].collect()
+    // latest emission per key = the row with that key's max f_cnt
+    val finalState = emissions.groupBy(_._1)
+      .map { case (_, rs) => rs.maxBy(_._3) }.toSet
+    // every order emitted a row, and the final state matches batch
+    assert(emissions.length === fixture.length)
+    assert(finalState === batch, s"batch=$batch\nstream=$finalState")
+  }
 }
