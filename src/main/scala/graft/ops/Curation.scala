@@ -316,16 +316,22 @@ object Curation {
     * to 2¹⁰ integer cells; 30 days of reprocessing becomes 30×1024
     * rows of max()).
     *
-    * Plan: the daily register build is one keyed max-aggregate; the
-    * window merge is a 7-way explode on the DAILY REGISTERS (sketch-
-    * sized, not event-sized) + one more max-aggregate; the direct
-    * check replays the same explode on raw rows. */
+    * Plan: the daily register build is one keyed max-aggregate over
+    * the DISTINCT (user, day) frame — the q206 discipline: dedup on
+    * native types BEFORE the 15-nibble md5 hash, so the expensive
+    * expression runs once per user-day, not once per event (max over
+    * duplicate hashes is the identity, so the registers are
+    * unchanged); the window merge is a 7-way explode on the DAILY
+    * REGISTERS (sketch-sized, not event-sized) + one more
+    * max-aggregate; the direct check replays the same explode on the
+    * deduped user-day frame (re-deduped after the shift — overlapping
+    * windows re-collide the same user across source days). */
   private def hllSlidingSql(posFn: String, dayDiv: String): String = {
     val offs = (0 until HllWindowDays).map(o => s"($o)").mkString(", ")
     s"""WITH daily AS (
        |${hllRegisterSql(posFn, Seq("day"))
         .replace("FROM events",
-          s"FROM (SELECT user_id, $dayDiv AS day FROM events) ev")}
+          s"FROM (SELECT DISTINCT user_id, $dayDiv AS day FROM events) ev")}
        |), days AS (
        |  SELECT DISTINCT day FROM daily
        |), rolled AS (
@@ -336,8 +342,9 @@ object Curation {
        |), direct AS (
        |${hllRegisterSql(posFn, Seq("day"))
         .replace("FROM events",
-          s"""FROM (SELECT e0.user_id, e0.day0 + o.off AS day
-             |      FROM (SELECT user_id, $dayDiv AS day0 FROM events) e0
+          s"""FROM (SELECT DISTINCT e0.user_id, e0.day0 + o.off AS day
+             |      FROM (SELECT DISTINCT user_id, $dayDiv AS day0
+             |            FROM events) e0
              |      CROSS JOIN (SELECT unnest([$offs]) AS off) o) ev"""
             .stripMargin)}
        |)

@@ -483,9 +483,17 @@ object TextOps {
     * appearing in df documents contributes at most df·(df−1)/2
     * candidate pairs, so capping df bounds the join, and the dropped
     * high-df terms are stopword-like mass that both vectors share
-    * anyway. The cap is RELATIVE — df ≤ corpus_docs/10, a one-row
-    * broadcast — because an absolute cap silently degenerates as the
-    * corpus grows (everything rare at 50 docs, nothing rare at 10⁹).
+    * anyway. The cap is df ≤ min(corpus_docs/10, [[TfidfMaxDf]]):
+    * the RELATIVE arm keeps tiny corpora sane (everything is "rare"
+    * at 50 docs), and the ABSOLUTE arm is the scale bound — a purely
+    * relative cap admits terms whose posting lists GROW WITH THE
+    * CORPUS, and Σ df² candidate pairs then grows quadratically in
+    * corpus size (measured: the r7 sf1 sighting put q88 at 563 s,
+    * 601× its sf0.1 time at 10× the docs, because cross-copy shared
+    * terms' df grew 10× under a cap that grew 10× too; with the
+    * absolute arm the same sighting runs ~linear). An absolute
+    * posting-length budget is the standard IR prune (posting-list
+    * truncation); 256 bounds any term at ≤32 640 pairs forever.
     * The prune is part of the operator contract (the vectors
     * themselves are restricted to rare terms, both sides).
     *
@@ -499,9 +507,16 @@ object TextOps {
     * shuffle for the posting join with candidates bounded by the df
     * cap, one pair-keyed aggregation. Nothing corpus-sized broadcasts;
     * at 100 TB each stage partitions on its key. */
+  /** q88's absolute posting-length budget: no term generates more
+    * than TfidfMaxDf·(TfidfMaxDf−1)/2 ≈ 32 k candidate pairs at any
+    * corpus size. At sf0.01 (500 docs) min(n/10, 256) = 50 = the old
+    * purely-relative cap, so the oracle-checked scale is unchanged. */
+  val TfidfMaxDf = 256L
+
   def q88TfidfSimilar(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val cap = docs.select((count(lit(1)) / 10).cast("long").as("df_cap"))
+    val cap = docs.select(least((count(lit(1)) / 10).cast("long"),
+      lit(TfidfMaxDf)).as("df_cap"))
     val tf = docs
       .select(col("doc_id"), explode(TF.wsTokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -548,7 +563,8 @@ object TextOps {
        |), rare AS (
        |  SELECT tf.doc_id, tf.term, tf.tf
        |  FROM tf JOIN df USING (term)
-       |  WHERE df.df <= (SELECT count(*) // 10 FROM documents)
+       |  WHERE df.df <= (SELECT least(count(*) // 10, 256)
+       |                  FROM documents)
        |), norms AS (
        |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2
        |  FROM rare GROUP BY 1
