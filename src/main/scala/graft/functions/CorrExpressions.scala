@@ -5,11 +5,11 @@ import java.security.MessageDigest
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Kernels for the correlation near-dup pipeline (DedupOps q35):
@@ -63,6 +63,111 @@ object CorrUtil {
       val rnd = new java.util.Random(seed)
       Array.fill(bits, dim)(rnd.nextGaussian())
     })
+
+  /** Driver-side: top-m (near-)orthonormal directions of the second
+    * moment M = Σᵢ uᵢuᵢᵀ of the sampled unit vectors, by blocked power
+    * iteration with Gram–Schmidt re-orthonormalization. M is never
+    * formed — M·B = Σᵢ uᵢ(uᵢ·Bⱼ) costs |sample|·dim·m flops per
+    * iteration, all driver-local. EXACTNESS of the prune does not
+    * depend on convergence (any orthonormal set yields a valid
+    * distance lower bound; quality only affects the prune RATE), so a
+    * fixed iteration count with a deterministic seed is sufficient.
+    * Degenerate residuals (rank-deficient sample) become zero rows,
+    * which contribute 0 to every projected distance — still valid. */
+  def topSubspace(sample: Array[Array[Double]], m: Int, iters: Int,
+                  seed: Long): Array[Array[Double]] = {
+    val dim = if (sample.nonEmpty) sample(0).length else 0
+    if (dim == 0) return Array.fill(m)(new Array[Double](0))
+    val rnd = new java.util.Random(seed)
+    def gs(v: Array[Array[Double]]): Array[Array[Double]] = {
+      val out = Array.fill(m)(new Array[Double](dim))
+      var j = 0
+      while (j < m) {
+        val w = v(j).clone()
+        var k = 0
+        while (k < j) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { d += w(i) * out(k)(i); i += 1 }
+          i = 0
+          while (i < dim) { w(i) -= d * out(k)(i); i += 1 }
+          k += 1
+        }
+        var nrm = 0.0
+        var i = 0
+        while (i < dim) { nrm += w(i) * w(i); i += 1 }
+        nrm = math.sqrt(nrm)
+        if (nrm > 1e-9) { i = 0; while (i < dim) { out(j)(i) = w(i) / nrm; i += 1 } }
+        j += 1
+      }
+      out
+    }
+    var b = gs(Array.fill(m)(Array.fill(dim)(rnd.nextGaussian())))
+    var it = 0
+    while (it < iters) {
+      val y = Array.fill(m)(new Array[Double](dim))
+      var si = 0
+      while (si < sample.length) {
+        val u = sample(si)
+        var j = 0
+        while (j < m) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { d += u(i) * b(j)(i); i += 1 }
+          i = 0
+          while (i < dim) { y(j)(i) += d * u(i); i += 1 }
+          j += 1
+        }
+        si += 1
+      }
+      b = gs(y)
+      it += 1
+    }
+    b
+  }
+
+  /** v → (B·(v − μ)) / ‖v − μ‖ as float32: the doc's unit-centered
+    * vector projected onto the m (near-)orthonormal basis rows packed
+    * flat in `basisFlat` (bmu(j) = B_j·μ precomputed on the driver, so
+    * the executor-side subtraction is one double per coordinate). The
+    * projection coordinates ride the LSH band shuffle (m·4 bytes per
+    * key row) and power the exactness-preserving candidate prune in
+    * [[graft.ops.CorrDedup]]: for orthonormal rows,
+    * ‖proj_a − proj_b‖² ≤ ‖û_a − û_b‖² = 2 − 2·corr(a,b), so any pair
+    * whose projected distance² exceeds 2−2·t (plus a float-rounding
+    * margin) provably sits below the correlation threshold t. */
+  def projectCentered(v: ArrayData, basisFlat: ArrayData, bmu: ArrayData,
+                      norm: Double): GenericArrayData = {
+    val m = bmu.numElements()
+    val dim = v.numElements()
+    val out = new Array[Float](m)
+    var j = 0
+    while (j < m) {
+      val off = j * dim
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += v.getDouble(i) * basisFlat.getDouble(off + i); i += 1 }
+      out(j) = ((acc - bmu.getDouble(j)) / norm).toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Σ (aᵢ−bᵢ)² over float arrays, accumulated in double — the prune
+    * predicate's kernel, codegen'd tight loop (a HOF zip_with/aggregate
+    * would evaluate an interpreted closure per element per candidate
+    * pair). */
+  def sqDistF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 
   /** Count vector → one packed sign-LSH key per band:
     * key(b) = b·2^bitsPerBand + Σ_f [h_{b·bpb+f}·x ≥ hmu_{b·bpb+f}]·2^f,
@@ -153,6 +258,58 @@ case class TokenBucketCounts(child: Expression, dim: Int) extends UnaryExpressio
 object TokenBucketCounts {
   def apply(c: Column, dim: Int): Column =
     ColumnBridge.toColumn(TokenBucketCounts(ColumnBridge.toExpression(c), dim))
+}
+
+/** proj = (B·(v − μ))/‖v−μ‖ as array<float> — see
+  * [[CorrUtil.projectCentered]]. Children are (v: array<double>,
+  * norm: double); the basis and bmu ride as broadcast-by-reference
+  * codegen objects (m·dim doubles once per executor, not per row). */
+case class ProjectCentered(left: Expression, right: Expression,
+                           basisFlat: Array[Double], bmu: Array[Double])
+    extends BinaryExpression {
+  private lazy val basisData = new GenericArrayData(basisFlat)
+  private lazy val bmuData = new GenericArrayData(bmu)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any, norm: Any): Any =
+    CorrUtil.projectCentered(v.asInstanceOf[ArrayData], basisData, bmuData,
+      norm.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("basisFlat", basisData, classOf[ArrayData].getName)
+    val mRef = ctx.addReferenceObj("bmu", bmuData, classOf[ArrayData].getName)
+    defineCodeGen(ctx, ev, (v, n) =>
+      s"graft.functions.CorrUtil.projectCentered($v, $bRef, $mRef, $n)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ProjectCentered =
+    copy(left = newLeft, right = newRight)
+}
+
+object ProjectCentered {
+  def apply(v: Column, norm: Column,
+            basis: Array[Array[Double]], bmu: Array[Double]): Column =
+    ColumnBridge.toColumn(ProjectCentered(
+      ColumnBridge.toExpression(v), ColumnBridge.toExpression(norm),
+      basis.flatten, bmu))
+}
+
+/** Σ(aᵢ−bᵢ)² over array<float> columns, double accumulator — the
+  * candidate-prune distance kernel ([[CorrUtil.sqDistF]]). */
+case class SqDistFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CorrUtil.sqDistF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CorrUtil.sqDistF($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDistFloat {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(SqDistFloat(
+      ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
 }
 
 case class LshBandKeys(child: Expression, hmu: Array[Double], seed: Long,
