@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   * scale sighting runs (never for correctness: oracles stay on the
   * driver-generated sf dirs).
   *
-  * Shift discipline: every key space gets copy·SHIFT added (SHIFT
-  * beyond any real key, and deliberately NOT a multiple of the q194
-  * lattice moduli 80/170/10000, so shifted customers map to fresh
-  * station points instead of 10 coincident twins); foreign keys shift
+  * Shift discipline: every key space gets copy·SHIFT added (validated
+  * at startup to exceed every source key, and deliberately NOT a
+  * multiple of the q194 lattice moduli 80/170/10000, so shifted
+  * customers map to fresh station points instead of 10 coincident
+  * twins — the lattice EXTENT itself grows with the corpus via
+  * [[graft.ops.Spatial.latticeScale]], keeping sighting density
+  * ~constant); customer/supplier names are regenerated from the
+  * shifted keys so name-derived blocking keys (q63) see N distinct
+  * replicas, not N collapsed copies; foreign keys shift
   * together, so each copy is a self-consistent disconnected replica —
   * graph components, join fan-outs and group sizes scale by N while
   * per-key densities stay fixed. Fixed dimensions (nation, region)
@@ -53,6 +58,16 @@ object MakeScale {
     def scaled(name: String, keyCols: Seq[String],
         mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
       val base = Tables.load(spark, src, name)
+      // Shift must clear every real key in the SOURCE, or copies collide
+      // into duplicate primary keys and cross-copy join edges that break
+      // the disconnected-replica invariant — e.g. running MakeScale on a
+      // generated sf1 (max o_orderkey ~9.15M > Shift). Fail loudly.
+      val maxKey = base
+        .select(keyCols.map(k => max(col(k)).cast("long").as(k)): _*)
+        .head().toSeq.map(_.asInstanceOf[Long]).max
+      require(Shift > maxKey,
+        s"[makescale] $name: Shift=$Shift <= max source key $maxKey — " +
+          "copies would collide; raise Shift (or derive it from the max)")
       (0 until copies).map { c =>
         val shifted = keyCols.foldLeft(base)((d, k) =>
           d.withColumn(k, col(k) + lit(c * Shift)))
@@ -63,6 +78,16 @@ object MakeScale {
     def docMutate(d: DataFrame, c: Int): DataFrame = d
       .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_c$c"))
       .withColumn("n_chars", length(col("text")))
+
+    // entity names are regenerated from the SHIFTED key (same
+    // 'Tag#<9-digit-zero-padded>' format): a replica with new keys but
+    // the source's names is a lying corpus for every name-derived
+    // operator — q63's name-block key would collapse all N copies of a
+    // block into one, turning the sighting's linear blocking quadratic
+    def nameMutate(tag: String, keyCol: String, nameCol: String)(
+        d: DataFrame, c: Int): DataFrame =
+      d.withColumn(nameCol,
+        concat(lit(tag + "#"), lpad(col(keyCol).cast("string"), 9, "0")))
 
     // circular rotation of the embedding components by c positions:
     // norms and within-copy geometry are preserved exactly, cross-copy
@@ -76,8 +101,10 @@ object MakeScale {
     val tables: Seq[(String, DataFrame)] = Seq(
       "region" -> Tables.load(spark, src, "region"),
       "nation" -> Tables.load(spark, src, "nation"),
-      "customer" -> scaled("customer", Seq("c_custkey")),
-      "supplier" -> scaled("supplier", Seq("s_suppkey")),
+      "customer" -> scaled("customer", Seq("c_custkey"),
+        nameMutate("Customer", "c_custkey", "c_name")),
+      "supplier" -> scaled("supplier", Seq("s_suppkey"),
+        nameMutate("Supplier", "s_suppkey", "s_name")),
       "part" -> scaled("part", Seq("p_partkey")),
       "orders" -> scaled("orders", Seq("o_orderkey", "o_custkey")),
       "lineitem" -> scaled("lineitem",

@@ -413,19 +413,33 @@ object Extended {
        |GROUP BY o.o_orderstatus""".stripMargin
 
   /** q63: fuzzy entity matching — each supplier's closest customer
-    * name by Levenshtein edit distance, BLOCKED on the nation key so
-    * the candidate join is per-block instead of global cross (the same
-    * blocking discipline as the dedup family: a fuzzy join without a
-    * blocking key cannot scale). Edit distance is integer and both
-    * engines implement the standard DP, so the argmin (distance asc,
-    * custkey asc) is bit-exact.
+    * name by Levenshtein edit distance, BLOCKED on a composite key
+    * that GROWS with the corpus: (nationkey, name-century), where the
+    * name-century is the normalized name (the digit run after the
+    * entity tag's '#') minus its last two characters. The blocking key
+    * is part of the operator's semantics (a fuzzy join without a
+    * blocking key cannot scale — and the r6 nation-only key was a
+    * FIXED 25-value domain, so 10× rows meant 100× within-block
+    * pairs); the century key adds one block per 100 entity numbers, so
+    * the block DOMAIN scales linearly with the data while every block
+    * stays ≤100 names wide — total candidate pairs are linear in the
+    * corpus at any scale. The key is also similarity-aligned, as a
+    * blocking key should be: same-century zero-padded digit strings
+    * differ in at most their last two characters. Edit distance is
+    * integer and both engines implement the standard DP, so the
+    * argmin (distance asc, custkey asc) is bit-exact.
     *
-    * The within-block pair set still grows quadratically, so the DP is
-    * guarded by a lossless two-phase prune:
+    * Within a block the DP is still guarded by the lossless two-phase
+    * prune (bounded block width makes it cheap insurance; under
+    * real-corpus key skew — a century with thousands of collisions —
+    * it is what bounds the work):
     *  1. ANCHOR upper bound — each supplier computes one full distance
-    *     to a deterministic per-nation anchor (the min-custkey
-    *     customer, a |nations|-row broadcast): ub_s. The true best
-    *     distance is <= ub_s because the anchor is itself a candidate.
+    *     to a deterministic per-block anchor (the min-custkey
+    *     customer): ub_s. The true best distance is <= ub_s because
+    *     the anchor is itself a candidate. The anchor frame is
+    *     block-cardinality — it grows with the corpus, so it is NOT
+    *     broadcast-hinted (stats/AQE may still broadcast it while it
+    *     fits).
     *  2. Candidates first pass the |len(s)-len(c)| <= ub_s filter
     *     (length difference lower-bounds edit distance — free prune
     *     before ANY DP work; vacuous on fixed-width TPC-H names, load-
@@ -438,22 +452,29 @@ object Extended {
     *     pair always survives — the ranking window now sees only the
     *     survivors instead of the whole block. */
   def q63FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    def blk(name: String): org.apache.spark.sql.Column =
+      expr(s"substring(split_part($name, '#', 2), 1, " +
+        s"greatest(length(split_part($name, '#', 2)) - 2, 0))")
     val sup = Tables.load(spark, dir, "supplier")
-      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
-    val cust = Tables.load(spark, dir, "customer")
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-    val anchors = cust
-      .groupBy(col("c_nationkey").as("a_nationkey"))
-      .agg(min(struct(col("c_custkey"), col("c_name"))).as("a"))
-      .select(col("a_nationkey"), col("a.c_name").as("anchor_name"))
-    val supUb = sup
-      .join(broadcast(anchors), col("s_nationkey") === col("a_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        blk("s_name").as("s_blk"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        blk("c_name").as("c_blk"))
+    val anchors = cust
+      .groupBy(col("c_nationkey").as("a_nationkey"), col("c_blk").as("a_blk"))
+      .agg(min(struct(col("c_custkey"), col("c_name"))).as("a"))
+      .select(col("a_nationkey"), col("a_blk"), col("a.c_name").as("anchor_name"))
+    val supUb = sup
+      .join(anchors, col("s_nationkey") === col("a_nationkey") &&
+        col("s_blk") === col("a_blk"))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_blk"),
         levenshtein(col("s_name"), col("anchor_name")).as("ub"))
     // argmin as a hash aggregate (min(struct) = (edit ASC, custkey
     // ASC) selection, map-side combined) — the survivor frame never
     // sorts; s_name is constant per s_suppkey so it rides the key
-    supUb.join(cust, col("s_nationkey") === col("c_nationkey"))
+    supUb.join(cust, col("s_nationkey") === col("c_nationkey") &&
+        col("s_blk") === col("c_blk"))
       .filter(abs(length(col("s_name")) - length(col("c_name"))) <= col("ub"))
       .select(col("s_suppkey"), col("s_name"), col("c_custkey"),
         graft.functions.LevenshteinWithin(col("s_name"), col("c_name"), col("ub"))
@@ -467,13 +488,24 @@ object Extended {
   }
 
   val q63Oracle: String =
-    """SELECT s_suppkey, s_name, best_match, edit_distance FROM (
+    """WITH s AS (
+      |  SELECT s_suppkey, s_name, s_nationkey,
+      |    substr(split_part(s_name, '#', 2), 1,
+      |           greatest(length(split_part(s_name, '#', 2)) - 2, 0)) AS blk
+      |  FROM supplier
+      |), c AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    substr(split_part(c_name, '#', 2), 1,
+      |           greatest(length(split_part(c_name, '#', 2)) - 2, 0)) AS blk
+      |  FROM customer
+      |)
+      |SELECT s_suppkey, s_name, best_match, edit_distance FROM (
       |  SELECT s.s_suppkey, s.s_name, c.c_custkey AS best_match,
       |    CAST(levenshtein(s.s_name, c.c_name) AS BIGINT) AS edit_distance,
       |    row_number() OVER (PARTITION BY s.s_suppkey
       |                       ORDER BY levenshtein(s.s_name, c.c_name) ASC,
       |                                c.c_custkey ASC) AS rk
-      |  FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey) t
+      |  FROM s JOIN c ON s.s_nationkey = c.c_nationkey AND s.blk = c.blk) t
       |WHERE rk = 1""".stripMargin
 
   /** q65: time-series resampling with gap fill — hourly event counts

@@ -42,16 +42,48 @@ object Spatial {
     * 0 pairs under 2° there). */
   val RadiusE4 = 40000L
 
+  /** Lattice scale factor for n points: the outer moduli grow as
+    * ~sqrt(n), so the spatial EXTENT grows linearly with the corpus
+    * and point density stays ~constant — the shape of a real geo
+    * corpus, which adds territory, not stacked points. Calibrated so
+    * every driver SF (n <= 15000 at sf0.1) gets s = 1, i.e. the
+    * original 80 x 170 lattice and byte-identical results; the 10x
+    * sighting (n = 150k) gets s = 2 (extent x4 for 10x points). Both
+    * engines compute s from count(*) with IEEE double sqrt + floor on
+    * identical inputs, so the lattice is engine-agreed at any n. */
+  def latticeScale(n: Long): Long =
+    math.max(1L, math.floor(math.sqrt(n / 20000.0)).toLong)
+
+  /** The scale CTE + derived-point CTE shared verbatim by the q134 and
+    * q194 oracles — the Spark side derives the same (k, lat, lon) in
+    * [[customerPoints]]; keeping one builder keeps the two engines'
+    * lattices identical by construction. */
+  private def oraclePointsCte: String =
+    """sc AS (
+      |  SELECT greatest(1, CAST(floor(sqrt(count(*) / CAST(20000 AS DOUBLE)))
+      |                          AS BIGINT)) AS s
+      |  FROM customer),
+      |p AS (
+      |  SELECT c_custkey AS k,
+      |    (c_custkey % (80 * sc.s)) * 10000 + (c_custkey * 7 % 10000) AS lat,
+      |    (c_custkey * 3 % (170 * sc.s)) * 10000 + (c_custkey * 13 % 10000) AS lon
+      |  FROM customer, sc)""".stripMargin
+
   /** Synthetic integer station coordinates from customer keys (the
     * same derivation the q41 fixed-width station text carries, kept
-    * in integer units instead of formatted strings). */
-  def customerPoints(customer: DataFrame): DataFrame =
+    * in integer units instead of formatted strings), on the
+    * [[latticeScale]]-scaled lattice. The count is one
+    * metadata-cheap job; at cluster scale it is the same "one tiny
+    * agg before the plan" pattern as the q65 grid bounds. */
+  def customerPoints(customer: DataFrame): DataFrame = {
+    val s = latticeScale(customer.count())
     customer.select(
       col("c_custkey").as("k"),
-      ((col("c_custkey") % 80) * 10000 +
+      ((col("c_custkey") % lit(80L * s)) * 10000 +
         (col("c_custkey") * 7 % 10000)).as("lat"),
-      ((col("c_custkey") * 3 % 170) * 10000 +
+      ((col("c_custkey") * 3 % lit(170L * s)) * 10000 +
         (col("c_custkey") * 13 % 10000)).as("lon"))
+  }
 
   /** All unordered point pairs within Euclidean distance `r`, exactly
     * once each, from a (k: long, lat: long, lon: long) frame with
@@ -97,11 +129,7 @@ object Spatial {
 
   val q134Oracle: String = {
     val r2 = RadiusE4 * RadiusE4
-    s"""WITH p AS (
-       |  SELECT c_custkey AS k,
-       |    (c_custkey % 80) * 10000 + (c_custkey * 7 % 10000) AS lat,
-       |    (c_custkey * 3 % 170) * 10000 + (c_custkey * 13 % 10000) AS lon
-       |  FROM customer)
+    s"""WITH $oraclePointsCte
        |SELECT a.k AS a_custkey, b.k AS b_custkey,
        |  CAST((a.lat - b.lat) * (a.lat - b.lat) +
        |       (a.lon - b.lon) * (a.lon - b.lon) AS BIGINT) AS dist2
@@ -220,7 +248,11 @@ object Spatial {
     * only once its rep hub converts), so the bound is the largest
     * cluster's hop diameter: measured 36 rounds to fixpoint at sf0.01
     * (sparse lattice → long chains), 20 at sf0.1 (denser → shorter);
-    * 48 carries a 33 % margin over the worst observed. */
+    * 48 carries a 33 % margin over the worst observed. The oracle
+    * asserts its own convergence (a `conv` CTE errors loudly if the
+    * last two rounds differ), so regenerated test data with a longer
+    * propagation diameter fails with the real cause instead of a
+    * confusing Spark-side hash mismatch. */
   val OracleCcRounds = 48
 
   /** The q194 DuckDB oracle, grid-blocked like the Spark side (the
@@ -245,11 +277,7 @@ object Spatial {
          |  SELECT a.k, b.rep FROM h$i a JOIN h$i b ON b.k = a.rep)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH p AS (
-       |  SELECT c_custkey AS k,
-       |    (c_custkey % 80) * 10000 + (c_custkey * 7 % 10000) AS lat,
-       |    (c_custkey * 3 % 170) * 10000 + (c_custkey * 13 % 10000) AS lon
-       |  FROM customer),
+    s"""WITH $oraclePointsCte,
        |g AS MATERIALIZED (
        |  SELECT k, lat, lon, lat // $RadiusE4 AS cx, lon // $RadiusE4 AS cy
        |  FROM p),
@@ -273,7 +301,14 @@ object Spatial {
        |  WHERE ak IN (SELECT k FROM core) AND bk IN (SELECT k FROM core)),
        |l0 AS MATERIALIZED (SELECT k, k AS rep FROM core),
        |$rounds,
-       |corerep AS (SELECT k, rep FROM l$OracleCcRounds),
+       |conv AS (
+       |  SELECT CASE WHEN (SELECT count(*)
+       |                    FROM l$OracleCcRounds a
+       |                    JOIN l${OracleCcRounds - 1} b ON b.k = a.k
+       |                    WHERE a.rep <> b.rep) > 0
+       |         THEN error('q194 oracle: CC not converged at $OracleCcRounds rounds — raise OracleCcRounds')
+       |         ELSE 1 END AS ok),
+       |corerep AS (SELECT l.k, l.rep FROM l$OracleCcRounds l CROSS JOIN conv),
        |borderrep AS (
        |  SELECT e.ak AS k, min(cr.rep) AS rep
        |  FROM e JOIN corerep cr ON cr.k = e.bk

@@ -563,7 +563,7 @@ object TextOps {
        |), rare AS (
        |  SELECT tf.doc_id, tf.term, tf.tf
        |  FROM tf JOIN df USING (term)
-       |  WHERE df.df <= (SELECT least(count(*) // 10, 256)
+       |  WHERE df.df <= (SELECT least(count(*) // 10, $TfidfMaxDf)
        |                  FROM documents)
        |), norms AS (
        |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2
