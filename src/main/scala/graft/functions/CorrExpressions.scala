@@ -153,22 +153,6 @@ object CorrUtil {
     new GenericArrayData(out)
   }
 
-  /** Σ (aᵢ−bᵢ)² over float arrays, accumulated in double — the prune
-    * predicate's kernel, codegen'd tight loop (a HOF zip_with/aggregate
-    * would evaluate an interpreted closure per element per candidate
-    * pair). */
-  def sqDistF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
-      acc += d * d
-      i += 1
-    }
-    acc
-  }
-
   /** Count vector → one packed sign-LSH key per band:
     * key(b) = b·2^bitsPerBand + Σ_f [h_{b·bpb+f}·x ≥ hmu_{b·bpb+f}]·2^f,
     * where hmu is the mean vector's projection (computed once on the
@@ -177,21 +161,55 @@ object CorrUtil {
     * common component (measured median cosine 0.63 on the test corpus)
     * that would make every sign bit agree; centered, random pairs sit
     * at ~0 correlation and sign-LSH prunes. */
+  // Flattened TRANSPOSE of the hyperplane matrix (t(i·bits + k) =
+  // h_k(i)): the signature kernel streams it coordinate-major, so the
+  // inner loop over all `bits` accumulators reads contiguous memory —
+  // at 128×16 = 2048 bits the plane-major layout paid a cache miss per
+  // (bit, coordinate) and dominated the whole q35 pipeline.
+  private val planesTCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  private def planesT(seed: Long, bits: Int, dim: Int): Array[Double] =
+    planesTCache.computeIfAbsent((seed, bits, dim), { _ =>
+      val h = planes(seed, bits, dim)
+      val t = new Array[Double](dim * bits)
+      var i = 0
+      while (i < dim) {
+        var k = 0
+        while (k < bits) { t(i * bits + k) = h(k)(i); k += 1 }
+        i += 1
+      }
+      t
+    })
+
   def bandKeys(cnt: ArrayData, hmu: ArrayData, seed: Long,
                bands: Int, bitsPerBand: Int): GenericArrayData = {
     val dim = cnt.numElements()
-    val h = planes(seed, bands * bitsPerBand, dim)
+    val bits = bands * bitsPerBand
+    val t = planesT(seed, bits, dim)
+    // acc_k = Σ_i cnt_i · h_k(i), accumulated in ascending i for every
+    // k — the same summation order as the plane-major loop, with exact
+    // zero terms skipped, so keys are bit-identical to it.
+    val acc = new Array[Double](bits)
+    var i = 0
+    while (i < dim) {
+      val c = cnt.getLong(i)
+      if (c != 0L) {
+        val cd = c.toDouble
+        val off = i * bits
+        var k = 0
+        while (k < bits) { acc(k) += cd * t(off + k); k += 1 }
+      }
+      i += 1
+    }
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
       var key = b.toLong << bitsPerBand
       var f = 0
       while (f < bitsPerBand) {
-        val pl = h(b * bitsPerBand + f)
-        var acc = 0.0
-        var i = 0
-        while (i < dim) { acc += cnt.getLong(i) * pl(i); i += 1 }
-        if (acc >= hmu.getDouble(b * bitsPerBand + f)) key |= (1L << f)
+        if (acc(b * bitsPerBand + f) >= hmu.getDouble(b * bitsPerBand + f))
+          key |= (1L << f)
         f += 1
       }
       out(b) = key
@@ -290,26 +308,6 @@ object ProjectCentered {
     ColumnBridge.toColumn(ProjectCentered(
       ColumnBridge.toExpression(v), ColumnBridge.toExpression(norm),
       basis.flatten, bmu))
-}
-
-/** Σ(aᵢ−bᵢ)² over array<float> columns, double accumulator — the
-  * candidate-prune distance kernel ([[CorrUtil.sqDistF]]). */
-case class SqDistFloat(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    CorrUtil.sqDistF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CorrUtil.sqDistF($a, $b)")
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): SqDistFloat =
-    copy(left = newLeft, right = newRight)
-}
-
-object SqDistFloat {
-  def apply(a: Column, b: Column): Column =
-    ColumnBridge.toColumn(SqDistFloat(
-      ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
 }
 
 case class LshBandKeys(child: Expression, hmu: Array[Double], seed: Long,

