@@ -42,5 +42,12 @@ object Tables {
   /** Registers every table as a temp view so `spark.sql` / `expr` can
     * reference them by name — the in-engine analog of a catalog schema. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, names: _*)
+
+  /** Registers only the named tables. A real catalog resolves table
+    * metadata lazily at name-lookup; eagerly loading all ten tables
+    * costs one schema-read job (~45 ms locally) per table the query
+    * never mentions — measured as the bulk of q34's local wall. */
+  def register(spark: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

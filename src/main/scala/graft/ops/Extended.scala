@@ -201,7 +201,7 @@ object Extended {
       |FROM nation n""".stripMargin
 
   def q67ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.registerAll(spark, dir)
+    graft.Tables.register(spark, dir, "nation", "supplier", "customer")
     spark.sql(q67Sql)
   }
 
@@ -368,7 +368,7 @@ object Extended {
       |  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin
 
   def q34ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.registerAll(spark, dir)
+    graft.Tables.register(spark, dir, "customer", "orders")
     spark.sql(q34Sql)
   }
 
