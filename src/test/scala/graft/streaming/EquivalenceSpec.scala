@@ -481,4 +481,40 @@ class EquivalenceSpec extends AnyFunSuite {
     assert(emissions.length === fixture.length)
     assert(finalState === batch, s"batch=$batch\nstream=$finalState")
   }
+
+  test("batch target-encoding per-user counts equal the streaming pair's final state under shuffled arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three users, events in SHUFFLED (non-chronological) order across
+    // two micro-batches: (count, sum) is a commutative monoid, so the
+    // final state must match q251's batch per-user aggregate under any
+    // arrival order — the prior/enc stay a batch concern, like RFM's
+    // quintile boundaries (global statistics, not per-key state)
+    val fixture = Seq(
+      (1L, "purchase"), (2L, "view"), (1L, "view"), (3L, "purchase"),
+      (2L, "purchase"), (1L, "click"), (3L, "purchase"), (2L, "view"))
+    val tmp = java.nio.file.Files.createTempDirectory("testream").toString
+    fixture.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, u, Timestamp.valueOf("2024-03-01 08:00:00"), t, 1.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val batch = graft.ops.Curation.q251TargetEncoding(spark, tmp)
+      .select(col("user_id"), col("n_events"), col("n_conv"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    val rows = fixture.map { case (u, t) => TargetEncodeStream.EventRow(u, t) }
+    val in = MemoryStream[TargetEncodeStream.EventRow]
+    val q = TargetEncodeStream.targetCounts(in.toDS()).writeStream
+      .format("memory").queryName("equiv_te").outputMode("append").start()
+    in.addData(rows.take(3): _*); q.processAllAvailable()
+    in.addData(rows.drop(3): _*); q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val emissions = spark.table("equiv_te")
+      .as[(Long, Long, Long)].collect()
+    // latest emission per key = the row with that key's max n_events
+    val finalState = emissions.groupBy(_._1)
+      .map { case (_, rs) => rs.maxBy(_._2) }.toSet
+    assert(emissions.length === fixture.length)
+    assert(finalState === batch, s"batch=$batch\nstream=$finalState")
+  }
 }
