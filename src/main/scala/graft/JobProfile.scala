@@ -57,8 +57,18 @@ object JobProfile {
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.removeSparkListener(listener)
-      // listener bus is async; give it a beat to drain
-      Thread.sleep(300)
+      // listener bus is async: poll until the per-job lines stop
+      // arriving (bounded at ~3 s) instead of one fixed sleep — a slow
+      // bus would silently drop late onJobEnd lines from the output
+      // (the [profile] totals from the atomics are unaffected either
+      // way, but the per-job breakdown is the tool's whole point)
+      var seen = -1
+      var waited = 0
+      while (lines.size() != seen && waited < 3000) {
+        seen = lines.size()
+        Thread.sleep(150)
+        waited += 150
+      }
       lines.forEach(l => println(l))
       println(f"[profile] $name total=$dt%.3fs jobs=${jobs.size} " +
         f"stagesRun=${stages.get} tasks=${tasks.get}")
