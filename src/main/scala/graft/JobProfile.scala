@@ -50,6 +50,11 @@ object JobProfile {
         override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
           stages.incrementAndGet()
           tasks.addAndGet(sc.stageInfo.numTasks)
+          val si = sc.stageInfo
+          val wall = (for (s <- si.submissionTime; c <- si.completionTime)
+            yield (c - s) / 1e3).getOrElse(Double.NaN)
+          lines.add(f"[stage] $name%s stage=${si.stageId}%3d " +
+            f"wall=$wall%7.3fs tasks=${si.numTasks}%3d ${si.name}%s")
         }
       }
       spark.sparkContext.addSparkListener(listener)

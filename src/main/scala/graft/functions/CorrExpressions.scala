@@ -126,6 +126,101 @@ object CorrUtil {
     b
   }
 
+  /** True iff Σ (aₖ−bₖ)² provably exceeds `bound` — the shared
+    * early-exit projected-distance² test of the q35/q25 prune kernels.
+    * Strip-mined into 16-coordinate blocks over FOUR independent
+    * accumulators: the naive fused loop is latency-bound on its single
+    * accumulator dependency chain (~4 cycles per coordinate on any
+    * recent x86/ARM FP unit); four chains run at ~1. The coarser
+    * early-exit check (every 16 coords instead of every one) costs ~a
+    * third more coordinates on an average pruned pair but wins ~3×
+    * net, and float32 accumulation drops the per-coordinate
+    * float→double converts for another ~35 %. Exactness: terms are
+    * nonnegative so partial sums only grow; the computed sum differs
+    * from the true distance² only by float32 rounding (≤ ~m·ε_f·acc
+    * ≈ 1e-5 at m ≤ 96 — an order below the callers' 1e-4 prune
+    * margin, which is what the margin is FOR); and a NaN coordinate
+    * poisons every comparison false → the pair is KEPT and the exact
+    * verify decides. */
+  def projDistExceeds(a: Array[Float], b: Array[Float], bound: Double): Boolean = {
+    val m = math.min(a.length, b.length)
+    var acc = 0.0f
+    var k = 0
+    while (k + 16 <= m) {
+      var a0 = 0.0f
+      var a1 = 0.0f
+      var a2 = 0.0f
+      var a3 = 0.0f
+      var j = k
+      while (j < k + 16) {
+        val d0 = a(j) - b(j)
+        val d1 = a(j + 1) - b(j + 1)
+        val d2 = a(j + 2) - b(j + 2)
+        val d3 = a(j + 3) - b(j + 3)
+        a0 += d0 * d0
+        a1 += d1 * d1
+        a2 += d2 * d2
+        a3 += d3 * d3
+        j += 4
+      }
+      acc += a0 + a1 + a2 + a3
+      if (acc.toDouble > bound) return true
+      k += 16
+    }
+    while (k < m) {
+      val d = a(k) - b(k)
+      acc += d * d
+      if (acc.toDouble > bound) return true
+      k += 1
+    }
+    acc.toDouble > bound
+  }
+
+  /** Fit an adaptive orthonormal prune basis from a sample of UNIT
+    * vectors: the top `maxDims` (clamped to the vector dimension)
+    * directions of the sample second moment via [[topSubspace]],
+    * truncated to the smallest eigenvalue-ordered prefix capturing
+    * ≥ `varFrac` of the sample variance (= |sample| for unit vectors),
+    * clamped to [minDims, maxDims]. A homogeneous corpus concentrates
+    * in few directions and pays a small projection payload; a
+    * heterogeneous mixture (many sub-vocabularies) spreads out and
+    * automatically gets the dims its prune rate needs. Any orthonormal
+    * prefix keeps the prune exact, and directions arrive
+    * eigenvalue-ordered — also what the early-exit distance wants.
+    *
+    * An EMPTY (or fully degenerate) sample returns an EMPTY basis:
+    * zero projection coordinates, so every projected distance is 0 and
+    * the prune degrades to a no-op instead of crashing — the caller
+    * needs no special case. */
+  def adaptiveBasis(sampleU: Array[Array[Double]], minDims: Int, maxDims: Int,
+                    varFrac: Double, iters: Int, seed: Long): Array[Array[Double]] = {
+    if (sampleU.isEmpty) return Array.empty
+    val dim = sampleU(0).length
+    val m = math.min(maxDims, dim)
+    val basisFull = topSubspace(sampleU, m, iters, seed)
+    val lambdas = basisFull.map { bj =>
+      var acc = 0.0
+      var si = 0
+      while (si < sampleU.length) {
+        val u = sampleU(si)
+        var d = 0.0
+        var j = 0
+        while (j < dim) { d += u(j) * bj(j); j += 1 }
+        acc += d * d
+        si += 1
+      }
+      acc
+    }
+    val totalVar = sampleU.length.toDouble
+    var cum = 0.0
+    var k = 0
+    while (k < basisFull.length && cum < varFrac * totalVar) {
+      cum += lambdas(k)
+      k += 1
+    }
+    basisFull.take(math.max(math.min(minDims, m), math.min(k, m)))
+  }
+
   /** v → (B·(v − μ)) / ‖v − μ‖ as float32: the doc's unit-centered
     * vector projected onto the m (near-)orthonormal basis rows packed
     * flat in `basisFlat` (bmu(j) = B_j·μ precomputed on the driver, so

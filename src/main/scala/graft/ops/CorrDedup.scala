@@ -20,25 +20,34 @@ import graft.functions.{CorrUtil, DotProduct, LshBandKeys, ProjectCentered, Toke
   *     stopword component (measured median cosine 0.63 on this corpus),
   *     so every hyperplane sign would agree; centered, random pairs sit
   *     at ~0 and near-dups at ~1.
-  *  3. Sign-LSH blocking: 128 bands × 16 hyperplane bits, exact-key
-  *     buckets (no multi-probe). The band shape is fitted to the
-  *     corpus's measured correlation spectrum (99th-pct pair corr
-  *     ≈ 0.79): expected enumerations for a sub-threshold pair scale
-  *     as bands·p^bits with p = 1 − arccos(corr)/π, so LONG bands
-  *     kill the mid-correlation collision mass exponentially while
-  *     extra bands buy recall linearly in log-miss. A pair at exactly
-  *     the 0.9 threshold (p ≈ 0.856) hits a band with probability
-  *     p¹⁶ ≈ 0.084, so the miss probability across 128 bands is
-  *     (1−0.084)¹²⁸ ≈ 1.4e-5 — 3× tighter than the previous
-  *     12-bit×16-band Hamming-1 probe scheme at HALF its measured
-  *     enumeration volume and with no 13× probe fan-out. Measured on
-  *     this corpus: recall 1.0 at every SF (pinned by the
-  *     LSH ≡ exhaustive DedupSpec equality and the oracle).
+  *  3. Sign-LSH blocking: SCALE-AWARE exact-key buckets (no
+  *     multi-probe) — `bitsPerBand(n)` = max(16, ⌈log₂ n⌉ − 2)
+  *     hyperplane bits per band, with the band count re-fitted so the
+  *     worst-case per-pair miss bound stays ≤ `MissBound` = 1.4e-5:
+  *     a pair at exactly the 0.9 threshold agrees per bit with
+  *     p = 1 − arccos(0.9)/π ≈ 0.856, so
+  *     bands = ⌈ln(MissBound)/ln(1 − p^bits)⌉. At every driver SF and
+  *     the 10× sighting (n ≤ 2¹⁸) this derives the same 16 bits × 128
+  *     bands — byte-identical results — and beyond that the keyspace
+  *     grows with the corpus, killing the residual ~n²·bands/2^bits
+  *     within-bucket enumeration growth a FIXED keyspace suffers at
+  *     extreme scale (the q194 lattice trick applied to LSH buckets).
+  *     The band shape is fitted to the corpus's measured correlation
+  *     spectrum (99th-pct pair corr ≈ 0.79): expected enumerations for
+  *     a sub-threshold pair scale as bands·p^bits, so LONG bands kill
+  *     the mid-correlation collision mass exponentially while extra
+  *     bands buy recall linearly in log-miss. 16×128 measures HALF the
+  *     enumeration volume of the previous 12-bit×16-band Hamming-1
+  *     probe scheme, a 3× tighter miss bound, and no 13× probe
+  *     fan-out. Measured on this corpus: recall 1.0 at every SF
+  *     (pinned by the LSH ≡ exhaustive DedupSpec equality and the
+  *     oracle).
   *  4. EXACTNESS-PRESERVING candidate prune inside the bucket kernel:
-  *     each doc carries a 32-float projection of its unit-centered
-  *     vector onto the top-32 orthonormal directions of the corpus
-  *     second moment (power-iterated on the driver from a 1024-doc
-  *     sample; stats-sized). Orthonormal projection never increases
+  *     each doc carries an adaptive `MinProjDims`–`ProjDims` (16–96)
+  *     float projection of its unit-centered vector onto the top
+  *     orthonormal directions of the corpus second moment
+  *     (power-iterated on the driver from a hash-spread `SampleN`
+  *     = 2048-doc sample; stats-sized). Orthonormal projection never increases
   *     distance, so ‖proj_a − proj_b‖² ≤ ‖û_a − û_b‖² = 2 − 2·corr:
   *     any pair whose projected distance² exceeds 2 − 2·0.9 (+ a
   *     float-rounding margin) PROVABLY has corr < 0.9 and dies inside
@@ -57,7 +66,7 @@ import graft.functions.{CorrUtil, DotProduct, LshBandKeys, ProjectCentered, Toke
   *
   * 100 TB shape: stats are one tiny (256-key) aggregate; signatures are
   * one codegen'd scan; candidates shuffle ONCE on the bucket key —
-  * `bands` rows per doc carrying the 128-byte prune projection — then
+  * `bands` rows per doc carrying the 64–384-byte prune projection — then
   * stream through the sort-based kernel, so no quadratic set is ever
   * materialized: enumeration happens inside equal-key runs at
   * early-exit float cost and only provably-possible pairs become rows
@@ -75,19 +84,35 @@ object CorrDedup {
 
   val Dim = 256
   val CorrThreshold = 0.9
-  /** Band shape chosen from the corpus's measured correlation
+  /** Band shape derived from corpus size + the measured correlation
     * spectrum (99th pct corr ≈ 0.79, ~2.5 % of pairs in [0.7, 0.9)):
     * the expected enumerations per sub-threshold pair scale as
     * bands·p^bits (p = 1 − acos(corr)/π per-bit sign agreement), so
     * LONG bands kill the mid-correlation mass exponentially while
-    * more bands restore recall linearly in log-miss. 16×128 measures
-    * HALF the candidate enumerations of the old 12-bit×16-band
-    * Hamming-1 probe scheme with a 3× smaller worst-case miss bound
-    * (1.4e-5 vs 4e-5 for a 0.90-corr pair; empirical recall is 1.0 at
-    * every SF, pinned by DedupSpec's LSH ≡ exhaustive equality and by
-    * the oracle), and it needs NO probe fan-out: 128 rows/doc vs 208. */
-  val Bands = 128
-  val BitsPerBand = 16
+    * more bands restore recall linearly in log-miss. The floor shape
+    * 16×128 measures HALF the candidate enumerations of the old
+    * 12-bit×16-band Hamming-1 probe scheme with a 3× smaller
+    * worst-case miss bound (1.4e-5 vs 4e-5 for a 0.90-corr pair;
+    * empirical recall is 1.0 at every SF, pinned by DedupSpec's
+    * LSH ≡ exhaustive equality and by the oracle), and it needs NO
+    * probe fan-out: 128 rows/doc vs 208.
+    *
+    * SCALE RULE: a fixed keyspace makes within-bucket occupancy — and
+    * the quadratic enumeration inside each bucket — grow ~n²·bands/2^bits,
+    * so bits grows with ⌈log₂ n⌉ − 2 (floor 16) and bands is re-fitted
+    * to hold the per-pair miss bound ≤ MissBound. Derived from the
+    * same one count(*) the pipeline already runs; n ≤ 2¹⁸ (every
+    * driver SF and the 10× sighting) yields exactly 16×128, so
+    * results are byte-identical where hashes are checked. */
+  val MissBound = 1.4e-5
+  def bitsPerBand(n: Long): Int = {
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, n) - 1L)
+    math.max(16, log2n - 2)
+  }
+  def bandsFor(bits: Int): Int = {
+    val p = 1.0 - math.acos(CorrThreshold) / math.Pi
+    math.ceil(math.log(MissBound) / math.log(1.0 - math.pow(p, bits))).toInt
+  }
   val Seed = 42L
   /** Candidate-prune projection: top-`ProjDims` subspace from a
     * `SampleN`-doc sample, `PowerIters` power iterations (driver-side;
@@ -132,8 +157,12 @@ object CorrDedup {
     while (i < Dim) { q += s(i) * s(i); i += 1 }
     val qn2 = q.toDouble / (nd * nd)
 
-    // Mean-vector projections for the sign bits: hmu_k = (h_k · S) / N.
-    val planes = CorrUtil.planes(Seed, Bands * BitsPerBand, Dim)
+    // Band shape derived from the corpus size (see MissBound scaladoc);
+    // 16×128 at every driver SF. Mean-vector projections for the sign
+    // bits: hmu_k = (h_k · S) / N.
+    val bits = bitsPerBand(n)
+    val bands = bandsFor(bits)
+    val planes = CorrUtil.planes(Seed, bands * bits, Dim)
     val hmu = planes.map { p =>
       var acc = 0.0
       var j = 0
@@ -162,40 +191,14 @@ object CorrDedup {
         while (j < Dim) { n2 += a(j) * a(j); j += 1 }
         if (n2 > 1e-18) { val nr = math.sqrt(n2); Some(a.map(_ / nr)) } else None
       }
-    val basisFull = CorrUtil.topSubspace(sampleU, ProjDims, PowerIters, Seed + 1)
-    // Adaptive dimension: keep the smallest prefix capturing >= 95 % of
-    // the sample variance (total variance = |sample| for unit vectors),
-    // clamped to [MinProjDims, ProjDims]. A homogeneous corpus
-    // concentrates in ~16-32 directions and pays a small projection
-    // payload; a heterogeneous mixture (many sub-vocabularies) spreads
-    // out and automatically gets the dims its prune rate needs. Any
-    // orthonormal prefix keeps the prune exact, and directions arrive
-    // eigenvalue-ordered, which is also what the early-exit distance
-    // wants.
-    val lambdas = basisFull.map { bj =>
-      var acc = 0.0
-      var si = 0
-      while (si < sampleU.length) {
-        val u = sampleU(si)
-        var d = 0.0
-        var j = 0
-        while (j < Dim) { d += u(j) * bj(j); j += 1 }
-        acc += d * d
-        si += 1
-      }
-      acc
-    }
-    val totalVar = sampleU.length.toDouble
-    val kAdaptive = {
-      var cum = 0.0
-      var k = 0
-      while (k < basisFull.length && cum < 0.95 * totalVar) {
-        cum += lambdas(k)
-        k += 1
-      }
-      math.max(MinProjDims, math.min(k, ProjDims))
-    }
-    val basis = basisFull.take(kAdaptive)
+    // Adaptive dimension (see CorrUtil.adaptiveBasis): smallest prefix
+    // capturing >= 95 % of the sample variance, clamped to
+    // [MinProjDims, ProjDims]; an empty/degenerate sample (e.g. an
+    // all-identical-documents corpus) yields an EMPTY basis and the
+    // prune degrades to a no-op instead of crashing.
+    val basis =
+      CorrUtil.adaptiveBasis(sampleU, MinProjDims, ProjDims, 0.95,
+        PowerIters, Seed + 1)
     val bmu = basis.map { bj =>
       var acc = 0.0
       var j = 0
@@ -222,7 +225,7 @@ object CorrDedup {
         // offset in the high bits so bands never mix, plus the 32-float
         // prune projection.
         val entries = scal.select(
-          explode(LshBandKeys(col("cnt"), hmu, Seed, Bands, BitsPerBand)).as("key"),
+          explode(LshBandKeys(col("cnt"), hmu, Seed, bands, bits)).as("key"),
           col("doc_id"), col("proj"))
         // Candidate enumeration is a sort-based streaming bucket
         // kernel: hash-shuffle on the bucket key, sort within
@@ -252,18 +255,10 @@ object CorrDedup {
               private var curKey = 0L
               private var haveKey = false
               private var out: Iterator[(Long, Long)] = Iterator.empty
-              private def exceeds(a: Array[Float], b: Array[Float]): Boolean = {
-                val m = math.min(a.length, b.length)
-                var acc = 0.0
-                var j = 0
-                while (j < m) {
-                  val d = a(j).toDouble - b(j).toDouble
-                  acc += d * d
-                  if (acc > bound) return true
-                  j += 1
-                }
-                acc > bound // false for acc <= bound and for NaN
-              }
+              // strip-mined shared kernel; false for acc <= bound and
+              // for NaN (see CorrUtil.projDistExceeds)
+              private def exceeds(a: Array[Float], b: Array[Float]): Boolean =
+                CorrUtil.projDistExceeds(a, b, bound)
               private def flush(): Iterator[(Long, Long)] = {
                 val n = ids.length
                 val buf =

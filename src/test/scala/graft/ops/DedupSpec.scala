@@ -17,6 +17,22 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exhaustive)
   }
 
+  test("q25: the projection prune changes nothing — forced-on equals forced-off") {
+    // the prune is exactness-preserving by the orthonormal-projection
+    // bound; this pins the implementation (basis fit, float early
+    // exit, NaN rule) against the unpruned kernel on real data, since
+    // no driver SF crosses the q25PruneMinRows cutoff organically
+    def run(cutoff: String): Set[(Long, Long, Double)] = {
+      spark.conf.set("graft.dedup.q25PruneMinRows", cutoff)
+      try DedupOps.q25EmbedNearDup(spark, TestSpark.sfDir)
+        .as[(Long, Long, Double)].collect().toSet
+      finally spark.conf.unset("graft.dedup.q25PruneMinRows")
+    }
+    val pruned = run("0")
+    val unpruned = run(Long.MaxValue.toString)
+    assert(pruned.nonEmpty && pruned == unpruned)
+  }
+
   test("exact dedup groups a planted duplicate") {
     val docs = Seq(
       (1L, "alpha beta gamma  delta"),
