@@ -13,6 +13,32 @@ class EdgeCasesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("q63 fails loudly on a tagless corpus instead of going quadratic") {
+    // names without the 'Tag#digits' shape all land in one
+    // empty-string block per nation; once that block outgrows
+    // Q63MaxBlockWidth the width guard must throw, not silently run
+    // the quadratic nation-wide join
+    val n = (Extended.Q63MaxBlockWidth + 100).toInt
+    val cust = (1 to n).map(i => (i.toLong, s"customer $i", 7L))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val sup = Seq((1L, "supplier one", 7L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val e = intercept[Exception] {
+      Extended.fuzzyMatchBlocked(sup, cust).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("blocking")),
+      s"expected the block-width guard message, got: ${messages(e).mkString(" | ")}")
+
+    // and a healthy tagged corpus of the same size sails through
+    val tagged = (1 to n).map(i =>
+      (i.toLong, f"Customer#$i%09d", 7L)).toDF("c_custkey", "c_name", "c_nationkey")
+    val supT = Seq((1L, "Supplier#000000001", 7L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    assert(Extended.fuzzyMatchBlocked(supT, tagged).count() == 1)
+  }
+
   test("groupRank on an empty frame returns an empty frame") {
     val empty = Seq.empty[(String, Long, Long)].toDF("g", "v", "id")
     val out = Rank.groupRank(empty, Seq("g"), "v", Seq("id"), "rk", "n")
