@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, ShortType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Kernels for the correlation near-dup pipeline (DedupOps q35):
@@ -126,31 +126,71 @@ object CorrUtil {
     b
   }
 
-  /** True iff Σ (aₖ−bₖ)² provably exceeds `bound` — the shared
-    * early-exit projected-distance² test of the q35/q25 prune kernels.
-    * Strip-mined into 16-coordinate blocks over FOUR independent
-    * accumulators: the naive fused loop is latency-bound on its single
-    * accumulator dependency chain (~4 cycles per coordinate on any
-    * recent x86/ARM FP unit); four chains run at ~1. The coarser
-    * early-exit check (every 16 coords instead of every one) costs ~a
-    * third more coordinates on an average pruned pair but wins ~3×
-    * net, and float32 accumulation drops the per-coordinate
-    * float→double converts for another ~35 %. Exactness: terms are
-    * nonnegative so partial sums only grow; the computed sum differs
-    * from the true distance² only by float32 rounding (≤ ~m·ε_f·acc
-    * ≈ 1e-5 at m ≤ 96 — an order below the callers' 1e-4 prune
-    * margin, which is what the margin is FOR); and a NaN coordinate
-    * poisons every comparison false → the pair is KEPT and the exact
-    * verify decides. */
-  def projDistExceeds(a: Array[Float], b: Array[Float], bound: Double): Boolean = {
-    val m = math.min(a.length, b.length)
-    var acc = 0.0f
+  /** Quantization grid for the prune projections: coordinates in
+    * [−1, 1] stored as round(x·QuantScale) in a Short. 2047 (12 bits
+    *edge to edge) is the sweet spot measured at the 30× sighting:
+    * int8 (scale 127) halves the payload again but its slack band
+    * (√m/127 ≈ 0.077 at m = 96, i.e. projected-corr window
+    * 0.8625–0.90 at threshold 0.9) stops pruning EXACTLY where a
+    * near-dup corpus concentrates pair mass — measured +53 % on q35
+    * (survivors flood the distinct + verify stage) — while 2047's
+    * band (√m/2047 ≈ 0.005, corr window 0.898–0.90) is empty on any
+    * realistic spectrum. 16 coordinates of Short still load as one
+    * 32-byte vector register, block partial sums fit plain Ints
+    * (16·4094² ≈ 2.7e8), and the payload is HALF the former float32
+    * bytes through the candidate shuffle and its sort. */
+  val QuantScale = 2047
+
+  /** Integer prune threshold for quantized unit-vector projections:
+    * prune a pair iff Σ (Δq)² > quantThreshold(bound, m) ⟹ the TRUE
+    * projected distance² exceeds `bound` ⟹ (projection never
+    * increases distance) the pair provably sits below the caller's
+    * correlation/cosine threshold.
+    *
+    * Derivation. Each stored coordinate is qᵢ = round(clamp(xᵢ)·S)
+    * with S = [[QuantScale]] and |xᵢ| ≤ 1 + O(1e-12) (a coordinate of
+    * a unit vector on a double-orthonormalized basis), so
+    * |xᵢ − qᵢ/S| ≤ 1/(2S) + 1e-9 =: e per coordinate, and for m dims
+    * ‖x_a − x_b‖ ≥ ‖Δq‖/S − 2e√m. Requiring
+    * ‖Δq‖ > S·√bound + 1.0001·√m (the 1.0001 generously covers
+    * 2Se = 1 + 4e-6) therefore forces ‖x_a − x_b‖² > bound.
+    * The integer compare makes the kernel branch-exact: no float
+    * rounding can flip a prune decision. The quantization slack
+    * (≈ √m/S, 0.005 at m = 96) only LOWERS the prune rate — pairs
+    * whose projected distance lands inside the slack band are kept
+    * and settled by the exact verify — never the exactness. */
+  def quantThreshold(bound: Double, m: Int): Long = {
+    if (m <= 0) return Long.MaxValue
+    val t = QuantScale * math.sqrt(bound) + 1.0001 * math.sqrt(m.toDouble)
+    math.ceil(t * t).toLong
+  }
+
+  /** True iff Σ (aₖ−bₖ)² > t2 for [[QuantScale]]-quantized
+    * projections — the shared early-exit projected-distance² test of
+    * the q35/q25 prune kernels (threshold from [[quantThreshold]]).
+    * Strip-mined into 16-coordinate blocks over FOUR independent int
+    * accumulators (16 Shorts = one 32-byte vector register per side
+    * per block; short loads widen to int for free), early-exit check
+    * per block. The quantized payload halves the former float32 bytes
+    * through the candidate shuffle and its sort, and halves the cache
+    * lines per pair in the enumeration loop (the mid-correlation
+    * pairs that dominate a near-dup corpus never exit early — they
+    * pay the FULL scan). Exactness: terms are nonnegative so partial
+    * sums only grow, the arithmetic is exact integers (block partials
+    * ≤ 16·4094² < 2³¹, the running total in a Long), and the
+    * degenerate-doc sentinel (an EMPTY array, the quantizer's image
+    * of a non-finite projection) never prunes — the pair is KEPT and
+    * the exact verify decides. */
+  def projDistExceedsQ(a: Array[Short], b: Array[Short], t2: Long): Boolean = {
+    val m = a.length
+    if (m == 0 || b.length != m) return false
+    var acc = 0L
     var k = 0
     while (k + 16 <= m) {
-      var a0 = 0.0f
-      var a1 = 0.0f
-      var a2 = 0.0f
-      var a3 = 0.0f
+      var a0 = 0
+      var a1 = 0
+      var a2 = 0
+      var a3 = 0
       var j = k
       while (j < k + 16) {
         val d0 = a(j) - b(j)
@@ -164,16 +204,16 @@ object CorrUtil {
         j += 4
       }
       acc += a0 + a1 + a2 + a3
-      if (acc.toDouble > bound) return true
+      if (acc > t2) return true
       k += 16
     }
     while (k < m) {
       val d = a(k) - b(k)
       acc += d * d
-      if (acc.toDouble > bound) return true
+      if (acc > t2) return true
       k += 1
     }
-    acc.toDouble > bound
+    acc > t2
   }
 
   /** Fit an adaptive orthonormal prune basis from a sample of UNIT
@@ -221,28 +261,43 @@ object CorrUtil {
     basisFull.take(math.max(math.min(minDims, m), math.min(k, m)))
   }
 
-  /** v → (B·(v − μ)) / ‖v − μ‖ as float32: the doc's unit-centered
-    * vector projected onto the m (near-)orthonormal basis rows packed
-    * flat in `basisFlat` (bmu(j) = B_j·μ precomputed on the driver, so
-    * the executor-side subtraction is one double per coordinate). The
-    * projection coordinates ride the LSH band shuffle (m·4 bytes per
-    * key row) and power the exactness-preserving candidate prune in
-    * [[graft.ops.CorrDedup]]: for orthonormal rows,
-    * ‖proj_a − proj_b‖² ≤ ‖û_a − û_b‖² = 2 − 2·corr(a,b), so any pair
-    * whose projected distance² exceeds 2−2·t (plus a float-rounding
-    * margin) provably sits below the correlation threshold t. */
+  /** v → (B·(v − μ)) / ‖v − μ‖, quantized to the [[QuantScale]]
+    * grid: the doc's unit-centered vector projected onto the m
+    * (near-)orthonormal basis rows packed flat in `basisFlat`
+    * (bmu(j) = B_j·μ precomputed on the driver, so the executor-side
+    * subtraction is one double per coordinate), each coordinate
+    * stored as round(clamp(x, ±1)·QuantScale) in a Short.
+    * Coordinates of a unit vector on an orthonormal basis sit in
+    * [−1, 1] up to double rounding, so the clamp loses nothing; the
+    * quantization error budget lives in [[quantThreshold]]'s slack
+    * term. The projection rides the LSH band shuffle at TWO bytes per
+    * dim (m ≤ 192 bytes per key row — half the former float32
+    * payload through both the shuffle and the kernel's sort) and
+    * powers the exactness-preserving candidate prune in
+    * [[graft.ops.CorrDedup]] / the q25 kernel: for orthonormal rows,
+    * ‖proj_a − proj_b‖² ≤ ‖û_a − û_b‖² = 2 − 2·corr(a,b), so a pair
+    * whose quantized distance² exceeds [[quantThreshold]](2−2·t, m)
+    * provably sits below the threshold t. A non-finite projection
+    * (degenerate ‖v−μ‖ = 0 doc) yields the EMPTY array — the sentinel
+    * [[projDistExceedsQ]] never prunes (a per-DOC property: a finite
+    * norm makes every coordinate finite, so one non-finite coordinate
+    * implies all are). */
   def projectCentered(v: ArrayData, basisFlat: ArrayData, bmu: ArrayData,
                       norm: Double): GenericArrayData = {
     val m = bmu.numElements()
     val dim = v.numElements()
-    val out = new Array[Float](m)
+    val out = new Array[Short](m)
     var j = 0
     while (j < m) {
       val off = j * dim
       var acc = 0.0
       var i = 0
       while (i < dim) { acc += v.getDouble(i) * basisFlat.getDouble(off + i); i += 1 }
-      out(j) = ((acc - bmu.getDouble(j)) / norm).toFloat
+      val x = (acc - bmu.getDouble(j)) / norm
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+        return new GenericArrayData(Array.empty[Short])
+      val c = if (x > 1.0) 1.0 else if (x < -1.0) -1.0 else x
+      out(j) = math.round(c * QuantScale.toDouble).toShort
       j += 1
     }
     new GenericArrayData(out)
@@ -382,7 +437,7 @@ case class ProjectCentered(left: Expression, right: Expression,
     extends BinaryExpression {
   private lazy val basisData = new GenericArrayData(basisFlat)
   private lazy val bmuData = new GenericArrayData(bmu)
-  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def dataType: DataType = ArrayType(ShortType, containsNull = false)
   override def nullSafeEval(v: Any, norm: Any): Any =
     CorrUtil.projectCentered(v.asInstanceOf[ArrayData], basisData, bmuData,
       norm.asInstanceOf[Double])

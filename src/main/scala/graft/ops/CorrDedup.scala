@@ -44,18 +44,23 @@ import graft.functions.{CorrUtil, DotProduct, LshBandKeys, ProjectCentered, Toke
   *     oracle).
   *  4. EXACTNESS-PRESERVING candidate prune inside the bucket kernel:
   *     each doc carries an adaptive `MinProjDims`–`ProjDims` (16–96)
-  *     float projection of its unit-centered vector onto the top
-  *     orthonormal directions of the corpus second moment
+  *     QUANTIZED (Short-grid) projection of its unit-centered vector onto the
+  *     top orthonormal directions of the corpus second moment
   *     (power-iterated on the driver from a hash-spread `SampleN`
   *     = 2048-doc sample; stats-sized). Orthonormal projection never increases
   *     distance, so ‖proj_a − proj_b‖² ≤ ‖û_a − û_b‖² = 2 − 2·corr:
-  *     any pair whose projected distance² exceeds 2 − 2·0.9 (+ a
-  *     float-rounding margin) PROVABLY has corr < 0.9 and dies inside
-  *     the streaming bucket kernel — before the distinct and before
-  *     the 256-dim verify ever see it, at early-exit float cost (the
-  *     corpus's correlation mass concentrates in few principal
+  *     any pair whose quantized distance² exceeds
+  *     `CorrUtil.quantThreshold(2 − 2·0.9 + margin, m)` (the integer
+  *     bound that absorbs the rounding of both the margin and the
+  *     quantization grid) PROVABLY has corr < 0.9 and dies inside the
+  *     streaming bucket kernel — before the distinct and before the
+  *     256-dim verify ever see it, at early-exit integer-SSD cost
+  *     (the corpus's correlation mass concentrates in few principal
   *     directions, so most pruned pairs exit within a few
-  *     coordinates). NaN/degenerate projections never prune.
+  *     coordinates, and the pairs that DON'T exit — the dominant
+  *     mid-correlation mass of a near-dup corpus — scan 2 bytes/dim
+  *     instead of 4). Degenerate projections (empty-array sentinel)
+  *     never prune.
   *  5. Exact verify on surviving candidates, via the integer decomposition
   *     corr = (D − (Pa+Pb)/N + Q/N²) /
   *            (√(SSa − 2Pa/N + Q/N²) · √(SSb − 2Pb/N + Q/N²))
@@ -66,10 +71,10 @@ import graft.functions.{CorrUtil, DotProduct, LshBandKeys, ProjectCentered, Toke
   *
   * 100 TB shape: stats are one tiny (256-key) aggregate; signatures are
   * one codegen'd scan; candidates shuffle ONCE on the bucket key —
-  * `bands` rows per doc carrying the 64–384-byte prune projection — then
-  * stream through the sort-based kernel, so no quadratic set is ever
-  * materialized: enumeration happens inside equal-key runs at
-  * early-exit float cost and only provably-possible pairs become rows
+  * `bands` rows per doc carrying the 32–192-byte quantized prune projection
+  * — then stream through the sort-based kernel, so no quadratic set is
+  * ever materialized: enumeration happens inside equal-key runs at
+  * early-exit integer-SSD cost and only provably-possible pairs become rows
   * for the distinct + 2 KB verify join. A hot bucket is ordinary
   * aggregation skew (pair work is quadratic only within one bucket,
   * bounded by band selectivity). Measured at the 10× sighting: the
@@ -129,8 +134,9 @@ object CorrDedup {
   val SampleN = 2048
   val PowerIters = 8
   /** Keep a pair unless its projected distance² provably exceeds
-    * 2 − 2·threshold; the margin dominates every rounding source
-    * (float32 storage ~1e-5, double matvec ~1e-12). */
+    * 2 − 2·threshold; the margin dominates the double matvec rounding
+    * (~1e-12), and the quantization grid's own error budget is carried
+    * separately in `CorrUtil.quantThreshold`'s slack term. */
   val PruneBound: Double = 2.0 * (1.0 - CorrThreshold) + 1e-4
 
   def q35LshNearDup(spark: SparkSession, dir: String): DataFrame =
@@ -221,9 +227,9 @@ object CorrDedup {
           vecs.select(col("doc_id").as("doc_id_2")))
           .filter(col("doc_id_1") < col("doc_id_2"))
       else {
-        // One row per (doc, band): the 16-bit band signature, band-
-        // offset in the high bits so bands never mix, plus the 32-float
-        // prune projection.
+        // One row per (doc, band): the band signature, band-offset in
+        // the high bits so bands never mix, plus the quantized prune
+        // projection (2 bytes/dim through the shuffle AND the sort).
         val entries = scal.select(
           explode(LshBandKeys(col("cnt"), hmu, Seed, bands, bits)).as("key"),
           col("doc_id"), col("proj"))
@@ -231,9 +237,9 @@ object CorrDedup {
         // kernel: hash-shuffle on the bucket key, sort within
         // partitions, and stream each equal-key run through a tight
         // pairwise loop where every candidate pair pays only the
-        // early-exit 32-float projected distance (double accumulator —
+        // early-exit integer projected distance (exact int math —
         // sound to exit early because partial sums of squares only
-        // grow; NaN/degenerate projections KEEP the pair). Only pairs
+        // grow; degenerate projections KEEP the pair). Only pairs
         // not provably below the correlation threshold ever become
         // rows. The generic-join formulation paid ~0.6 µs of operator
         // machinery per enumerated pair, 15× the prune math itself;
@@ -243,22 +249,25 @@ object CorrDedup {
         // genuinely imperative per-partition pair enumeration.
         val spark = docs.sparkSession
         import spark.implicits._
-        val bound = PruneBound
-        entries.as[(Long, Long, Array[Float])]
+        // integer prune threshold for the grid-quantized projections
+        // (see CorrUtil.quantThreshold for the exactness derivation)
+        val t2 = CorrUtil.quantThreshold(PruneBound, basis.length)
+        entries.as[(Long, Long, Array[Short])]
           .repartition(col("key"))
           .sortWithinPartitions(col("key"))
           .mapPartitions { it =>
             new Iterator[(Long, Long)] {
               private val ids = new scala.collection.mutable.ArrayBuffer[Long]()
               private val pjs =
-                new scala.collection.mutable.ArrayBuffer[Array[Float]]()
+                new scala.collection.mutable.ArrayBuffer[Array[Short]]()
               private var curKey = 0L
               private var haveKey = false
               private var out: Iterator[(Long, Long)] = Iterator.empty
-              // strip-mined shared kernel; false for acc <= bound and
-              // for NaN (see CorrUtil.projDistExceeds)
-              private def exceeds(a: Array[Float], b: Array[Float]): Boolean =
-                CorrUtil.projDistExceeds(a, b, bound)
+              // strip-mined shared kernel; false for acc <= t2 and for
+              // the degenerate-doc empty-array sentinel (see
+              // CorrUtil.projDistExceedsQ)
+              private def exceeds(a: Array[Short], b: Array[Short]): Boolean =
+                CorrUtil.projDistExceedsQ(a, b, t2)
               private def flush(): Iterator[(Long, Long)] = {
                 val n = ids.length
                 val buf =

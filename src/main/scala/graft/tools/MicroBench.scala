@@ -1,8 +1,14 @@
 package graft.tools
 
 /** Throwaway microbenchmark for the pair-prune kernel loop — measures
-  * ns/pair of CorrUtil.projDistExceeds on synthetic near-isotropic
-  * unit-vector projections shaped like the q25 sighting workload. */
+  * ns/pair of the shipped quantized CorrUtil.projDistExceedsQ against inline
+  * float32 reference variants, on two synthetic workloads shaped like
+  * the sighting corpora:
+  *   - "random": near-isotropic unit-vector projections (q25's
+  *     cross-block mass — pairs at cos ≈ 0 exit early);
+  *   - "near": per-pair small perturbations (q35's mid/high-correlation
+  *     mass — pairs that never exit and pay the FULL scan, which is
+  *     what dominates the 30× sighting's 343M enumerations). */
 object MicroBench {
   def main(args: Array[String]): Unit = {
     val dim = 60
@@ -15,9 +21,20 @@ object MicroBench {
       a.zipWithIndex.map { case (x, i) =>
         (x / nr * math.sqrt(2.0 * (1.0 - 0.3 * i / dim))).toFloat }
     }
+    val scale = graft.functions.CorrUtil.QuantScale.toDouble
+    def quant(x: Array[Float]): Array[Short] = x.map { v =>
+      val c = math.max(-1.0, math.min(1.0, v.toDouble))
+      math.round(c * scale).toShort
+    }
     val as = Array.fill(n)(mk())
     val bs = Array.fill(n)(mk())
+    // near-pair workload: b is a tiny perturbation of a (never exits)
+    val bsNear = as.map(_.map(v => v + (rnd.nextFloat() - 0.5f) * 0.02f))
+    val asQ = as.map(quant)
+    val bsQ = bs.map(quant)
+    val bsNearQ = bsNear.map(quant)
     val bound = 1.2001
+    val t2 = graft.functions.CorrUtil.quantThreshold(bound, dim)
 
     def scalarExceeds(a: Array[Float], b: Array[Float]): Boolean = {
       val m = math.min(a.length, b.length)
@@ -32,59 +49,71 @@ object MicroBench {
       acc > bound
     }
 
-    def fullDist(a: Array[Float], b: Array[Float]): Boolean = {
+    def floatStrip(a: Array[Float], b: Array[Float]): Boolean = {
       val m = math.min(a.length, b.length)
-      var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+      var acc = 0.0f
       var k = 0
-      while (k + 4 <= m) {
-        val d0 = a(k).toDouble - b(k).toDouble
-        val d1 = a(k + 1).toDouble - b(k + 1).toDouble
-        val d2 = a(k + 2).toDouble - b(k + 2).toDouble
-        val d3 = a(k + 3).toDouble - b(k + 3).toDouble
-        a0 += d0 * d0; a1 += d1 * d1; a2 += d2 * d2; a3 += d3 * d3
-        k += 4
-      }
-      var acc = a0 + a1 + a2 + a3
-      while (k < m) { val d = a(k).toDouble - b(k).toDouble; acc += d * d; k += 1 }
-      acc > bound
-    }
-
-    def floatFull(a: Array[Float], b: Array[Float]): Boolean = {
-      val m = math.min(a.length, b.length)
-      var a0 = 0f; var a1 = 0f; var a2 = 0f; var a3 = 0f
-      var k = 0
-      while (k + 4 <= m) {
-        val d0 = a(k) - b(k)
-        val d1 = a(k + 1) - b(k + 1)
-        val d2 = a(k + 2) - b(k + 2)
-        val d3 = a(k + 3) - b(k + 3)
-        a0 += d0 * d0; a1 += d1 * d1; a2 += d2 * d2; a3 += d3 * d3
-        k += 4
-      }
-      var acc = a0 + a1 + a2 + a3
-      while (k < m) { val d = a(k) - b(k); acc += d * d; k += 1 }
-      acc > bound
-    }
-
-    val variants: Seq[(String, (Array[Float], Array[Float]) => Boolean)] = Seq(
-      "shared16x4" -> ((a, b) => graft.functions.CorrUtil.projDistExceeds(a, b, bound)),
-      "scalarEE" -> (scalarExceeds _),
-      "full4acc" -> (fullDist _),
-      "floatFull" -> (floatFull _))
-    for ((name, f) <- variants; rep <- 0 until 3) {
-      val t0 = System.nanoTime()
-      var kept = 0L
-      var i = 0
-      while (i < n) {
-        var j = 0
-        while (j < n) {
-          if (!f(as(i), bs(j))) kept += 1
-          j += 1
+      while (k + 16 <= m) {
+        var a0 = 0.0f; var a1 = 0.0f; var a2 = 0.0f; var a3 = 0.0f
+        var j = k
+        while (j < k + 16) {
+          val d0 = a(j) - b(j)
+          val d1 = a(j + 1) - b(j + 1)
+          val d2 = a(j + 2) - b(j + 2)
+          val d3 = a(j + 3) - b(j + 3)
+          a0 += d0 * d0; a1 += d1 * d1; a2 += d2 * d2; a3 += d3 * d3
+          j += 4
         }
-        i += 1
+        acc += a0 + a1 + a2 + a3
+        if (acc.toDouble > bound) return true
+        k += 16
       }
-      val dt = System.nanoTime() - t0
-      println(f"$name%10s rep=$rep kept=$kept ns/pair=${dt.toDouble / (n.toLong * n)}%.2f")
+      while (k < m) {
+        val d = a(k) - b(k)
+        acc += d * d
+        if (acc.toDouble > bound) return true
+        k += 1
+      }
+      acc.toDouble > bound
     }
+
+    def benchF(name: String, xs: Array[Array[Float]], ys: Array[Array[Float]],
+               f: (Array[Float], Array[Float]) => Boolean): Unit =
+      for (rep <- 0 until 3) {
+        val t0 = System.nanoTime()
+        var kept = 0L
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) { if (!f(xs(i), ys(j))) kept += 1; j += 1 }
+          i += 1
+        }
+        val dt = System.nanoTime() - t0
+        println(f"$name%14s rep=$rep kept=$kept ns/pair=${dt.toDouble / (n.toLong * n)}%.2f")
+      }
+    def benchQ(name: String, xs: Array[Array[Short]], ys: Array[Array[Short]]): Unit =
+      for (rep <- 0 until 3) {
+        val t0 = System.nanoTime()
+        var kept = 0L
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) {
+            if (!graft.functions.CorrUtil.projDistExceedsQ(xs(i), ys(j), t2))
+              kept += 1
+            j += 1
+          }
+          i += 1
+        }
+        val dt = System.nanoTime() - t0
+        println(f"$name%14s rep=$rep kept=$kept ns/pair=${dt.toDouble / (n.toLong * n)}%.2f")
+      }
+
+    benchQ("quant/random", asQ, bsQ)
+    benchF("float/random", as, bs, floatStrip)
+    benchF("scalar/random", as, bs, scalarExceeds)
+    benchQ("quant/near", asQ, bsNearQ)
+    benchF("float/near", as, bsNear, floatStrip)
+    benchF("scalar/near", as, bsNear, scalarExceeds)
   }
 }
