@@ -181,4 +181,65 @@ object EngineProps extends Properties("graft.kernels") {
       val out = graft.ops.Causal.pavPool(bins)
       graft.ops.Causal.pavPool(out) == out
     }
+
+  // ---- quantized prune kernel (q25/q35) --------------------------------
+
+  private val S = graft.functions.CorrUtil.QuantScale.toDouble
+  private def quantize(x: Array[Double]): Array[Short] = x.map { v =>
+    val c = math.max(-1.0, math.min(1.0, v))
+    math.round(c * S).toShort
+  }
+  private def dist2(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** (bound, a, b) with coords in [−1, 1] and b boundary-dense: half
+    * the draws rescale b−a so the true distance lands within ±20 % of
+    * √bound — the regime where an unsound threshold would misfire. */
+  private val prunePair: Gen[(Double, Array[Double], Array[Double])] = for {
+    m <- Gen.chooseNum(1, 96)
+    bound <- Gen.oneOf(0.2001, 1.2001, 0.05, 2.0)
+    a <- Gen.listOfN(m, Gen.chooseNum(-1.0, 1.0)).map(_.toArray)
+    b0 <- Gen.listOfN(m, Gen.chooseNum(-1.0, 1.0)).map(_.toArray)
+    nearBoundary <- Gen.oneOf(true, false)
+    scale <- Gen.chooseNum(0.8, 1.2)
+  } yield {
+    val b =
+      if (!nearBoundary || dist2(a, b0) < 1e-12) b0
+      else {
+        val f = scale * math.sqrt(bound) / math.sqrt(dist2(a, b0))
+        a.zip(b0).map { case (x, y) =>
+          math.max(-1.0, math.min(1.0, x + (y - x) * f)) }
+      }
+    (bound, a, b)
+  }
+
+  property("quantized prune is SOUND: a fired prune implies true dist2 > bound") =
+    forAll(prunePair) { case (bound, a, b) =>
+      val t2 = graft.functions.CorrUtil.quantThreshold(bound, a.length)
+      val fired =
+        graft.functions.CorrUtil.projDistExceedsQ(quantize(a), quantize(b), t2)
+      !fired || dist2(a, b) > bound
+    }
+
+  property("quantized prune FIRES outside the slack band (completeness)") =
+    forAll(prunePair) { case (bound, a, b) =>
+      val m = a.length
+      val t2 = graft.functions.CorrUtil.quantThreshold(bound, m)
+      val slackOut = math.sqrt(bound) + 2.0 * 1.0001 * math.sqrt(m.toDouble) / S
+      val clearlyFar = dist2(a, b) > slackOut * slackOut * 1.000001
+      !clearlyFar ||
+        graft.functions.CorrUtil.projDistExceedsQ(quantize(a), quantize(b), t2)
+    }
+
+  property("degenerate sentinel and length mismatch never prune") =
+    forAll(Gen.chooseNum(1, 96), Gen.chooseNum(0.01, 2.0)) { (m, bound) =>
+      val t2 = graft.functions.CorrUtil.quantThreshold(bound, m)
+      val full = Array.fill(m)(S.toInt.toShort)
+      !graft.functions.CorrUtil.projDistExceedsQ(Array.empty[Short], full, t2) &&
+        !graft.functions.CorrUtil.projDistExceedsQ(full, Array.empty[Short], t2) &&
+        !graft.functions.CorrUtil
+          .projDistExceedsQ(full, Array.fill(m + 1)(0.toShort), t2) &&
+        (graft.functions.CorrUtil
+          .quantThreshold(bound, 0) == Long.MaxValue)
+    }
 }
