@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, ShortType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, ShortType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Kernels for the correlation near-dup pipeline (DedupOps q35):
@@ -141,6 +141,16 @@ object CorrUtil {
     * bytes through the candidate shuffle and its sort. */
   val QuantScale = 2047
 
+  /** Per-coordinate clamp tolerance for [[projectCentered]]: a
+    * coordinate beyond 1 + ClampTol means the norm cancellation went
+    * bad and the whole projection degrades to the never-prune
+    * sentinel; within it, the residual excess adds at most
+    * 2·[[QuantScale]]·ClampTol ≈ 4e-5 to the 2Se term of
+    * [[quantThreshold]]'s derivation — inside its 1e-4 budget.
+    * Legitimate unit-vector coordinates overshoot by O(1e-12), four
+    * orders below this, so real corpora never hit the sentinel. */
+  val ClampTol = 1e-8
+
   /** Integer prune threshold for quantized unit-vector projections:
     * prune a pair iff Σ (Δq)² > quantThreshold(bound, m) ⟹ the TRUE
     * projected distance² exceeds `bound` ⟹ (projection never
@@ -148,12 +158,15 @@ object CorrUtil {
     * correlation/cosine threshold.
     *
     * Derivation. Each stored coordinate is qᵢ = round(clamp(xᵢ)·S)
-    * with S = [[QuantScale]] and |xᵢ| ≤ 1 + O(1e-12) (a coordinate of
-    * a unit vector on a double-orthonormalized basis), so
-    * |xᵢ − qᵢ/S| ≤ 1/(2S) + 1e-9 =: e per coordinate, and for m dims
-    * ‖x_a − x_b‖ ≥ ‖Δq‖/S − 2e√m. Requiring
-    * ‖Δq‖ > S·√bound + 1.0001·√m (the 1.0001 generously covers
-    * 2Se = 1 + 4e-6) therefore forces ‖x_a − x_b‖² > bound.
+    * with S = [[QuantScale]] and |xᵢ| ≤ 1 + [[ClampTol]] (any larger
+    * excursion — possible when the caller's norm is computed by a
+    * cancellation-prone formula — makes [[projectCentered]] emit the
+    * never-prune sentinel instead of clamping), so
+    * |xᵢ − qᵢ/S| ≤ 1/(2S) + ClampTol + 1e-9 =: e per coordinate, and
+    * for m dims ‖x_a − x_b‖ ≥ ‖Δq‖/S − 2e√m. Requiring
+    * ‖Δq‖ > S·√bound + 1.0001·√m (the 1.0001 covers
+    * 2Se = 1 + 2S·(ClampTol + 1e-9) < 1 + 4.6e-5 with margin)
+    * therefore forces ‖x_a − x_b‖² > bound.
     * The integer compare makes the kernel branch-exact: no float
     * rounding can flip a prune decision. The quantization slack
     * (≈ √m/S, 0.005 at m = 96) only LOWERS the prune rate — pairs
@@ -270,7 +283,14 @@ object CorrUtil {
     * Coordinates of a unit vector on an orthonormal basis sit in
     * [−1, 1] up to double rounding, so the clamp loses nothing; the
     * quantization error budget lives in [[quantThreshold]]'s slack
-    * term. The projection rides the LSH band shuffle at TWO bytes per
+    * term. The caller's `norm` can come from a cancellation-prone
+    * formula (q35 uses √(ss − 2p/n + qn²)), so a coordinate CAN
+    * exceed 1 by more than double rounding when the norm collapses —
+    * any excursion past 1 + [[ClampTol]] therefore yields the same
+    * never-prune sentinel as a non-finite projection, and the
+    * residual clamp excess (≤ ClampTol per coordinate, i.e.
+    * 2·QuantScale·ClampTol ≈ 4e-5 added to 2Se) stays inside
+    * [[quantThreshold]]'s 1.0001 factor (budget 1e-4). The projection rides the LSH band shuffle at TWO bytes per
     * dim (m ≤ 192 bytes per key row — half the former float32
     * payload through both the shuffle and the kernel's sort) and
     * powers the exactness-preserving candidate prune in
@@ -294,7 +314,8 @@ object CorrUtil {
       var i = 0
       while (i < dim) { acc += v.getDouble(i) * basisFlat.getDouble(off + i); i += 1 }
       val x = (acc - bmu.getDouble(j)) / norm
-      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x) ||
+          x > 1.0 + ClampTol || x < -(1.0 + ClampTol))
         return new GenericArrayData(Array.empty[Short])
       val c = if (x > 1.0) 1.0 else if (x < -1.0) -1.0 else x
       out(j) = math.round(c * QuantScale.toDouble).toShort
@@ -428,7 +449,8 @@ object TokenBucketCounts {
     ColumnBridge.toColumn(TokenBucketCounts(ColumnBridge.toExpression(c), dim))
 }
 
-/** proj = (B·(v − μ))/‖v−μ‖ as array<float> — see
+/** proj = (B·(v − μ))/‖v−μ‖ quantized to array<short> on the
+  * [[CorrUtil.QuantScale]] grid — see
   * [[CorrUtil.projectCentered]]. Children are (v: array<double>,
   * norm: double); the basis and bmu ride as broadcast-by-reference
   * codegen objects (m·dim doubles once per executor, not per row). */

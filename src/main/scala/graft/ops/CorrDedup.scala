@@ -75,9 +75,11 @@ import graft.functions.{CorrUtil, DotProduct, LshBandKeys, ProjectCentered, Toke
   * — then stream through the sort-based kernel, so no quadratic set is
   * ever materialized: enumeration happens inside equal-key runs at
   * early-exit integer-SSD cost and only provably-possible pairs become rows
-  * for the distinct + 2 KB verify join. A hot bucket is ordinary
-  * aggregation skew (pair work is quadratic only within one bucket,
-  * bounded by band selectivity). Measured at the 10× sighting: the
+  * for the distinct + 2 KB verify join. A hot bucket is no longer
+  * unbounded skew: past [[CorrDedup.SplitMinRows]] docs, any bucket
+  * over [[CorrDedup.DefaultBucketCap]] members is salt-split into the
+  * exact block-pair cells of its triangle decomposition (per-task
+  * work ≤ ~cap², pair set byte-identical — see the cap scaladoc). Measured at the 10× sighting: the
   * generic-join formulation paid ~0.6 µs of operator machinery per
   * enumerated pair (212 s r7 → 80 s with the prune riding the join);
   * the kernel + long-band shape cuts enumeration volume in half and
@@ -133,6 +135,47 @@ object CorrDedup {
   val MinProjDims = 16
   val SampleN = 2048
   val PowerIters = 8
+
+  /** Hot-bucket occupancy cap: a single (band, bucket) equal-key run
+    * longer than this is no longer enumerated by one task. The
+    * quadratic work inside one genuinely-similar hot bucket cannot be
+    * reduced (its pairs ARE the output), but it CAN be spread: members
+    * of an over-cap bucket are salt-hashed into g = ⌈occ/cap⌉ groups
+    * and re-keyed to the g(g+1)/2 block-pair cells (i ≤ j) of the
+    * triangle decomposition — cell (i,i) enumerates the full triangle
+    * of group i, cell (i,j) enumerates ONLY cross pairs (side tags
+    * carried per row), so every unordered bucket pair is produced by
+    * EXACTLY one cell. This is an exact decomposition: the candidate
+    * pair set — and every hash downstream — is byte-identical at any
+    * scale, with per-task work bounded by ~cap² and the analytic miss
+    * bound untouched (no pair is dropped, so "≤ MissBound combined"
+    * holds trivially; contrast a lossy second-stage LSH re-hash, whose
+    * extra miss mass the tightly-fitted band count has no budget for).
+    * Member replication is g = per-bucket work / (cap · occ) — i.e.
+    * shuffle rows grow only in proportion to the enumeration work that
+    * already exists, at ~200 B per cap² pair-tests.
+    *
+    * The split needs a bucket-occupancy pre-pass (one keys-only
+    * aggregate + a broadcast of the over-cap keys, ≤ |entries|/cap
+    * rows by construction), so it engages only above
+    * [[SplitMinRows]] docs (conf `graft.dedup.q35SplitMinRows`;
+    * every driver SF stays on the single-pass plan) — below the gate
+    * a whole-corpus bucket is ≤ SplitMinRows·(SplitMinRows−1)/2
+    * pair-tests, within one task's early-exit budget. Cap via conf
+    * `graft.dedup.q35BucketCap` (specs force it low to pin
+    * split ≡ unsplit ≡ exhaustive). */
+  val DefaultBucketCap = 2048
+  val SplitMinRows = 20000L
+  def bucketCap(spark: SparkSession): Int =
+    spark.conf.getOption("graft.dedup.q35BucketCap").map(_.toInt)
+      .getOrElse(DefaultBucketCap)
+  def splitMinRows(spark: SparkSession): Long =
+    spark.conf.getOption("graft.dedup.q35SplitMinRows").map(_.toLong)
+      .getOrElse(SplitMinRows)
+  /** Shape predicate for diagnostics (EnumVol): would the split
+    * machinery re-key at least one bucket at this corpus size? */
+  def splitEngages(n: Long, maxBucket: Long, cap: Long): Boolean =
+    n > SplitMinRows && maxBucket > cap
   /** Keep a pair unless its projected distance² provably exceeds
     * 2 − 2·threshold; the margin dominates the double matvec rounding
     * (~1e-12), and the quantization grid's own error budget is carried
@@ -252,15 +295,60 @@ object CorrDedup {
         // integer prune threshold for the grid-quantized projections
         // (see CorrUtil.quantThreshold for the exactness derivation)
         val t2 = CorrUtil.quantThreshold(PruneBound, basis.length)
-        entries.as[(Long, Long, Array[Short])]
-          .repartition(col("key"))
-          .sortWithinPartitions(col("key"))
+        val cap = bucketCap(spark)
+        // Hot-bucket block split (see [[DefaultBucketCap]]): every row
+        // becomes (key, cell, doc_id, side, proj). Below the gate the
+        // single-pass plan emits the one cold cell (-1, side 0) per
+        // row — no occupancy pass, no broadcast, the driver-SF plan.
+        val cellEntries =
+          if (n <= splitMinRows(spark))
+            entries.select(col("key"), lit(-1L).as("cell"), col("doc_id"),
+              lit(0).as("side"), col("proj"))
+          else {
+            // keys-only occupancy pre-pass: over-cap keys are ≤
+            // |entries|/cap rows by construction → broadcastable
+            val occ = vecs
+              .select(explode(LshBandKeys(col("cnt"), hmu, Seed, bands, bits))
+                .as("key"))
+              .groupBy(col("key")).agg(count(lit(1)).as("occ"))
+              .filter(col("occ") > cap)
+            entries.join(broadcast(occ), Seq("key"), "left")
+              .withColumn("g",
+                ceil(col("occ").cast("double") / lit(cap.toDouble)).cast("int"))
+              .withColumn("x",
+                pmod(xxhash64(col("doc_id"), col("key")), col("g").cast("long"))
+                  .cast("int"))
+              .withColumn("cells", when(col("g").isNull,
+                  array(struct(lit(-1L).as("cell"), lit(0).as("side"))))
+                .otherwise(expr(
+                  """transform(sequence(0, g - 1), j -> struct(
+                    |  CAST(CASE WHEN j <= x THEN CAST(j AS BIGINT) * g + x
+                    |            ELSE CAST(x AS BIGINT) * g + j END AS BIGINT)
+                    |    AS cell,
+                    |  CASE WHEN j < x THEN 1 ELSE 0 END AS side))"""
+                    .stripMargin)))
+              .select(col("key"), explode(col("cells")).as("c"),
+                col("doc_id"), col("proj"))
+              .select(col("key"), col("c.cell").as("cell"), col("doc_id"),
+                col("c.side").as("side"), col("proj"))
+          }
+        cellEntries.as[(Long, Long, Long, Int, Array[Short])]
+          .repartition(col("key"), col("cell"))
+          .sortWithinPartitions(col("key"), col("cell"))
           .mapPartitions { it =>
             new Iterator[(Long, Long)] {
-              private val ids = new scala.collection.mutable.ArrayBuffer[Long]()
-              private val pjs =
+              // side-0 (A) and side-1 (B) members of the current
+              // (key, cell) run; cold cells and (i,i) cells are all-A
+              // → full triangle; mixed cells pair A×B only, so each
+              // unordered bucket pair is enumerated by exactly one cell
+              private val aIds = new scala.collection.mutable.ArrayBuffer[Long]()
+              private val aPjs =
+                new scala.collection.mutable.ArrayBuffer[Array[Short]]()
+              private val bIds = new scala.collection.mutable.ArrayBuffer[Long]()
+              private val bPjs =
                 new scala.collection.mutable.ArrayBuffer[Array[Short]]()
               private var curKey = 0L
+              private var curCell = 0L
               private var haveKey = false
               private var out: Iterator[(Long, Long)] = Iterator.empty
               // strip-mined shared kernel; false for acc <= t2 and for
@@ -269,31 +357,49 @@ object CorrDedup {
               private def exceeds(a: Array[Short], b: Array[Short]): Boolean =
                 CorrUtil.projDistExceedsQ(a, b, t2)
               private def flush(): Iterator[(Long, Long)] = {
-                val n = ids.length
                 val buf =
                   scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-                var i = 0
-                while (i < n) {
-                  var j = i + 1
-                  while (j < n) {
-                    if (ids(i) != ids(j) && !exceeds(pjs(i), pjs(j)))
-                      buf += ((math.min(ids(i), ids(j)),
-                        math.max(ids(i), ids(j))))
-                    j += 1
+                if (bIds.isEmpty) {
+                  val n = aIds.length
+                  var i = 0
+                  while (i < n) {
+                    var j = i + 1
+                    while (j < n) {
+                      if (aIds(i) != aIds(j) && !exceeds(aPjs(i), aPjs(j)))
+                        buf += ((math.min(aIds(i), aIds(j)),
+                          math.max(aIds(i), aIds(j))))
+                      j += 1
+                    }
+                    i += 1
                   }
-                  i += 1
+                } else {
+                  val na = aIds.length
+                  val nb = bIds.length
+                  var i = 0
+                  while (i < na) {
+                    var j = 0
+                    while (j < nb) {
+                      if (aIds(i) != bIds(j) && !exceeds(aPjs(i), bPjs(j)))
+                        buf += ((math.min(aIds(i), bIds(j)),
+                          math.max(aIds(i), bIds(j))))
+                      j += 1
+                    }
+                    i += 1
+                  }
                 }
-                ids.clear(); pjs.clear()
+                aIds.clear(); aPjs.clear(); bIds.clear(); bPjs.clear()
                 buf.iterator
               }
               private def advance(): Unit = {
                 while (!out.hasNext && it.hasNext) {
-                  val (k, id, pj) = it.next()
-                  if (haveKey && k != curKey) out = flush()
-                  curKey = k; haveKey = true
-                  ids += id; pjs += pj
+                  val (k, c, id, side, pj) = it.next()
+                  if (haveKey && (k != curKey || c != curCell)) out = flush()
+                  curKey = k; curCell = c; haveKey = true
+                  if (side == 0) { aIds += id; aPjs += pj }
+                  else { bIds += id; bPjs += pj }
                 }
-                if (!out.hasNext && !it.hasNext && ids.nonEmpty) out = flush()
+                if (!out.hasNext && !it.hasNext &&
+                    (aIds.nonEmpty || bIds.nonEmpty)) out = flush()
               }
               def hasNext: Boolean = { advance(); out.hasNext }
               def next(): (Long, Long) = { advance(); out.next() }

@@ -241,10 +241,13 @@ object Curation {
     * instr vs strpos. */
   val HllP = 10 // 2^10 buckets; 50 hash bits feed the rank
 
-  private def hllRegisterSql(posFn: String,
-      grpCols: Seq[String] = Seq("event_type")): String = {
-    // Horner-assembled 60-bit hash from the first 15 md5 nibbles
-    // (accumulator starts as BIGINT — the int positions overflow 32 bits)
+  /** The shared hash/rank SQL fragments: (h — the Horner-assembled
+    * 60-bit hash from the first 15 md5 nibbles of user_id, rank — the
+    * leading-zero CASE over a column named `w`, wBits). One builder so
+    * the register queries and q204's per-user-day register rows stay
+    * definitionally in lockstep. */
+  private def hllHashRank(posFn: String): (String, String, Int) = {
+    // accumulator starts as BIGINT — the int positions overflow 32 bits
     val nibs = (0 until 15)
       .map(j => s"($posFn('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${j + 1}, 1)) - 1)")
     val h = nibs.tail.foldLeft(s"CAST(${nibs.head} AS BIGINT)")(
@@ -254,6 +257,12 @@ object Curation {
     val rank = (1 to wBits)
       .map(k => s"WHEN w >= ${1L << (wBits - k)} THEN $k")
       .mkString("CASE ", " ", s" ELSE ${wBits + 1} END") // w = 0 → wBits + 1
+    (h, rank, wBits)
+  }
+
+  private def hllRegisterSql(posFn: String,
+      grpCols: Seq[String] = Seq("event_type")): String = {
+    val (h, rank, wBits) = hllHashRank(posFn)
     val g = grpCols.map(_ + ", ").mkString
     s"""SELECT ${g}bucket, max(rank) AS max_rank FROM (
        |  SELECT ${g}h // ${1L << wBits} AS bucket,
@@ -355,11 +364,55 @@ object Curation {
        |JOIN direct dr ON dr.day = r.day AND dr.bucket = r.bucket""".stripMargin
   }
 
+  /** Spark-side q204 plan: the oracle's algebra with the shared work
+    * factored out ONCE. Both arms — the daily-register rollup and the
+    * direct per-window check — derive from a single persisted
+    * per-user-day register frame (day, bucket, rank): the raw events
+    * are scanned once, the (user, day) dedup aggregate runs once, and
+    * the 15-nibble md5 hash is computed once per user-day (the oracle
+    * text computes each of these twice). The direct arm's post-shift
+    * re-dedup is dropped as a provable identity: rank is a function of
+    * user_id alone, so max(rank) over the multiset of (user, day+off)
+    * rows equals max over the deduped set — the emitted registers, and
+    * every hash downstream, are unchanged. What remains event-shaped
+    * is only the intentional direct-check aggregate (user-days × 7
+    * window offsets), which IS the lossless-rollup proof the query
+    * exists to emit. */
   def q204SlidingHll(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "events").createOrReplaceTempView("events")
-    spark.sql(hllSlidingSql("instr", "unix_timestamp(ts) div 86400")
-      .replace(" // ", " div ").replace("AS VARCHAR", "AS STRING")
-      .replace("unnest([", "explode(array(").replace("]) AS off", ")) AS off"))
+    val (h, rank, wBits) = hllHashRank("instr")
+    val udr = spark.sql(
+      s"""SELECT day, h div ${1L << wBits} AS bucket, $rank AS rank
+         |FROM (SELECT day, $h AS h, ($h % ${1L << wBits}) AS w
+         |      FROM (SELECT DISTINCT user_id,
+         |                   unix_timestamp(ts) div 86400 AS day
+         |            FROM events) ud) x""".stripMargin
+        .replace("AS VARCHAR", "AS STRING"))
+      .persist()
+    udr.createOrReplaceTempView("q204_udr")
+    val offs = (0 until HllWindowDays).mkString(", ")
+    spark.sql(
+      s"""WITH daily AS (
+         |  SELECT day, bucket, max(rank) AS max_rank
+         |  FROM q204_udr GROUP BY day, bucket
+         |), days AS (
+         |  SELECT DISTINCT day FROM daily
+         |), rolled AS (
+         |  SELECT d.day + o.off AS day, d.bucket, max(d.max_rank) AS merged_rank
+         |  FROM daily d
+         |  CROSS JOIN (SELECT explode(array($offs)) AS off) o
+         |  GROUP BY 1, 2
+         |), direct AS (
+         |  SELECT u.day + o.off AS day, u.bucket, max(u.rank) AS max_rank
+         |  FROM q204_udr u
+         |  CROSS JOIN (SELECT explode(array($offs)) AS off) o
+         |  GROUP BY 1, 2
+         |)
+         |SELECT r.day, r.bucket, r.merged_rank, dr.max_rank AS direct_rank,
+         |  r.merged_rank = dr.max_rank AS merge_consistent
+         |FROM rolled r
+         |JOIN days dy ON dy.day = r.day
+         |JOIN direct dr ON dr.day = r.day AND dr.bucket = r.bucket""".stripMargin)
   }
 
   val q204Oracle: String =
@@ -814,11 +867,18 @@ object Curation {
     * frame is a dozen 1-row aggregates unioned at aggregate size. */
   def q165DatasetCard(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TextFunctions => TF}
+    // Persisted (the q141 precedent): four of the card's arms — the
+    // base tallies, the digest dups, the source shares and the rank
+    // pass — consume this same narrow frame, and each arm is a
+    // broadcast subtree that materializes separately; without the
+    // persist the scan AND the per-doc text functions (normalize, md5,
+    // tokenize) re-run once per arm.
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"),
         length(col("text")).cast("long").as("n_chars"),
         size(TF.wsTokens(col("text"))).cast("long").as("n_tokens"),
         md5(TF.normText(col("text"))).as("h"))
+      .persist()
     val base = docs.agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("source")).as("n_sources"),

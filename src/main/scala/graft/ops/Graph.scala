@@ -106,14 +106,16 @@ object Graph {
 
   /** q108 peel threshold and round budget. K=8 bites on every SF (the
     * customer side's degrees straddle 8; suppliers only fall out via
-    * cascade). [[CoreRounds]] is a FIXED budget, not a convergence
-    * loop: both engines compute exactly this many peels, so the oracle
-    * is data-independent; once the peel reaches its fixpoint the
-    * remaining rounds are no-ops. GraphSpec asserts the fixpoint is
-    * actually reached on the test corpora (one extra round changes
-    * nothing), making the result the true k-core there — the supply
-    * graph converges after ONE effective round at every SF (measured),
-    * so 4 budgeted rounds carry 3 rounds of safety margin. */
+    * cascade). [[CoreRounds]] is a FIXED budget: the oracle computes
+    * exactly this many peels, so it is data-independent; the Spark
+    * side proves the fixpoint per round (peeling is monotone, so an
+    * unchanged edge count ⟹ no-op) and exits the no-op tail early
+    * with a bit-identical result — see [[kCore]]. GraphSpec asserts
+    * the fixpoint is actually reached on the test corpora (one extra
+    * round changes nothing), making the result the true k-core
+    * there — the supply graph converges after ONE effective round at
+    * every SF (measured), so 4 budgeted rounds carry 3 rounds of
+    * safety margin. */
   val CoreK = 8
   val CoreRounds = 4
 
@@ -158,27 +160,48 @@ object Graph {
     *
     * Each round annotates endpoint degrees via two window COUNTs
     * (partitioned by the high-cardinality node keys) and filters both
-    * ends ≥ k. The chain is strictly LINEAR — each round reads the
-    * previous round's frame exactly once — so there is no
-    * recomputation blow-up, no persist, no per-round driver action:
-    * 2·R hash shuffles of a monotonically shrinking edge list, q84's
-    * Pregel shape. (The tempting alternative — per-round degree
-    * aggregates broadcast back as semi-joins so edges "never shuffle"
-    * — measured 4× SLOWER at sf0.1: every round's broadcast subtree
-    * nests the previous rounds' broadcasts, and Spark materializes
-    * those driver-side sequentially per level, recomputing the chain;
-    * the linear window plan is the one that scales.) */
+    * ends ≥ k: 2 hash shuffles of a monotonically shrinking edge
+    * list, q84's Pregel shape. (The tempting alternative — per-round
+    * degree aggregates broadcast back as semi-joins so edges "never
+    * shuffle" — measured 4× SLOWER at sf0.1: every round's broadcast
+    * subtree nests the previous rounds' broadcasts, and Spark
+    * materializes those driver-side sequentially per level,
+    * recomputing the chain; the window plan is the one that scales.)
+    *
+    * Rounds past the fixpoint are exited early: peeling only REMOVES
+    * edges, so an unchanged per-round count proves no edge peeled —
+    * the remaining budgeted rounds are no-ops by definition and the
+    * result is bit-identical to running the full budget (the oracle
+    * still runs all [[CoreRounds]]; its no-op rounds are free in
+    * DuckDB, while Spark would pay 2 full shuffles of the surviving
+    * edge list per skipped round). Cost of the check: each round
+    * persists its survivors (data that was materializing as shuffle
+    * files anyway) and runs one cached count — on the measured corpora
+    * the peel converges after ONE effective round, so the exit saves
+    * half the budget's shuffles at every scale. */
   def kCore(symEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wSrc = Window.partitionBy(col("src"))
     val wDst = Window.partitionBy(col("dst"))
     var edges = symEdges
-    for (_ <- 1 to rounds) {
-      edges = edges
+    var prev: DataFrame = null
+    var prevCount = -1L
+    var r = 0
+    var fixed = false
+    while (r < rounds && !fixed) {
+      val next = edges
         .withColumn("_ds", count(lit(1)).over(wSrc))
         .withColumn("_dd", count(lit(1)).over(wDst))
         .filter(col("_ds") >= k && col("_dd") >= k)
         .drop("_ds", "_dd")
+        .persist()
+      val c = next.count()
+      if (prev != null) prev.unpersist(false)
+      fixed = c == prevCount
+      prevCount = c
+      prev = next
+      edges = next
+      r += 1
     }
     edges
   }
@@ -239,10 +262,12 @@ object Graph {
       .distinct()
     val sym = base.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(base.select(col("b").as("src"), col("a").as("dst")))
-      // Hash-partition the cached edge list on the join key so all
-      // BfsMaxHops round-joins reuse this one exchange — only the
-      // (small) frontier side shuffles per round.
+      // Hash-partition AND pre-sort the cached edge list on the join
+      // key so all BfsMaxHops round-joins reuse this one exchange and
+      // this one sort (the cached scan propagates both) — only the
+      // (small) frontier side shuffles and sorts per round.
       .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
       .persist()
     // seed on the MINIMUM nation key present (not literal 0) so the
     // query exercises the graph at every scale factor — tiny SFs may
@@ -319,7 +344,10 @@ object Graph {
       .agg(count(lit(1)).as("w"))
     val edges = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionByName(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      // partitioned + sorted once for all SpMaxHops round-joins (the
+      // cached scan propagates both; q122's comment)
       .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
       .persist()
     // min-nation seed for the same every-SF reason as q122
     val sup = Tables.load(spark, dir, "supplier")
@@ -374,14 +402,28 @@ object Graph {
       .select((col("l_suppkey") * 2L).as("a"),
         (col("o_custkey") * 2L + 1L).as("b"))
       .distinct()
+    // Pre-partitioned AND pre-sorted on src: the per-round sort-merge
+    // join reuses the cached ordering (InMemoryTableScan propagates
+    // outputPartitioning and outputOrdering), so each round sorts only
+    // the round's labels — the edge side pays its shuffle + sort ONCE
+    // for all rounds instead of once per round.
     val sym = base.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(base.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
       .persist()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist()
     for (_ <- 1 to LpaRounds) {
+      // Two exchanges per round, ON PURPOSE: the (n, label) vote count
+      // keeps its map-side partial aggregate, which collapses the
+      // edge-sized join output to ~distinct (dst, label) rows BEFORE
+      // the wire (measured ~5× fewer shuffled rows at the 30×
+      // sighting's 244-avg-degree graph); a single repartition-on-n
+      // "fusion" would push the full edge-sized stream through the
+      // exchange instead. The second exchange then moves only the
+      // vote rows.
       labels = labels.join(sym, labels("node") === sym("src"))
         .groupBy(col("dst").as("n"), col("label"))
         .agg(count(lit(1)).as("cnt"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -181,52 +182,167 @@ object Spatial {
       RadiusE4, DbscanMinPts)
       .withColumnRenamed("k", "c_custkey")
 
+  /** Candidate-mass gate for [[dbscan]]'s core-graph sparsifier: when
+    * the within-cell candidate mass Σ occ² (one n-scale aggregate, an
+    * upper proxy for the eps-pair count) is below this, the dense
+    * materialized plan wins — its CC input keeps the eps-graph's
+    * minimal diameter, and at low mass the contraction's wall is
+    * round LATENCY, not edge volume (measured in r8: sparsifying a
+    * 420k-pair corpus was SLOWER — star detours add rounds that cost
+    * fixed stage latency). Above the gate the volume term dominates —
+    * measured at the 30× sighting: 54.8M eps-pairs over 450k points
+    * (avg degree ~244), where materializing, flag-joining and
+    * star-contracting the pair graph WAS the query (82 s build +
+    * 43 s first CC round of 170 s) — and the sparsifier trades a few
+    * ~1 s extra rounds for a ~100× smaller CC input. Conf override
+    * `graft.spatial.sparsifyMinPairs` (specs force it low). */
+  val SparsifyMinPairs = 5000000L
+
   /** The distributed DBSCAN pipeline over a (k, lat, lon) frame.
     * Output: (k, role ∈ core|border|noise, cluster_rep — component
     * min for members, -1 for noise — and cluster_size — member count
-    * core+border, 0 for noise). */
+    * core+border, 0 for noise).
+    *
+    * Above [[SparsifyMinPairs]] candidate mass, the core-core CC input
+    * is SPARSIFIED with exact component equivalence (so the output is
+    * byte-identical to the dense plan at any scale):
+    *   - half-eps cells (edge c = ⌊eps/√2⌋, so any two in-cell points
+    *     are provably within eps): each cell's core members connect to
+    *     the cell-min member — a star of TRUE eps-edges;
+    *   - for each unordered pair of nearby cells, ONE representative
+    *     qualifying core-core pair (the lexicographic min) — any one
+    *     edge connects the two star-connected cell groups.
+    *   Proof: every sparsified edge is a true eps-pair (⟹ components
+    *   refine); conversely a dense edge (a,b) is same-cell (a–min–b
+    *   via the star) or cross-cell (its cell pair has a
+    *   representative edge, and both endpoints reach their cell mins
+    *   by stars) — so connectivity, components, and the min-rep
+    *   labels all coincide. Degrees (the core criterion) always come
+    *   from the full enumeration, as one map-side-combined count —
+    *   never from materialized pair rows; border attachment
+    *   enumerates only (non-core × core-cell) candidates, which is
+    *   empty when every point is core. */
   def dbscan(pts0: DataFrame, eps: Long, minPts: Int): DataFrame = {
-    val pts = pts0
-    val pairs = radiusPairs(pts, eps).persist()
-    val sym = pairs.select(explode(array(
-        struct(col("a_k").as("k"), col("b_k").as("n")),
-        struct(col("b_k").as("k"), col("a_k").as("n")))).as("p"))
-      .select(col("p.k").as("k"))
-    val deg = sym.groupBy(col("k")).agg(count(lit(1)).as("nb"))
-    val flags = pts.select(col("k")).join(deg, Seq("k"), "left")
-      .select(col("k"),
-        (coalesce(col("nb"), lit(0L)) + lit(1L) >= lit(minPts.toLong))
-          .as("is_core"))
-      .persist()
-    val tagged = pairs
-      .join(flags.select(col("k").as("a_k"), col("is_core").as("ac")), "a_k")
-      .join(flags.select(col("k").as("b_k"), col("is_core").as("bc")), "b_k")
-      .persist()
-    pairs.unpersist(false)
-    // The contraction's wall-clock is ROUND-latency-bound, not
-    // edge-count-bound (measured: a lossless half-eps-cell-star
-    // sparsification cutting 420k → 23k CC edges made it SLOWER —
-    // hub-and-spoke stars lengthen paths, adding contraction rounds
-    // while the per-round cost was already fixed stage latency).
-    // Dense input keeps the effective diameter — and so the round
-    // count — minimal; at any cluster scale the per-round work is two
-    // hash-partitioned exchanges over the eps-pair graph, which is the
-    // DBSCAN cluster structure itself and cannot be avoided.
-    val coreEdges = tagged.filter(col("ac") && col("bc"))
-      .select(col("a_k").as("u"), col("b_k").as("v"))
+    val spark = pts0.sparkSession
+    val pts = pts0.persist()
+    val minSparsify = spark.conf.getOption("graft.spatial.sparsifyMinPairs")
+      .map(_.toLong).getOrElse(SparsifyMinPairs)
+    // n-scale occupancy proxy: Σ occ² over full-eps cells (≥ true
+    // within-cell pair count; deterministic, so the plan choice — and
+    // with it the identical output — is reproducible at every scale)
+    val candMass = pts
+      .groupBy(expr(s"lat div ${eps}L"), expr(s"lon div ${eps}L"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * col("c")), lit(0L))).head().getLong(0)
+
+    val (flags, coreEdges, borderPairs) =
+      if (candMass < minSparsify) {
+        // dense-materialized plan: the r9 shape, byte-level, for the
+        // latency-bound regime (see SparsifyMinPairs)
+        val pairs = radiusPairs(pts, eps).persist()
+        val sym = pairs.select(explode(array(
+            struct(col("a_k").as("k"), col("b_k").as("n")),
+            struct(col("b_k").as("k"), col("a_k").as("n")))).as("p"))
+          .select(col("p.k").as("k"))
+        val deg = sym.groupBy(col("k")).agg(count(lit(1)).as("nb"))
+        val flags = pts.select(col("k")).join(deg, Seq("k"), "left")
+          .select(col("k"),
+            (coalesce(col("nb"), lit(0L)) + lit(1L) >= lit(minPts.toLong))
+              .as("is_core"))
+          .persist()
+        val tagged = pairs
+          .join(flags.select(col("k").as("a_k"), col("is_core").as("ac")), "a_k")
+          .join(flags.select(col("k").as("b_k"), col("is_core").as("bc")), "b_k")
+          .persist()
+        pairs.unpersist(false)
+        val coreEdges = tagged.filter(col("ac") && col("bc"))
+          .select(col("a_k").as("u"), col("b_k").as("v"))
+        val borderPairs = tagged.filter(col("ac") =!= col("bc"))
+          .select(when(col("ac"), col("b_k")).otherwise(col("a_k")).as("k"),
+            when(col("ac"), col("a_k")).otherwise(col("b_k")).as("ck"))
+        (flags, coreEdges, borderPairs)
+      } else {
+        // sparsified plan: degrees by aggregate, CC input ~n-scale
+        val deg = radiusPairs(pts, eps)
+          .select(explode(array(col("a_k"), col("b_k"))).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("nb"))
+        val flags = pts.select(col("k")).join(deg, Seq("k"), "left")
+          .select(col("k"),
+            (coalesce(col("nb"), lit(0L)) + lit(1L) >= lit(minPts.toLong))
+              .as("is_core"))
+          .persist()
+        val c = math.floor(eps / math.sqrt(2.0)).toLong
+        assert(2 * c * c <= eps * eps, "half-eps cell must fit the radius")
+        val corePtsC = pts.join(flags.filter(col("is_core")).select("k"), "k")
+          .withColumn("gx", expr(s"lat div ${c}L"))
+          .withColumn("gy", expr(s"lon div ${c}L"))
+          .persist()
+        val wCell = Window.partitionBy(col("gx"), col("gy"))
+        val starEdges = corePtsC
+          .withColumn("m", min(col("k")).over(wCell))
+          .filter(col("k") =!= col("m"))
+          .select(col("m").as("u"), col("k").as("v"))
+        // forward half of the 5×5 half-eps-cell neighborhood (a pair
+        // within eps spans at most 2 half-eps cells per axis); (0,0)
+        // is absent on purpose — same-cell pairs are star-connected
+        val fwd = Seq((0, 1), (0, 2), (1, -2), (1, -1), (1, 0), (1, 1),
+          (1, 2), (2, -2), (2, -1), (2, 0), (2, 1), (2, 2))
+        val probes = corePtsC
+          .select(col("k").as("ak"), col("lat").as("alat"),
+            col("lon").as("alon"), col("gx").as("agx"), col("gy").as("agy"))
+          .select(col("*"), explode(array(fwd.map { case (dx, dy) =>
+            struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+          }: _*)).as("d"))
+          .select(col("ak"), col("alat"), col("alon"),
+            col("agx"), col("agy"),
+            (col("agx") + col("d.dx")).as("cx"),
+            (col("agy") + col("d.dy")).as("cy"))
+        val homes = corePtsC.select(col("k").as("bk"), col("lat").as("blat"),
+          col("lon").as("blon"), col("gx").as("cx"), col("gy").as("cy"))
+        val d2: Column =
+          (col("alat") - col("blat")) * (col("alat") - col("blat")) +
+            (col("alon") - col("blon")) * (col("alon") - col("blon"))
+        val repEdges = probes.join(homes, Seq("cx", "cy"))
+          .filter(d2 <= lit(eps * eps))
+          .groupBy(col("agx"), col("agy"), col("cx"), col("cy"))
+          .agg(min(struct(least(col("ak"), col("bk")).as("u"),
+            greatest(col("ak"), col("bk")).as("v"))).as("m"))
+          .select(col("m.u").as("u"), col("m.v").as("v"))
+        val coreEdges = starEdges.unionByName(repEdges)
+        // border candidates: non-core probes × core homes over the
+        // FULL 3×3 full-eps neighborhood (the pairing is asymmetric,
+        // so no forward-half trick); volume ~ |non-core| × occupancy
+        val ncProbes = pts.join(flags.filter(!col("is_core")).select("k"), "k")
+          .withColumn("gx", expr(s"lat div ${eps}L"))
+          .withColumn("gy", expr(s"lon div ${eps}L"))
+          .select(col("k").as("nk"), col("lat").as("alat"),
+            col("lon").as("alon"), col("gx").as("agx"), col("gy").as("agy"))
+          .select(col("*"), explode(array((-1 to 1).flatMap(dx =>
+            (-1 to 1).map(dy => struct(lit(dx.toLong).as("dx"),
+              lit(dy.toLong).as("dy")))): _*)).as("d"))
+          .select(col("nk"), col("alat"), col("alon"),
+            (col("agx") + col("d.dx")).as("cx"),
+            (col("agy") + col("d.dy")).as("cy"))
+        val coreHomes = pts.join(flags.filter(col("is_core")).select("k"), "k")
+          .select(col("k").as("bk"), col("lat").as("blat"),
+            col("lon").as("blon"),
+            expr(s"lat div ${eps}L").as("cx"), expr(s"lon div ${eps}L").as("cy"))
+        val borderPairs = ncProbes.join(coreHomes, Seq("cx", "cy"))
+          .filter(d2 <= lit(eps * eps))
+          .select(col("nk").as("k"), col("bk").as("ck"))
+        (flags, coreEdges, borderPairs)
+      }
+
     val ccLabels = DedupOps.connectedComponents(coreEdges)
     // isolated cores (>= MinPts neighbors, none of them core) label themselves
     val coreRep = flags.filter(col("is_core")).select(col("k"))
       .join(ccLabels.select(col("node").as("k"), col("rep")), Seq("k"), "left")
       .select(col("k"), coalesce(col("rep"), col("k")).as("rep"))
       .persist()
-    val borderRep = tagged.filter(col("ac") =!= col("bc"))
-      .select(when(col("ac"), col("b_k")).otherwise(col("a_k")).as("k"),
-        when(col("ac"), col("a_k")).otherwise(col("b_k")).as("ck"))
+    val borderRep = borderPairs
       .join(coreRep.select(col("k").as("ck2"), col("rep")),
         col("ck") === col("ck2"))
       .groupBy(col("k")).agg(min(col("rep")).as("rep"))
-    tagged.unpersist(false)
     val assigned = coreRep.select(col("k"), col("rep"), lit("core").as("role"))
       .unionAll(borderRep.select(col("k"), col("rep"), lit("border").as("role")))
     val sizes = assigned.groupBy(col("rep"))

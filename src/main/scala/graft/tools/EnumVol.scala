@@ -9,7 +9,7 @@ import graft.functions.{CorrUtil, LshBandKeys, TokenBucketCounts}
 /** Scratch diagnostic: q35 LSH bucket enumeration volume
   * (sum over band buckets of c*(c-1)/2) for a corpus dir, at the
   * derived band shape or an overridden bits-per-band.
-  * Usage: runMain graft.EnumVol <dir> [bitsOverride] */
+  * Usage: runMain graft.tools.EnumVol <dir> [bitsOverride] */
 object EnumVol {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -42,6 +42,16 @@ object EnumVol {
         F.max("count").as("maxc"), F.count(F.lit(1)).as("nbuckets")).head()
     println(s"[enumvol] dir=$dir n=$n bits=$bits bands=$bands " +
       s"enum=${r.get(0)} maxbucket=${r.get(1)} buckets=${r.get(2)}")
+    // standing per-round artifact line (append to docs/sighting/
+    // enumvol_r{N}.jsonl): machine-readable twin of the line above,
+    // plus the q35 split shape so bucket-occupancy regressions are
+    // visible without forensics
+    val cap = CorrDedup.bucketCap(spark)
+    val maxc = r.get(1).toString.toLong
+    println(s"""{"dir":"$dir","n":$n,"bits":$bits,"bands":$bands,""" +
+      s""""enum":${r.get(0)},"maxbucket":$maxc,"buckets":${r.get(2)},""" +
+      s""""cap":$cap,"split_engaged":${CorrDedup.splitEngages(n, maxc, cap)},""" +
+      s""""maxcell":${math.min(maxc, cap)}}""")
     spark.stop()
   }
 }

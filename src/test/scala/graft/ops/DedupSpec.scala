@@ -218,6 +218,28 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked == exhaustive)
   }
 
+  test("q35 hot-bucket block split is exact — forced split equals unsplit") {
+    // force the gate and cap low enough that REAL buckets of the test
+    // corpus get salt-split into block-pair cells (cap 3 → nearly
+    // every occupied bucket splits, exercising (i,i) triangles, mixed
+    // A×B cells and the cold path together); the candidate pair set —
+    // and so the output — must be byte-identical to the single-pass
+    // plan, which the previous test already pins against exhaustive
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+    val base = CorrDedup.corrNearDup(docs)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    spark.conf.set("graft.dedup.q35SplitMinRows", "1")
+    spark.conf.set("graft.dedup.q35BucketCap", "3")
+    try {
+      val split = CorrDedup.corrNearDup(docs)
+        .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+      assert(split == base)
+    } finally {
+      spark.conf.unset("graft.dedup.q35SplitMinRows")
+      spark.conf.unset("graft.dedup.q35BucketCap")
+    }
+  }
+
   test("q35 pipeline finds a planted near-dup and ignores unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog while seventeen " +
       "sailors navigate uncharted waters seeking distant harbors before dawn " +

@@ -144,6 +144,46 @@ class SpatialSpec extends AnyFunSuite {
         s"r=$r minPts=$minPts")
   }
 
+  test("dbscan: sparsified core graph equals the dense plan and textbook") {
+    // force the candidate-mass gate to 0 so the half-eps-cell-star +
+    // representative-edge sparsifier runs on corpora the brute oracle
+    // can check: blobs + border + noise, and the seeded cloud at two
+    // densities (borders exist at minPts=4/8, exercising the
+    // non-core × core border pass alongside the sparsified CC)
+    spark.conf.set("graft.spatial.sparsifyMinPairs", "0")
+    try {
+      val r = 10L
+      val blobA = (0 until 5).map(i => (i.toLong, 100L + i, 100L + i))
+      val blobB = (10 until 15).map(i => (i.toLong, 200L + (i - 10), 200L + (i - 10)))
+      val pts = blobA ++ blobB ++ Seq((20L, 110L, 108L)) ++
+        Seq((30L, 500L, 500L), (31L, 700L, 100L))
+      assert(distDbscan(pts, r, 5) === bruteDbscan(pts, r, 5))
+      val rnd = new scala.util.Random(11)
+      val cloud = (0 until 250).map(i =>
+        (i.toLong, rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      for ((rr, minPts) <- Seq((25L, 4), (60L, 8)))
+        assert(distDbscan(cloud, rr, minPts) === bruteDbscan(cloud, rr, minPts),
+          s"r=$rr minPts=$minPts")
+    } finally spark.conf.unset("graft.spatial.sparsifyMinPairs")
+  }
+
+  test("dbscan: sparsified equals dense on the real sf0.01 lattice") {
+    // the oracle-checked corpus (981 core / 519 non-core, 8 clusters):
+    // the forced-sparsified output must match the default (dense) plan
+    // row for row — the strongest practical pin that the gate is a
+    // plan choice, never a result choice
+    val pts = Spatial.customerPoints(
+      graft.Tables.load(spark, "/root/testdata/sf0.01", "customer"))
+    val dense = Spatial.dbscan(pts, Spatial.RadiusE4, Spatial.DbscanMinPts)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("graft.spatial.sparsifyMinPairs", "0")
+    try {
+      val sparse = Spatial.dbscan(pts, Spatial.RadiusE4, Spatial.DbscanMinPts)
+        .collect().map(_.toSeq).toSet
+      assert(sparse === dense)
+    } finally spark.conf.unset("graft.spatial.sparsifyMinPairs")
+  }
+
   test("q134 on the real table equals the exhaustive pairs at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val pts = Spatial.customerPoints(

@@ -242,4 +242,59 @@ object EngineProps extends Properties("graft.kernels") {
         (graft.functions.CorrUtil
           .quantThreshold(bound, 0) == Long.MaxValue)
     }
+
+  // ---- q35 band-shape math (CorrDedup.bitsPerBand / bandsFor) ----
+
+  property("bandsFor holds the per-pair miss bound for bits 16..24, minimally") =
+    forAll(Gen.chooseNum(16, 24)) { bits =>
+      val p = 1.0 - math.acos(graft.ops.CorrDedup.CorrThreshold) / math.Pi
+      val miss1 = 1.0 - math.pow(p, bits) // per-band miss at threshold
+      val bands = graft.ops.CorrDedup.bandsFor(bits)
+      bands > 0 &&
+        math.pow(miss1, bands) <= graft.ops.CorrDedup.MissBound &&
+        math.pow(miss1, bands - 1) > graft.ops.CorrDedup.MissBound
+    }
+
+  property("bitsPerBand is monotone in n with floor 16 through 2^18") =
+    forAll(Gen.chooseNum(0L, 1L << 40), Gen.chooseNum(0L, 1L << 40)) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      graft.ops.CorrDedup.bitsPerBand(lo) <= graft.ops.CorrDedup.bitsPerBand(hi) &&
+        graft.ops.CorrDedup.bitsPerBand(math.min(lo, 1L << 18)) == 16
+    }
+
+  // ---- q35 hot-bucket block split: the cell decomposition is exact ----
+
+  // Mirror of the cell-emission expression in CorrDedup.corrNearDup:
+  // member with group x lands in cells {(min(j,x), max(j,x)) : j < g},
+  // side B iff j < x. A pair must be enumerated by EXACTLY one cell:
+  // same-group pairs by their (x,x) triangle, cross-group pairs by the
+  // one mixed cell (i,j) that pairs side A (group i) with side B
+  // (group j) — the argument the distributed split's exactness (and
+  // therefore q35's byte-identical hashes at any scale) rests on.
+  property("block-split cells enumerate every bucket pair exactly once") =
+    forAll(Gen.chooseNum(2, 40), Gen.chooseNum(2, 8), Gen.long) { (c, g, salt) =>
+      def grp(m: Int): Int = math.floorMod(m.toLong * 2654435761L + salt, g).toInt
+      val pairs = scala.collection.mutable.Map.empty[(Int, Int), Int]
+      for (a <- 0 until c; b <- a + 1 until c) {
+        val (xa, xb) = (grp(a), grp(b))
+        // which cells contain BOTH a and b on pairable sides?
+        var hits = 0
+        for (j <- 0 until g) {
+          val cellA = (math.min(j, xa), math.max(j, xa))
+          for (k <- 0 until g) {
+            val cellB = (math.min(k, xb), math.max(k, xb))
+            if (cellA == cellB) {
+              val sa = if (j < xa) 1 else 0
+              val sb = if (k < xb) 1 else 0
+              // triangle cells ((i,i)) pair all side-0 members once;
+              // mixed cells pair A with B only
+              if (cellA._1 == cellA._2) { if (sa == 0 && sb == 0) hits += 1 }
+              else if (sa != sb) hits += 1
+            }
+          }
+        }
+        pairs((a, b)) = hits
+      }
+      pairs.values.forall(_ == 1)
+    }
 }
