@@ -156,16 +156,23 @@ object CorrDedup {
     * already exists, at ~200 B per cap² pair-tests.
     *
     * The split needs a bucket-occupancy pre-pass (one keys-only
-    * aggregate + a broadcast of the over-cap keys, ≤ |entries|/cap
-    * rows by construction), so it engages only above
-    * [[SplitMinRows]] docs (conf `graft.dedup.q35SplitMinRows`;
-    * every driver SF stays on the single-pass plan) — below the gate
-    * a whole-corpus bucket is ≤ SplitMinRows·(SplitMinRows−1)/2
-    * pair-tests, within one task's early-exit budget. Cap via conf
-    * `graft.dedup.q35BucketCap` (specs force it low to pin
-    * split ≡ unsplit ≡ exhaustive). */
+    * aggregate — a second bands·bits sign matvec over the corpus — +
+    * a broadcast of the over-cap keys, ≤ |entries|/cap rows by
+    * construction). That premium measured ~12 % of q35 at the 30×
+    * sighting (67 → 75 s same-box A/B) where EnumVol shows the max
+    * bucket is 1413 < cap — insurance with nothing to insure. So the
+    * gate is the KEYSPACE-ENGAGEMENT point n > 2¹⁸ (conf
+    * `graft.dedup.q35SplitMinRows`): below it the standing per-round
+    * EnumVol artifact line carries the measured max occupancy (the
+    * bound is empirical and visible), at and beyond it random
+    * occupancy is ≤ n/2^bits ≤ 4 by construction and a hot bucket can
+    * only be genuinely-similar mass — exactly the unbounded-skew case
+    * the split exists for, and a scale where its cost is amortized.
+    * Every driver SF and every sighting below 60× stays on the
+    * single-pass plan. Cap via conf `graft.dedup.q35BucketCap`
+    * (specs force both knobs low to pin split ≡ unsplit). */
   val DefaultBucketCap = 2048
-  val SplitMinRows = 20000L
+  val SplitMinRows = 1L << 18
   def bucketCap(spark: SparkSession): Int =
     spark.conf.getOption("graft.dedup.q35BucketCap").map(_.toInt)
       .getOrElse(DefaultBucketCap)

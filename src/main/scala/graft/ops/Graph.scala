@@ -392,16 +392,24 @@ object Graph {
     * (which scores the partition): returns (final labels (node,
     * label), undirected base edges (a, b) — both in packed-long id
     * space). */
+  /** `persistBase = true` caches the distinct packed edge list before
+    * the symmetrization: q193 consumes `base` three more times (the
+    * 1-row m count, the degree aggregate and the two-sided e_in label
+    * join), and unpersisted each consumer re-runs the lineitem⋈orders
+    * scan + distinct (~15 s at the 30× sighting). q128 touches `base`
+    * only through `sym`, so it skips the cache write. */
   private[ops] def lpaPacked(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      spark: SparkSession, dir: String,
+      persistBase: Boolean = false): (DataFrame, DataFrame) = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
-    val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val base0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2L).as("a"),
         (col("o_custkey") * 2L + 1L).as("b"))
       .distinct()
+    val base = if (persistBase) base0.persist() else base0
     // Pre-partitioned AND pre-sorted on src: the per-round sort-merge
     // join reuses the cached ordering (InMemoryTableScan propagates
     // outputPartitioning and outputOrdering), so each round sorts only
@@ -608,7 +616,7 @@ object Graph {
     * pays per round); m is a 1-row broadcast. Nothing sorts, nothing
     * is driver-side. */
   def q193Modularity(spark: SparkSession, dir: String): DataFrame = {
-    val (labels, base) = lpaPacked(spark, dir)
+    val (labels, base) = lpaPacked(spark, dir, persistBase = true)
     val mDf = base.agg(count(lit(1)).as("m"))
     val deg = base.select(col("a").as("node"))
       .unionByName(base.select(col("b").as("node")))
