@@ -38,7 +38,7 @@ object EnumVol {
       F.explode(LshBandKeys(F.col("cnt"), hmu, CorrDedup.Seed, bands, bits))
         .as("key"))
     val r = ent.groupBy("key").count()
-      .agg(F.sum(F.expr("count*(count-1)/2")).as("enum"),
+      .agg(F.sum(F.expr("count*(count-1) div 2")).as("enum"),
         F.max("count").as("maxc"), F.count(F.lit(1)).as("nbuckets")).head()
     println(s"[enumvol] dir=$dir n=$n bits=$bits bands=$bands " +
       s"enum=${r.get(0)} maxbucket=${r.get(1)} buckets=${r.get(2)}")
