@@ -136,6 +136,27 @@ object CorrDedup {
   val SampleN = 2048
   val PowerIters = 8
 
+  /** Prune-projection width at ENGAGED keyspace scales (n >
+    * [[SplitMinRows]]): the payload rides every (doc, band) entry row
+    * through the candidate exchange AND its sort, so at engaged scales
+    * the shuffle bytes — not the enumeration count — set the wall
+    * (measured at the 100× sighting: 1.8× enumerations but 2.6× wall,
+    * 75.5M rows × ~208 B ≈ 16 GB through one exchange+sort). Narrowing
+    * the basis is exactness-preserving by construction: any orthonormal
+    * PREFIX of the eigenvalue-ordered basis still lower-bounds the true
+    * distance (see [[graft.functions.CorrUtil.adaptiveBasis]]), and
+    * `CorrUtil.quantThreshold` re-derives the integer bound from the
+    * actual m — fewer dims only lower the prune RATE, never
+    * correctness. Below the engagement point every driver SF keeps the
+    * full adaptive 16–96 basis, so hashed results and plans are
+    * byte-identical. Default picked by the round-11 60×/100× A/B
+    * (docs/sighting/bench_q35_projdims_ab_r11.json). Conf
+    * `graft.dedup.q35ProjDimsEngaged`. */
+  val EngagedProjDims = 32
+  def engagedProjDims(spark: SparkSession): Int =
+    spark.conf.getOption("graft.dedup.q35ProjDimsEngaged").map(_.toInt)
+      .getOrElse(EngagedProjDims)
+
   /** Hot-bucket occupancy cap: a single (band, bucket) equal-key run
     * longer than this is no longer enumerated by one task. The
     * quadratic work inside one genuinely-similar hot bucket cannot be
@@ -251,10 +272,19 @@ object CorrDedup {
     // capturing >= 95 % of the sample variance, clamped to
     // [MinProjDims, ProjDims]; an empty/degenerate sample (e.g. an
     // all-identical-documents corpus) yields an EMPTY basis and the
-    // prune degrades to a no-op instead of crashing.
+    // prune degrades to a no-op instead of crashing. Past the keyspace
+    // engagement point the ceiling narrows to EngagedProjDims — at
+    // those scales the payload bytes through the candidate
+    // exchange+sort cost more than the lost prune selectivity (see the
+    // EngagedProjDims scaladoc; driver SFs keep the full ceiling, so
+    // their plans and hashes are untouched).
+    val sess = docs.sparkSession
+    val maxDims =
+      if (n > splitMinRows(sess)) math.min(engagedProjDims(sess), ProjDims)
+      else ProjDims
     val basis =
-      CorrUtil.adaptiveBasis(sampleU, MinProjDims, ProjDims, 0.95,
-        PowerIters, Seed + 1)
+      CorrUtil.adaptiveBasis(sampleU, math.min(MinProjDims, maxDims), maxDims,
+        0.95, PowerIters, Seed + 1)
     val bmu = basis.map { bj =>
       var acc = 0.0
       var j = 0
@@ -304,13 +334,21 @@ object CorrDedup {
         val t2 = CorrUtil.quantThreshold(PruneBound, basis.length)
         val cap = bucketCap(spark)
         // Hot-bucket block split (see [[DefaultBucketCap]]): every row
-        // becomes (key, cell, doc_id, side, proj). Below the gate the
-        // single-pass plan emits the one cold cell (-1, side 0) per
-        // row — no occupancy pass, no broadcast, the driver-SF plan.
+        // becomes (key, cell, doc_id, side, proj) with side 2 = "this
+        // cell enumerates a full triangle" (cold cells and the split's
+        // diagonal (i,i) cells), side 0/1 = the A/B halves of a mixed
+        // (i,j) cell. The explicit triangle tag — not an inferred
+        // empty-B — means a mixed cell one of whose salt groups hashed
+        // empty emits NOTHING instead of duplicating the diagonal
+        // cell's triangle: every unordered bucket pair is enumerated by
+        // exactly one cell even before the cross-band distinct. Below
+        // the gate the single-pass plan emits the one cold cell
+        // (-1, side 2) per row — no occupancy pass, no broadcast, the
+        // driver-SF plan.
         val cellEntries =
           if (n <= splitMinRows(spark))
             entries.select(col("key"), lit(-1L).as("cell"), col("doc_id"),
-              lit(0).as("side"), col("proj"))
+              lit(2).as("side"), col("proj"))
           else {
             // keys-only occupancy pre-pass: over-cap keys are ≤
             // |entries|/cap rows by construction → broadcastable
@@ -326,13 +364,14 @@ object CorrDedup {
                 pmod(xxhash64(col("doc_id"), col("key")), col("g").cast("long"))
                   .cast("int"))
               .withColumn("cells", when(col("g").isNull,
-                  array(struct(lit(-1L).as("cell"), lit(0).as("side"))))
+                  array(struct(lit(-1L).as("cell"), lit(2).as("side"))))
                 .otherwise(expr(
                   """transform(sequence(0, g - 1), j -> struct(
                     |  CAST(CASE WHEN j <= x THEN CAST(j AS BIGINT) * g + x
                     |            ELSE CAST(x AS BIGINT) * g + j END AS BIGINT)
                     |    AS cell,
-                    |  CASE WHEN j < x THEN 1 ELSE 0 END AS side))"""
+                    |  CASE WHEN j < x THEN 1 WHEN j = x THEN 2
+                    |       ELSE 0 END AS side))"""
                     .stripMargin)))
               .select(col("key"), explode(col("cells")).as("c"),
                 col("doc_id"), col("proj"))
@@ -344,10 +383,12 @@ object CorrDedup {
           .sortWithinPartitions(col("key"), col("cell"))
           .mapPartitions { it =>
             new Iterator[(Long, Long)] {
-              // side-0 (A) and side-1 (B) members of the current
-              // (key, cell) run; cold cells and (i,i) cells are all-A
-              // → full triangle; mixed cells pair A×B only, so each
-              // unordered bucket pair is enumerated by exactly one cell
+              // side-2 rows (cold cells and the split's diagonal (i,i)
+              // cells) fill A and mark the run a TRIANGLE; sides 0/1
+              // fill the A/B halves of a mixed (i,j) cell, which pairs
+              // A×B only — and pairs NOTHING when either half is empty
+              // (the diagonal cells own those pairs), so each unordered
+              // bucket pair is enumerated by exactly one cell
               private val aIds = new scala.collection.mutable.ArrayBuffer[Long]()
               private val aPjs =
                 new scala.collection.mutable.ArrayBuffer[Array[Short]]()
@@ -357,6 +398,7 @@ object CorrDedup {
               private var curKey = 0L
               private var curCell = 0L
               private var haveKey = false
+              private var tri = false
               private var out: Iterator[(Long, Long)] = Iterator.empty
               // strip-mined shared kernel; false for acc <= t2 and for
               // the degenerate-doc empty-array sentinel (see
@@ -366,7 +408,7 @@ object CorrDedup {
               private def flush(): Iterator[(Long, Long)] = {
                 val buf =
                   scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-                if (bIds.isEmpty) {
+                if (tri) {
                   val n = aIds.length
                   var i = 0
                   while (i < n) {
@@ -395,6 +437,7 @@ object CorrDedup {
                   }
                 }
                 aIds.clear(); aPjs.clear(); bIds.clear(); bPjs.clear()
+                tri = false
                 buf.iterator
               }
               private def advance(): Unit = {
@@ -402,8 +445,11 @@ object CorrDedup {
                   val (k, c, id, side, pj) = it.next()
                   if (haveKey && (k != curKey || c != curCell)) out = flush()
                   curKey = k; curCell = c; haveKey = true
-                  if (side == 0) { aIds += id; aPjs += pj }
-                  else { bIds += id; bPjs += pj }
+                  if (side == 1) { bIds += id; bPjs += pj }
+                  else {
+                    if (side == 2) tri = true
+                    aIds += id; aPjs += pj
+                  }
                 }
                 if (!out.hasNext && !it.hasNext &&
                     (aIds.nonEmpty || bIds.nonEmpty)) out = flush()

@@ -203,7 +203,19 @@ object Graph {
       edges = next
       r += 1
     }
-    edges
+    // Hand the caller a lineage-free frame (connectedComponents'
+    // localCheckpoint-then-unpersist discipline) instead of the loop's
+    // last persist: the count above already materialized the
+    // survivors, so the checkpoint is a cache-to-cache copy, the
+    // returned plan no longer chains through every peel round (an
+    // eviction would otherwise recompute the whole loop), and the
+    // working cache is released here rather than leaking until the
+    // session harness cleans up.
+    if (prev != null) {
+      val out = prev.localCheckpoint(true)
+      prev.unpersist(false)
+      out
+    } else edges
   }
 
   val q108Oracle: String = {

@@ -235,8 +235,13 @@ object Spatial {
       .agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(col("c") * col("c")), lit(0L))).head().getLong(0)
 
-    val (flags, coreEdges, borderPairs) =
-      if (candMass < minSparsify) {
+    // The sparsifier needs a half-eps cell of width >= 1 (integer
+    // coordinates): eps < 2 makes c = floor(eps/sqrt(2)) = 0, and a
+    // zero cell width would collapse every core point into one star
+    // cell — false eps-edges, wrong clusters. Degenerate radii take
+    // the dense plan, whose correctness has no cell-width precondition.
+    val (flags, coreEdges, borderPairs, releaseAfterCc) =
+      if (candMass < minSparsify || eps < 2) {
         // dense-materialized plan: the r9 shape, byte-level, for the
         // latency-bound regime (see SparsifyMinPairs)
         val pairs = radiusPairs(pts, eps).persist()
@@ -260,7 +265,9 @@ object Spatial {
         val borderPairs = tagged.filter(col("ac") =!= col("bc"))
           .select(when(col("ac"), col("b_k")).otherwise(col("a_k")).as("k"),
             when(col("ac"), col("a_k")).otherwise(col("b_k")).as("ck"))
-        (flags, coreEdges, borderPairs)
+        // tagged stays persisted: borderPairs reads it lazily in the
+        // returned plan (released by the per-query session harness)
+        (flags, coreEdges, borderPairs, () => ())
       } else {
         // sparsified plan: degrees by aggregate, CC input ~n-scale
         val deg = radiusPairs(pts, eps)
@@ -272,6 +279,7 @@ object Spatial {
               .as("is_core"))
           .persist()
         val c = math.floor(eps / math.sqrt(2.0)).toLong
+        require(c >= 1, s"half-eps cell width must be positive (eps=$eps)")
         assert(2 * c * c <= eps * eps, "half-eps cell must fit the radius")
         val corePtsC = pts.join(flags.filter(col("is_core")).select("k"), "k")
           .withColumn("gx", expr(s"lat div ${c}L"))
@@ -330,10 +338,16 @@ object Spatial {
         val borderPairs = ncProbes.join(coreHomes, Seq("cx", "cy"))
           .filter(d2 <= lit(eps * eps))
           .select(col("nk").as("k"), col("bk").as("ck"))
-        (flags, coreEdges, borderPairs)
+        // corePtsC's only consumers are the coreEdges inputs, which
+        // connectedComponents materializes eagerly — releasable then
+        (flags, coreEdges, borderPairs, () => corePtsC.unpersist(false))
       }
 
+    // connectedComponents localCheckpoints its labels eagerly, so
+    // coreEdges — and with it the sparsified plan's corePtsC cache —
+    // is fully consumed once it returns.
     val ccLabels = DedupOps.connectedComponents(coreEdges)
+    releaseAfterCc()
     // isolated cores (>= MinPts neighbors, none of them core) label themselves
     val coreRep = flags.filter(col("is_core")).select(col("k"))
       .join(ccLabels.select(col("node").as("k"), col("rep")), Seq("k"), "left")

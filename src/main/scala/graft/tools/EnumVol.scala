@@ -37,18 +37,25 @@ object EnumVol {
     val ent = vecs.select(
       F.explode(LshBandKeys(F.col("cnt"), hmu, CorrDedup.Seed, bands, bits))
         .as("key"))
+    // empty corpus: sum/max aggregate to NULL — coalesce so the
+    // artifact line stays machine-parsable instead of printing nulls
     val r = ent.groupBy("key").count()
-      .agg(F.sum(F.expr("count*(count-1) div 2")).as("enum"),
-        F.max("count").as("maxc"), F.count(F.lit(1)).as("nbuckets")).head()
+      .agg(F.coalesce(F.sum(F.expr("count*(count-1) div 2")), F.lit(0L))
+          .as("enum"),
+        F.coalesce(F.max("count"), F.lit(0L)).as("maxc"),
+        F.count(F.lit(1)).as("nbuckets")).head()
     println(s"[enumvol] dir=$dir n=$n bits=$bits bands=$bands " +
       s"enum=${r.get(0)} maxbucket=${r.get(1)} buckets=${r.get(2)}")
     // standing per-round artifact line (append to docs/sighting/
     // enumvol_r{N}.jsonl): machine-readable twin of the line above,
     // plus the q35 split shape so bucket-occupancy regressions are
-    // visible without forensics
+    // visible without forensics. dir is the one interpolated string —
+    // escape it so an odd path can't emit invalid JSON into the
+    // cross-round artifact.
     val cap = CorrDedup.bucketCap(spark)
-    val maxc = r.get(1).toString.toLong
-    println(s"""{"dir":"$dir","n":$n,"bits":$bits,"bands":$bands,""" +
+    val maxc = r.getLong(1)
+    val dirJ = dir.replace("\\", "\\\\").replace("\"", "\\\"")
+    println(s"""{"dir":"$dirJ","n":$n,"bits":$bits,"bands":$bands,""" +
       s""""enum":${r.get(0)},"maxbucket":$maxc,"buckets":${r.get(2)},""" +
       s""""cap":$cap,"split_engaged":${CorrDedup.splitEngages(n, maxc, cap)},""" +
       s""""maxcell":${math.min(maxc, cap)}}""")
