@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -17,7 +17,13 @@ object Bench {
       // Spark's default AQE=on; q76's member join relies on it).
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
-      .getOrCreate()
+    // extra confs for A/B experiments under bench conditions:
+    // SPARK_GRAFT_CONF="k=v;k2=v2" (the TimeQuery hook; driver runs
+    // never set it, so the graded sweep is untouched)
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .foreach(kv => builder.config(kv(0).trim, kv(1).trim))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/JIT and the parquet footer cache so the first
     // measured query doesn't absorb session start-up cost.

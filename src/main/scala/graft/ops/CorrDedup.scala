@@ -136,26 +136,56 @@ object CorrDedup {
   val SampleN = 2048
   val PowerIters = 8
 
-  /** Prune-projection width at ENGAGED keyspace scales (n >
-    * [[SplitMinRows]]): the payload rides every (doc, band) entry row
-    * through the candidate exchange AND its sort, so at engaged scales
-    * the shuffle bytes — not the enumeration count — set the wall
-    * (measured at the 100× sighting: 1.8× enumerations but 2.6× wall,
-    * 75.5M rows × ~208 B ≈ 16 GB through one exchange+sort). Narrowing
-    * the basis is exactness-preserving by construction: any orthonormal
+  /** Prune-projection width ceiling at ENGAGED keyspace scales (n >
+    * [[SplitMinRows]]) — an A/B knob, NOT a tuned-down default.
+    * Narrowing is exactness-preserving by construction (any orthonormal
     * PREFIX of the eigenvalue-ordered basis still lower-bounds the true
-    * distance (see [[graft.functions.CorrUtil.adaptiveBasis]]), and
-    * `CorrUtil.quantThreshold` re-derives the integer bound from the
-    * actual m — fewer dims only lower the prune RATE, never
-    * correctness. Below the engagement point every driver SF keeps the
-    * full adaptive 16–96 basis, so hashed results and plans are
-    * byte-identical. Default picked by the round-11 60×/100× A/B
-    * (docs/sighting/bench_q35_projdims_ab_r11.json). Conf
-    * `graft.dedup.q35ProjDimsEngaged`. */
-  val EngagedProjDims = 32
+    * distance, and `CorrUtil.quantThreshold` re-derives the integer
+    * bound from the actual m — fewer dims only lower the prune RATE),
+    * and the r10 verdict prescribed it as the lever for the
+    * superlinear 100× wall. MEASURED at the 60× sighting (min-of-1
+    * singles, same box, AQE off; docs/sighting/
+    * bench_q35_projdims_ab_r11.json): with the candidate exchange at
+    * session width 4 the payload barely matters (96 dims 515.7 s,
+    * 64 → 500.6, 32 → >600 DNF) — and once the exchange is sized from
+    * the entry volume (see [[candShuffleParts]], the ACTUAL fix:
+    * 515.7 → 178.4 s) narrowing is strictly WORSE (64 dims → 290.1 s):
+    * the lost prune selectivity floods the distinct + verify stages
+    * with survivors, exactly the int8-quantization lesson
+    * ([[graft.functions.CorrUtil.QuantScale]]) at the dims axis. So
+    * the default stays the full [[ProjDims]] ceiling at every scale.
+    * Conf `graft.dedup.q35ProjDimsEngaged` for future re-measurement. */
+  val EngagedProjDims: Int = ProjDims
   def engagedProjDims(spark: SparkSession): Int =
     spark.conf.getOption("graft.dedup.q35ProjDimsEngaged").map(_.toInt)
       .getOrElse(EngagedProjDims)
+
+  /** Width of the candidate (key, cell) exchange + sort, derived from
+    * the KNOWN entry volume (n·bands rows of ~(44 + 2m) bytes) instead
+    * of inherited from the session: the one superlinear wall left at
+    * the r10 100× sighting was this exchange, whose wall grew 2.6×
+    * on 1.8× enumerations. The excess was never payload bytes — it was
+    * sort granularity: at the sighting convention (local[4], shuffle
+    * width 4) each task external-sorts GIGABYTES of entry rows, and
+    * the whole stage runs in one task wave. Sizing partitions so each
+    * sorts ~[[CandPartBytes]] restores in-memory sorts and pipelined
+    * waves: measured at 60× (same box, min-of-1, AQE off)
+    * 515.7 → 178.4 s with everything else byte-identical — under the
+    * r9 sighting number (190.7) on a visibly slower box. Results are
+    * partition-count-invariant (the kernel only needs equal keys
+    * co-located, which any hash width gives), and at driver SFs the
+    * formula floors at the session width, so those plans are
+    * unchanged. This is exactly the CC-loop discipline ("size loop
+    * shuffle width from the measured edge count") applied to the
+    * dedup kernel's one big exchange; at cluster scale it is the
+    * spill-aware partition sizing the design brief demands. */
+  val CandPartBytes: Long = 256L << 20
+  def candShuffleParts(spark: SparkSession, n: Long, bands: Int,
+      projDims: Int): Int = {
+    val entryBytes = n * bands.toLong * (44L + 2L * projDims)
+    val sized = math.min(2000L, entryBytes / CandPartBytes + 1L).toInt
+    math.max(spark.sessionState.conf.numShufflePartitions, sized)
+  }
 
   /** Hot-bucket occupancy cap: a single (band, bucket) equal-key run
     * longer than this is no longer enumerated by one task. The
@@ -379,7 +409,8 @@ object CorrDedup {
                 col("c.side").as("side"), col("proj"))
           }
         cellEntries.as[(Long, Long, Long, Int, Array[Short])]
-          .repartition(col("key"), col("cell"))
+          .repartition(candShuffleParts(spark, n, bands, basis.length),
+            col("key"), col("cell"))
           .sortWithinPartitions(col("key"), col("cell"))
           .mapPartitions { it =>
             new Iterator[(Long, Long)] {
