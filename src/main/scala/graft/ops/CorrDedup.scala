@@ -182,8 +182,12 @@ object CorrDedup {
   val CandPartBytes: Long = 256L << 20
   def candShuffleParts(spark: SparkSession, n: Long, bands: Int,
       projDims: Int): Int = {
-    val entryBytes = n * bands.toLong * (44L + 2L * projDims)
-    val sized = math.min(2000L, entryBytes / CandPartBytes + 1L).toInt
+    // BigInt: a pathological n can overflow the Long product, and a
+    // wrapped-negative byte count truncated to Int re-wraps POSITIVE —
+    // sailing past the cap (caught by DedupSpec's sizing test). Exact
+    // arithmetic costs nothing once per query.
+    val entryBytes = BigInt(n) * bands * (44 + 2 * projDims)
+    val sized = ((entryBytes / CandPartBytes + 1) min 2000).toInt
     math.max(spark.sessionState.conf.numShufflePartitions, sized)
   }
 

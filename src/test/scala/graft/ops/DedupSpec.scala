@@ -240,6 +240,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q35 candidate-exchange sizing floors at the session width and scales with volume") {
+    // plan-identity guarantee at driver SFs: every corpus whose entry
+    // volume fits one CandPartBytes slab keeps the session's shuffle
+    // width, so the sized repartition is byte-identical to the r10
+    // plan there (sf0.1: 5000 docs x 128 bands x 236 B = 151 MB)
+    val sess = spark.sessionState.conf.numShufflePartitions
+    assert(CorrDedup.candShuffleParts(spark, 5000L, 128, 96) == sess)
+    assert(CorrDedup.candShuffleParts(spark, 500L, 128, 96) == sess)
+    // engaged scales size up from the known n*bands*(44+2m) volume:
+    // 60x = 300k x 151 bands x 236 B = 10.69 GB -> ceil-ish 40 slabs
+    val parts60 = CorrDedup.candShuffleParts(spark, 300000L, 151, 96)
+    val bytes60 = 300000L * 151 * (44 + 2 * 96)
+    assert(parts60 == math.max(sess, (bytes60 / CorrDedup.CandPartBytes + 1).toInt))
+    assert(parts60 > sess)
+    // monotone in every argument, and capped so a pathological corpus
+    // cannot request an unbounded partition count
+    assert(CorrDedup.candShuffleParts(spark, 500000L, 151, 96) >= parts60)
+    assert(CorrDedup.candShuffleParts(spark, 300000L, 151, 96) >=
+      CorrDedup.candShuffleParts(spark, 300000L, 151, 16))
+    assert(CorrDedup.candShuffleParts(spark, Long.MaxValue / 1000, 151, 96) <=
+      math.max(sess, 2000))
+  }
+
   test("q35 pipeline finds a planted near-dup and ignores unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog while seventeen " +
       "sailors navigate uncharted waters seeking distant harbors before dawn " +
