@@ -25,19 +25,22 @@ object JobProfile {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
     // extra confs for A/B experiments: SPARK_GRAFT_CONF="k=v;k2=v2"
     // (the TimeQuery hook, so profile and timing runs share arms)
-    sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(";")).map(_.split("=", 2))
-      .foreach(kv => builder.config(kv(0).trim, kv(1).trim))
+    ExtraConf(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
-      // warm run: JIT + codegen + page cache
-      fn(spark, sfDir).count()
-      spark.sqlContext.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // warm run: JIT + codegen + page cache. Skippable via
+      // SPARK_GRAFT_PROFILE_WARM=0 for multi-hundred-second sighting
+      // queries, where the double run costs more than the JIT noise
+      // it removes (per-stage walls at that size dwarf compilation).
+      if (sys.env.getOrElse("SPARK_GRAFT_PROFILE_WARM", "1") != "0") {
+        fn(spark, sfDir).count()
+        spark.sqlContext.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
 
       val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
       val stages = new java.util.concurrent.atomic.AtomicInteger(0)

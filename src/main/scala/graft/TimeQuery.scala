@@ -18,9 +18,7 @@ object TimeQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // extra confs for A/B experiments: SPARK_GRAFT_CONF="k=v;k2=v2"
-    sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(";")).map(_.split("=", 2))
-      .foreach(kv => builder.config(kv(0).trim, kv(1).trim))
+    ExtraConf(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JIT warm-up

@@ -25,6 +25,15 @@ import graft.Tables
   * from `lastProgress.stateOperators` after each micro-batch.
   *
   * Usage: runMain graft.streaming.EventScaleSoak <scaledDir> [batches]
+  *
+  * Scale bound: the event-time-ordered feeds are COLLECTED to the
+  * driver (MemoryStream's contract), ~100 B/event — the documented
+  * ceiling is the 10× corpus (1M events + 1.5M orders ≈ 250 MB on the
+  * default driver heap). Pointing it at the 60×/100× dirs the batch
+  * sightings use risks a driver OOM before the first micro-batch; the
+  * startup line below names the corpus size so an over-scale run
+  * fails loudly AND attributably. At-scale streaming evidence past
+  * 10× belongs to a partitioned file source, not a bigger driver.
   */
 object EventScaleSoak {
 
@@ -65,10 +74,16 @@ object EventScaleSoak {
     }
     val wall = (System.nanoTime() - t0) / 1e9
     // final watermark lag vs the max event time fed (event-time ops
-    // only; NoTimeout state ops carry no watermark -> -1)
+    // only; NoTimeout state ops carry no watermark -> -1). An
+    // epoch-zero watermark means it never advanced past its initial
+    // value (e.g. too few batches) — that is ABSENCE, not a
+    // multi-decade lag, so it takes the same -1 sentinel; likewise
+    // when no event time was fed at all (maxEv == 0).
     val lagS = Option(q.lastProgress)
       .flatMap(p => Option(p.eventTime.get("watermark")))
-      .map(wm => (maxEv - parseIso(wm)) / 1000.0)
+      .map(parseIso)
+      .filter(wm => wm > 0L && maxEv > 0L)
+      .map(wm => (maxEv - wm) / 1000.0)
       .getOrElse(-1.0)
     f"""{"soak":"$label","input_rows":$fed,"batches":$batches,""" +
       f""""wall_s":$wall%.2f,"rows_per_s":${fed / math.max(wall, 1e-9)}%.0f,""" +
@@ -94,6 +109,14 @@ object EventScaleSoak {
     Streams.useRocksDbStateStore(spark)
 
     // ---- event-time-ordered driver-side feeds (collected once) ----
+    // Guard BEFORE the collect: past ~2M events the driver-side feed
+    // array outgrows the default heap mid-collect, which dies as an
+    // unattributable executor OOM. Fail first, name the corpus.
+    val nEvents = Tables.load(spark, dir, "events").count()
+    require(nEvents <= 2000000L,
+      s"EventScaleSoak feeds are driver-collected (documented ceiling: " +
+        s"the 10x corpus, ~1M events); $dir has $nEvents events. " +
+        "Use the batch sighting chain for larger corpora.")
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
