@@ -39,7 +39,7 @@ object HashProbe {
       val fn = SparkEntry.queries(name)
       // per-stage task distributions (durations ms, records read)
       val durs = new java.util.concurrent.ConcurrentHashMap[
-        Int, java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]]()
+        Int, java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]]()
       val names = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       val listener = new SparkListener {
         override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
@@ -48,8 +48,10 @@ object HashProbe {
             val recs = m.inputMetrics.recordsRead +
               m.shuffleReadMetrics.recordsRead
             durs.computeIfAbsent(te.stageId,
-                _ => new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]())
-              .add((te.taskInfo.duration, recs))
+                _ => new java.util.concurrent.ConcurrentLinkedQueue[
+                  (Long, Long, Long, Long)]())
+              .add((te.taskInfo.duration, recs,
+                m.shuffleWriteMetrics.recordsWritten, m.jvmGCTime))
           }
         }
         override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
@@ -73,9 +75,15 @@ object HashProbe {
         val ts = q.asScala.toSeq
         val d = ts.map(_._1)
         val r = ts.map(_._2)
+        val w = ts.map(_._3)
+        // GC of the single slowest task: distinguishes work skew from
+        // allocation-storm skew when adjudicating a straggler
+        val gcOfMax = ts.maxBy(_._1)._4
         println(s"""{"probe_stage":$sid,"q":"$name","tasks":${d.size},""" +
           s""""med_ms":${pct(d, 0.5)},"max_ms":${d.max},""" +
           s""""med_recs":${pct(r, 0.5)},"max_recs":${r.max},""" +
+          s""""med_wrecs":${pct(w, 0.5)},"max_wrecs":${w.max},""" +
+          s""""gc_of_max_ms":$gcOfMax,""" +
           s""""name":"${names.getOrDefault(sid, "?").replace("\"", "'")}"}""")
       }
       val hash = Option(digest.getDecimal(1)).map(_.toString).getOrElse("null")
