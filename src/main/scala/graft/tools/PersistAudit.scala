@@ -37,7 +37,11 @@ object PersistAudit {
       // session harness (Verify/Bench releaseAll) is on the hook for
       val retained = spark.sparkContext.getRDDStorageInfo.filter(_.isCached)
       val detail = retained.map { r =>
-        s"""{"rdd":"${r.name.replace("\"", "'")}","parts":${r.numCachedPartitions},""" +
+        // RDD names for cached plans are multi-line plan dumps: keep
+        // the first line so the artifact stays one JSON object per query
+        val nm = r.name.takeWhile(_ != '\n').replace("\\", "\\\\")
+          .replace("\"", "'")
+        s"""{"rdd":"$nm","parts":${r.numCachedPartitions},""" +
           s""""mem_mb":${r.memSize >> 20},"disk_mb":${r.diskSize >> 20}}"""
       }.mkString("[", ",", "]")
       println(s"""{"persist_audit":"$name","sf":"$sfDir","rows":$rows,""" +
