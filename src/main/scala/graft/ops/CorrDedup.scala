@@ -191,6 +191,38 @@ object CorrDedup {
     math.max(spark.sessionState.conf.numShufflePartitions, sized)
   }
 
+  /** The cross-band pair DISTINCT is the next exchange downstream of
+    * the candidate kernel, and it inherited the same session-width
+    * disease [[candShuffleParts]] cured for the (key, cell) exchange:
+    * at the 100× sighting (local[4], shuffle width 4) the kernel emits
+    * 452 M pre-distinct pair rows (post map-side partial aggregate —
+    * HashProbe stage records, r12) and the final distinct aggregate
+    * ingests 113 M rows PER TASK, external-sorting/spilling for
+    * ~236 s/task while GC stays under 1 s — pure per-task working-set
+    * excess, growing 3.7× on 1.8× enumeration volume from 60× to 100×.
+    * Fix: past the same engagement gate as the split, hash-repartition
+    * the pair stream on (doc_id_1, doc_id_2) to the SAME entry-volume-
+    * derived width before the distinct — the explicit exchange
+    * satisfies the aggregate's required distribution, so the final
+    * aggregate (and the broadcast-verify probes after it, which share
+    * the stage) runs at that width with no second exchange. The pair
+    * stream's bytes track the entry volume within a small factor
+    * (452 M × ~20 B ≈ 9 GB vs 17.8 GB of entries at 100×), so one
+    * sizing basis serves both exchanges. Trade-off: the explicit
+    * repartition sits where Catalyst would have put the partial
+    * aggregate's exchange, so the partial agg runs (uselessly) above
+    * it and the wire carries raw kernel emissions — measured at 100×
+    * the partial agg was already pass-through (452 M written ≈ raw
+    * emission; per-task hash tables overflow long before 6.7 M
+    * distinct pairs), so nothing real is lost. Driver SFs and every
+    * corpus at or below the gate keep the old plan byte-identical.
+    * Conf `graft.dedup.q35SizedPairExchange` (default on) is the A/B
+    * arm switch. */
+  def sizedPairExchange(spark: SparkSession): Boolean =
+    !spark.conf.getOption("graft.dedup.q35SizedPairExchange")
+      .map(_.trim.toLowerCase)
+      .exists(v => v == "false" || v == "0" || v == "no")
+
   /** Hot-bucket occupancy cap: a single (band, bucket) equal-key run
     * longer than this is no longer enumerated by one task. The
     * quadratic work inside one genuinely-similar hot bucket cannot be
@@ -327,7 +359,24 @@ object CorrDedup {
     }
 
     val sLit = array(s.map(v => lit(v.toDouble)): _*)
-    val scal = vecs
+    // Past the engagement gate, spread the per-doc heavy compute (the
+    // bands·bits sign matvec in LshBandKeys, the prune projection, and
+    // the candidate exchange's map-side WRITE of n·bands·(44+2m) bytes)
+    // over the same entry-volume-derived width as the exchange itself:
+    // the parquet scan of the persisted vectors yields ~4 partitions at
+    // sighting convention, so each map task was writing gigabytes of
+    // shuffle file in one wave — the per-task sorted-spill merge grows
+    // superlinearly (measured 28.6 → 108 s for 1.67× bytes, 60×→100×,
+    // r12 JobProfile) while GC stays in the hundreds of ms. The hash
+    // repartition on doc_id is deterministic, the occupancy pre-pass
+    // and the entry stage share the exchange via ReuseExchange, and
+    // below the gate vecsW IS vecs — driver-SF plans byte-identical.
+    val vecsW =
+      if (n > splitMinRows(sess) && sizedPairExchange(sess))
+        vecs.repartition(candShuffleParts(sess, n, bands, basis.length),
+          col("doc_id"))
+      else vecs
+    val scal = vecsW
       .select(col("doc_id"), col("cnt"), col("cnt").cast("array<double>").as("v"))
       .select(col("doc_id"), col("cnt"), col("v"),
         DotProduct(col("v"), sLit).as("p"),
@@ -385,8 +434,11 @@ object CorrDedup {
               lit(2).as("side"), col("proj"))
           else {
             // keys-only occupancy pre-pass: over-cap keys are ≤
-            // |entries|/cap rows by construction → broadcastable
-            val occ = vecs
+            // |entries|/cap rows by construction → broadcastable.
+            // Reads vecsW so its matvec runs at the sized width too
+            // (and the repartition exchange is shared via ReuseExchange
+            // with the entry stage's scan).
+            val occ = vecsW
               .select(explode(LshBandKeys(col("cnt"), hmu, Seed, bands, bits))
                 .as("key"))
               .groupBy(col("key")).agg(count(lit(1)).as("occ"))
@@ -494,8 +546,15 @@ object CorrDedup {
             }
           }
           .toDF("doc_id_1", "doc_id_2")
-          .distinct()
       }
+
+    val candSized =
+      if (!exhaustive && n > splitMinRows(sess) && sizedPairExchange(sess))
+        cand.repartition(candShuffleParts(sess, n, bands, basis.length),
+          col("doc_id_1"), col("doc_id_2"))
+      else cand
+    val candDistinct =
+      if (exhaustive) candSized else candSized.distinct()
 
     val a = scal.select(col("doc_id").as("doc_id_1"), col("v").as("v1"),
       col("p").as("p1"), col("ss").as("ss1"))
@@ -509,7 +568,7 @@ object CorrDedup {
     // the doc ids; the candidate set is already the small side by then.
     val bc: DataFrame => DataFrame =
       if (DedupOps.useBroadcastVerify(scal.sparkSession)) broadcast else identity
-    cand
+    candDistinct
       .join(bc(a), "doc_id_1")
       .join(bc(b), "doc_id_2")
       .select(col("doc_id_1"), col("doc_id_2"),
