@@ -603,8 +603,12 @@ object Curation {
     * selection. Lower-median (rank ⌊(n−1)/2⌋, ties broken by doc_id)
     * keeps the contract exact for even counts. */
   def q95QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    // Persisted: four references (groupRank's three + the final gated
+    // scan) each re-ran the regex-heavy q14 scoring — the q141
+    // precedent, same shape, measured at sf0.1 (r12).
     val scored = graft.ops.TextOps.q14Quality(spark, dir)
       .select(col("doc_id"), col("quality_score"))
+      .persist()
     val thr = Rank.groupRank(scored, Seq.empty, "quality_score",
         Seq("doc_id"), "_r", "_n")
       .filter(col("_r") === ((col("_n") - 1) / 2).cast("long"))
@@ -970,8 +974,14 @@ object Curation {
     * pass, a doc-keyed left join against the (small) cluster-member
     * set, one 10-row aggregate with the 1-row totals broadcast. */
   def q141DecileLift(spark: SparkSession, dir: String): DataFrame = {
+    // Persisted: groupRank references its input three times (stats
+    // broadcast, offsets broadcast, final pass) and the q14 score is a
+    // regex-heavy projection — measured as three ~0.4 s single-stage
+    // jobs in q141's JobProfile at sf0.1 (r12). The cache is two
+    // columns per doc (guide §5: reused AND expensive to recompute).
     val scored = graft.ops.TextOps.q14Quality(spark, dir)
       .select(col("doc_id"), col("quality_score"))
+      .persist()
     val dups = DedupOps.q33DedupClusters(spark, dir)
       .select(col("doc_id")).withColumn("is_dup", lit(1L))
     val labeled = Rank.groupRank(scored, Seq.empty, "quality_score",

@@ -245,6 +245,15 @@ object Kmv {
     }.reduce(_ unionAll _)
       .withColumn("h15", substring(md5(col("v")), 1, 15))
       .withColumn("hv", conv(col("h15"), 16, 10).cast("long"))
+      // Persisted: groupRank's two-phase plan references its input
+      // three times (the min/max stats broadcast, the bucket-count
+      // offsets broadcast, and the final ranked pass), and here that
+      // input is the 7-branch scan+distinct union — measured as three
+      // ~0.8-1.5 s 224-task stages in q206's JobProfile at sf0.1
+      // (r12): the whole union executed once per reference. The cache
+      // is |distinct values| rows across the audited columns — the
+      // same volume the distinct shuffle already carries (guide §5).
+      .persist()
     val kept = Rank.groupRank(melted, Seq("col_name"), "hv", Seq("h15"),
       "rk", "n").filter(col("rk") < K)
     kept.groupBy(col("col_name"))
