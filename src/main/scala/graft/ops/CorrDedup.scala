@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{CorrUtil, DotProduct, LshBandKeys, ProjectCentered, TokenBucketCounts}
@@ -556,27 +556,35 @@ object CorrDedup {
     val candDistinct =
       if (exhaustive) candSized else candSized.distinct()
 
-    val a = scal.select(col("doc_id").as("doc_id_1"), col("v").as("v1"),
-      col("p").as("p1"), col("ss").as("ss1"))
-    val b = scal.select(col("doc_id").as("doc_id_2"), col("v").as("v2"),
-      col("p").as("p2"), col("ss").as("ss2"))
     // broadcast the per-doc vectors instead of shuffling 2 KB of
     // array per candidate pair — candidates stay in place and the
     // verify is a map-side hash probe + one codegen'd dot product.
     // At corpus scales where the vector table outgrows a broadcast,
     // set graft.dedup.broadcastVerifyArrays=false: two hash joins on
     // the doc ids; the candidate set is already the small side by then.
+    // Both sides probe the SAME un-renamed frame through dataset
+    // aliases (with the join-key not-null pre-applied once, so the
+    // pushed-filter conjunct order matches): the two broadcast
+    // subtrees are then canonically identical and ReuseExchange
+    // builds the relation once instead of twice — the
+    // jaccardVerifyBetween pattern (r12, guide §2.4).
     val bc: DataFrame => DataFrame =
       if (DedupOps.useBroadcastVerify(scal.sparkSession)) broadcast else identity
+    val sv = scal.select(col("doc_id"), col("v"), col("p"), col("ss"))
+      .filter(col("doc_id").isNotNull)
+    val a = bc(sv).as("sv1")
+    val b = bc(sv).as("sv2")
+    def corrOf(p1: Column, p2: Column, v1: Column, v2: Column,
+        ss1: Column, ss2: Column): Column =
+      (DotProduct(v1, v2) - (p1 + p2) / lit(nd) + lit(qn2)) /
+        (sqrt(ss1 - lit(2.0) * p1 / lit(nd) + lit(qn2)) *
+          sqrt(ss2 - lit(2.0) * p2 / lit(nd) + lit(qn2)))
     candDistinct
-      .join(bc(a), "doc_id_1")
-      .join(bc(b), "doc_id_2")
+      .join(a, col("doc_id_1") === col("sv1.doc_id"))
+      .join(b, col("doc_id_2") === col("sv2.doc_id"))
       .select(col("doc_id_1"), col("doc_id_2"),
-        ((DotProduct(col("v1"), col("v2")) -
-          (col("p1") + col("p2")) / lit(nd) + lit(qn2)) /
-          (sqrt(col("ss1") - lit(2.0) * col("p1") / lit(nd) + lit(qn2)) *
-            sqrt(col("ss2") - lit(2.0) * col("p2") / lit(nd) + lit(qn2))))
-          .as("corr"))
+        corrOf(col("sv1.p"), col("sv2.p"), col("sv1.v"), col("sv2.v"),
+          col("sv1.ss"), col("sv2.ss")).as("corr"))
       .filter(col("corr") >= CorrThreshold)
   }
 
