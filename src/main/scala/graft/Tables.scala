@@ -39,6 +39,36 @@ object Tables {
     } else df
   }
 
+  /** Adaptive scan-spread for expensive per-row projections — the
+    * "one huge unsplittable file" remedy (optimization guide §2.5:
+    * repartition immediately after the read). The bench corpora are
+    * single-file, single-ROW-GROUP parquet, so a scan is ONE effective
+    * task regardless of split confs, and a heavy projection chained to
+    * it (md5 digests, shingle hashing, regex scoring) runs on one core
+    * while the rest of local[32] idles — measured as 0.7-1.8 s
+    * single-task stages dominating q107/q111/q119 at sf0.1 (r12).
+    * When the scan plans fewer partitions than the session default,
+    * round-robin repartition to the default; on any properly laid-out
+    * input (≥ cores splits — every real deployment, and the sighting
+    * corpora's multi-file tables) the guard is false and NO exchange
+    * is added, so cluster-scale plans are unchanged. Apply only where
+    * the per-row work dwarfs one small-table exchange — not on plain
+    * scan+aggregate paths, where the exchange would cost more than the
+    * single-core map side (the q88 barrier lesson, exchange flavor). */
+  def spread(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    // A/B switch (graft.scan.spread=false restores the raw scan):
+    // lets one binary measure both arms under identical session confs.
+    val on = !sess.conf.getOption("graft.scan.spread")
+      .map(_.trim.toLowerCase)
+      .exists(v => v == "false" || v == "0" || v == "no")
+    if (!on) df
+    else {
+      val p = sess.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
+  }
+
   /** Registers every table as a temp view so `spark.sql` / `expr` can
     * reference them by name — the in-engine analog of a catalog schema. */
   def registerAll(spark: SparkSession, dir: String): Unit =

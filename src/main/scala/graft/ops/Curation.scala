@@ -34,7 +34,7 @@ object Curation {
   val SampleQuota = 25
 
   def q45StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val h = docHash(col("doc_id"))
     val split = when(substring(h, 1, 1).between("0", "b"), "train")
       .when(substring(h, 1, 1).isin("c", "d"), "val")
@@ -72,7 +72,7 @@ object Curation {
     * build. Any hit is a leak: a training document that shares a
     * 13-gram-class phrase with an evaluation document. */
   def q46Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val h = docHash(col("doc_id"))
     val split = when(substring(h, 1, 1).between("0", "b"), "train")
       .when(substring(h, 1, 1).isin("c", "d"), "val")
@@ -104,7 +104,7 @@ object Curation {
     * two-level aggregation per granularity — the shuffle carries
     * (doc, term) partial counts, never raw text. */
   def q47Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val toks = docs
       .select(col("doc_id"), graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
@@ -170,7 +170,7 @@ object Curation {
   val DigitRunRe = "[0-9]{7,}"
 
   def q50PiiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     def hits(re: String) =
       size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
     docs.select(
@@ -477,7 +477,7 @@ object Curation {
     ((10 to 19).map(i => s"src$i"), 0, 16384))                    // r = 0.25
 
   def q68MixtureSample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val v = MixBits(col("doc_id")) // first 4 md5 nibbles of "mix_<id>"
     val fullEpochs = MixtureRates.tail.foldLeft(
       when(col("source").isin(MixtureRates.head._1: _*), MixtureRates.head._2)) {
@@ -513,7 +513,8 @@ object Curation {
   val BootReplicas = 16
 
   def q119BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.load(spark, dir, "orders")
+    // spread: 16 md5 coins per order row is the hot loop (Tables.spread)
+    val orders = Tables.spread(Tables.load(spark, dir, "orders"))
       .select(col("o_orderkey"), Exact.units(col("o_totalprice"), 2).as("cents"))
     val reps = orders
       .select(col("o_orderkey"), col("cents"),
@@ -657,7 +658,7 @@ object Curation {
     * < 5 tokens carry no shingles and are out of contract (q46's
     * stated invariant). */
   def q99NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val h = docHash(col("doc_id"))
     val isTrain = substring(h, 1, 1).between("0", "b")
     val toks = docs
@@ -728,7 +729,7 @@ object Curation {
     * per-source count; everything after runs on the |sources|-row
     * frame with the 1-row total as a broadcast. */
   def q137MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.load(spark, dir, "documents")
+    val per = Tables.spread(Tables.load(spark, dir, "documents"))
       .select(col("source"),
         size(graft.functions.TextFunctions.wsTokens(col("text")))
           .cast("long").as("n_tokens"))
@@ -777,7 +778,7 @@ object Curation {
   val Q162BudgetEpochs = 2L
 
   def q162TokenBudget(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.load(spark, dir, "documents")
+    val per = Tables.spread(Tables.load(spark, dir, "documents"))
       .select(col("source"),
         size(graft.functions.TextFunctions.wsTokens(col("text")))
           .cast("long").as("n_tokens"))
@@ -877,12 +878,19 @@ object Curation {
     // broadcast subtree that materializes separately; without the
     // persist the scan AND the per-doc text functions (normalize, md5,
     // tokenize) re-run once per arm.
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), col("source"), col("lang"),
         length(col("text")).cast("long").as("n_chars"),
         size(TF.wsTokens(col("text"))).cast("long").as("n_tokens"),
         md5(TF.normText(col("text"))).as("h"))
       .persist()
+    // materialize ONCE before the five broadcast arms fan out (the
+    // q104 codes.count() precedent): the arms' broadcast subqueries
+    // run concurrently, and racing tasks each recompute a
+    // not-yet-cached partition — with the scan spread this means five
+    // duplicate shuffled tokenize+md5 passes (measured: q165 4.0 →
+    // 9.1 s at sf0.1 before this count, back under 4 s with it).
+    docs.count()
     val base = docs.agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("source")).as("n_sources"),
@@ -1085,7 +1093,7 @@ object Curation {
     * stage, identically in both engines). */
   def q147FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
     val toks = graft.functions.TextFunctions.wsTokens(col("text"))
-    val flags = Tables.load(spark, dir, "documents")
+    val flags = Tables.spread(Tables.load(spark, dir, "documents"))
       .select(col("lang"), col("n_chars"),
         size(toks).cast("long").as("n_tok"),
         size(array_distinct(toks)).cast("long").as("n_uniq"))
@@ -1173,7 +1181,7 @@ object Curation {
 
   def q178SystematicSample(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TextFunctions => TF}
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"),
         size(TF.wsTokens(col("text"))).cast("long").as("w"))
     val cum = Rank.globalPrefixSum(docs, "doc_id", Nil, "w", "cum_w")
@@ -1235,7 +1243,16 @@ object Curation {
     }
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
-    val clusters = DedupOps.q33DedupClusters(spark, dir)
+    // ONE candidate+verify pipeline for both consumers: the split tag
+    // needs the clusters, the torn-edge audit needs the raw pair rows
+    // — calling q33 and q18 separately ran the whole LSH prefix-join +
+    // verify twice (r12 JobProfile; the CC loop materializes its
+    // input eagerly, so the persisted edge frame costs no extra
+    // barrier — the loop IS the barrier).
+    val edges = DedupOps.q18NgramJaccard(spark, dir)
+      .select(col("doc_id_1"), col("doc_id_2"))
+      .persist()
+    val clusters = DedupOps.dedupClustersOfEdges(edges)
       .select(col("doc_id"), col("cluster_rep"))
     val tagged = docs.join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_key", coalesce(col("cluster_rep"), col("doc_id")))
@@ -1247,8 +1264,7 @@ object Curation {
     // each edge belongs to exactly one cluster-aware split (both
     // endpoints share a cluster, hence a split); count how many of
     // them the naive doc-hash rule would separate
-    val torn = DedupOps.q18NgramJaccard(spark, dir)
-      .select(col("doc_id_1"), col("doc_id_2"))
+    val torn = edges
       .withColumn("torn",
         when(splitOf(col("doc_id_1")) =!= splitOf(col("doc_id_2")), 1L)
           .otherwise(0L))
@@ -1311,7 +1327,7 @@ object Curation {
     * keyed aggregates, the rank machinery, and one join. */
   def q203PreferencePairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TextFunctions => TF}
-    val q = Tables.load(spark, dir, "documents")
+    val q = Tables.spread(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), col("source"),
         explode(TF.wsTokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("source"))

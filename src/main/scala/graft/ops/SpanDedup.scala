@@ -42,7 +42,9 @@ object SpanDedup {
     * (doc_id, span_start, span_end, span_len), positions 0-based
     * token indices, span_end inclusive. */
   def dupSpans(docs: DataFrame, k: Int): DataFrame = {
-    val toks = docs
+    // spread: the per-row gram md5 explode is the hot loop, and it is
+    // evaluated on both sides of the dup semi-join (Tables.spread)
+    val toks = Tables.spread(docs)
       .select(col("doc_id"),
         graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
       .filter(size(col("w")) >= k)
