@@ -11,6 +11,22 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Isolate the streaming suites in their own forked JVM. The
+// checkpoint-recovery and state-soak specs churn real stop/restart
+// cycles, RocksDB native state and per-batch codegen; sharing one JVM
+// with the other ~40 suites let accumulated pressure kill the shared
+// SparkContext mid-run (r12 driver: context stopped before
+// StateBoundSpec). Groups run sequentially (sbt's default
+// ForkedTestGroup limit), each with a fresh heap.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / forkOptions).value
+  val (streaming, rest) = tests.partition(_.name.startsWith("graft.streaming."))
+  Seq(
+    new Tests.Group("streaming", streaming, Tests.SubProcess(opts)),
+    new Tests.Group("core", rest, Tests.SubProcess(opts)),
+  )
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
