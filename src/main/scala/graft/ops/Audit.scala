@@ -924,7 +924,7 @@ object Audit {
     * int64 past ~3·10⁹ rows per source. Sources with no positives or
     * no negatives yield NULL auc_ppm (0/0 is undefined, not 500000). */
   def q152Auc(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"),
         md5(TF.normText(col("text"))).as("h"))
     // label: the digest appears more than once corpus-wide (q17's

@@ -34,7 +34,7 @@ object Curation {
   val SampleQuota = 25
 
   def q45StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
     val h = docHash(col("doc_id"))
     val split = when(substring(h, 1, 1).between("0", "b"), "train")
       .when(substring(h, 1, 1).isin("c", "d"), "val")
@@ -170,7 +170,7 @@ object Curation {
   val DigitRunRe = "[0-9]{7,}"
 
   def q50PiiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
     def hits(re: String) =
       size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
     docs.select(
@@ -477,7 +477,7 @@ object Curation {
     ((10 to 19).map(i => s"src$i"), 0, 16384))                    // r = 0.25
 
   def q68MixtureSample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
     val v = MixBits(col("doc_id")) // first 4 md5 nibbles of "mix_<id>"
     val fullEpochs = MixtureRates.tail.foldLeft(
       when(col("source").isin(MixtureRates.head._1: _*), MixtureRates.head._2)) {
@@ -658,7 +658,7 @@ object Curation {
     * < 5 tokens carry no shingles and are out of contract (q46's
     * stated invariant). */
   def q99NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
     val h = docHash(col("doc_id"))
     val isTrain = substring(h, 1, 1).between("0", "b")
     val toks = docs
@@ -729,7 +729,7 @@ object Curation {
     * per-source count; everything after runs on the |sources|-row
     * frame with the 1-row total as a broadcast. */
   def q137MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.spread(Tables.load(spark, dir, "documents"))
+    val per = Tables.load(spark, dir, "documents")
       .select(col("source"),
         size(graft.functions.TextFunctions.wsTokens(col("text")))
           .cast("long").as("n_tokens"))
@@ -778,7 +778,7 @@ object Curation {
   val Q162BudgetEpochs = 2L
 
   def q162TokenBudget(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.spread(Tables.load(spark, dir, "documents"))
+    val per = Tables.load(spark, dir, "documents")
       .select(col("source"),
         size(graft.functions.TextFunctions.wsTokens(col("text")))
           .cast("long").as("n_tokens"))
@@ -878,7 +878,7 @@ object Curation {
     // broadcast subtree that materializes separately; without the
     // persist the scan AND the per-doc text functions (normalize, md5,
     // tokenize) re-run once per arm.
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"),
         length(col("text")).cast("long").as("n_chars"),
         size(TF.wsTokens(col("text"))).cast("long").as("n_tokens"),
@@ -1093,7 +1093,7 @@ object Curation {
     * stage, identically in both engines). */
   def q147FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
     val toks = graft.functions.TextFunctions.wsTokens(col("text"))
-    val flags = Tables.spread(Tables.load(spark, dir, "documents"))
+    val flags = Tables.load(spark, dir, "documents")
       .select(col("lang"), col("n_chars"),
         size(toks).cast("long").as("n_tok"),
         size(array_distinct(toks)).cast("long").as("n_uniq"))
@@ -1327,7 +1327,7 @@ object Curation {
     * keyed aggregates, the rank machinery, and one join. */
   def q203PreferencePairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TextFunctions => TF}
-    val q = Tables.spread(Tables.load(spark, dir, "documents"))
+    val q = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(TF.wsTokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("source"))

@@ -36,7 +36,7 @@ object Integrity {
   /** Bucketed XOR checksum of `rowStr` (a canonical, engine-stable
     * rendering of the row). Exposed for spec-level frames. */
   def bucketChecksum(df: DataFrame, rowStr: Column, table: String): DataFrame =
-    graft.Tables.spread(df) // per-row md5 is the hot loop
+    df
       .select(conv(substring(md5(rowStr), 1, 15), 16, 10)
         .cast("long").as("_hv"))
       .groupBy((col("_hv") % Buckets).as("bucket"))

@@ -46,8 +46,7 @@ object Kmv {
     * before ranking — KMV estimates distinct CONTENTS, so duplicate
     * digests must count once. */
   private[ops] def sketchRows(spark: SparkSession, dir: String): DataFrame = {
-    // spread: per-row normalize+md5 is the hot loop (Tables.spread)
-    val d = Tables.spread(Tables.load(spark, dir, "documents"))
+    val d = Tables.load(spark, dir, "documents")
       .select(col("source"),
         substring(md5(TF.normText(col("text"))), 1, 15).as("h15"))
       .distinct()

@@ -80,7 +80,7 @@ object Sketches {
   }
 
   def q80HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(Tables.load(spark, dir, "documents"))
+    val toks = Tables.load(spark, dir, "documents")
       .select(explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("tok"))
     val buckets = array((0 until CmsDepth).map(j =>
       expr(cmsBucketSql(j, "h", "instr"))): _*)

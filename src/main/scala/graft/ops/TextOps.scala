@@ -16,7 +16,7 @@ object TextOps {
   /** Token counting: whitespace tokens + BPE-ish subword tokens
     * (letter runs / digit runs / single symbols) + char stats. */
   def q13TokenStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
     // tokenize once in its own projection (multi-use non-cheap alias is
     // kept materialized by CollapseProject) instead of re-splitting per
     // consuming expression
@@ -45,8 +45,7 @@ object TextOps {
     * ratio, composite score + categorical grade — the
     * length/punct/stopword heuristics of C4/Gopher-style filters. */
   def q14Quality(spark: SparkSession, dir: String): DataFrame = {
-    // spread: four regex passes per row are the hot loop (Tables.spread)
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
     // stage the expensive regex-derived counts once; downstream ratios
     // and the composite score reference the materialized aliases
     val staged = docs.select(
@@ -93,7 +92,7 @@ object TextOps {
   /** Language ID via stopword/n-gram hits with a fixed-priority argmax
     * (deterministic on ties) + CJK codepoint detection. */
   def q15LangId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
     val low = lower(col("text"))
     val en = TF.stopwordHits(low, "\\b(the|and|of|to|in)\\b")
     val de = TF.stopwordHits(low, "\\b(der|die|und|das|ist)\\b")
@@ -134,7 +133,7 @@ object TextOps {
     * fingerprint (near-dup signal) from the custom codegen expression
     * graft.functions.RollingMinHash. */
   def q16Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
     val norm = TF.normText(col("text"))
     docs.select(
       col("doc_id"),
@@ -196,7 +195,7 @@ object TextOps {
     * deterministic. One scan, one (w1,w2) shuffle with map-side
     * combine, vocabulary²-bounded state. */
   def q73BigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
     val bi = docs
       .select(TF.wsTokens(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
@@ -243,7 +242,7 @@ object TextOps {
     * distributed index build runs; per-term state is bounded by the
     * posting list, the classic search-engine sharding unit. */
   def q74InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
     val tf = docs
       .select(col("doc_id"), explode(TF.wsTokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -606,7 +605,7 @@ object TextOps {
     * argmax CTE would empty the cascade while the engine keeps the
     * shorter valid encoding. */
   def q93BpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val wc = Tables.spread(Tables.load(spark, dir, "documents"))
+    val wc = Tables.load(spark, dir, "documents")
       .select(explode(TF.wsTokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -692,7 +691,7 @@ object TextOps {
         size(filter(split(col("tokens"), " "),
           t => length(t) > lit(1))).cast("long"))
       .select(col("word"), col("n_tokens"), col("n_merged"))
-    val occ = Tables.spread(Tables.load(spark, dir, "documents"))
+    val occ = Tables.load(spark, dir, "documents")
       .select(col("source"), explode(TF.wsTokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
     occ.join(enc, "word")
@@ -762,7 +761,7 @@ object TextOps {
   def q116TokenAssoc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
     val toks = docs.select(col("doc_id"), col("source"),
       explode(array_distinct(
         graft.functions.TextFunctions.wsTokens(col("text")))).as("token"))
@@ -845,7 +844,7 @@ object TextOps {
     * support 3 prunes the hapax tail BEFORE the joins, then a tiny
     * TakeOrdered top-20. */
   def q136PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(Tables.load(spark, dir, "documents"))
+    val toks = Tables.load(spark, dir, "documents")
       .select(TF.wsTokens(col("text")).as("w"))
     val uni = toks.select(explode(col("w")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
@@ -971,7 +970,7 @@ object TextOps {
   val Q179VocabSizes: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256)
 
   def q179VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val freq = Tables.spread(Tables.load(spark, dir, "documents"))
+    val freq = Tables.load(spark, dir, "documents")
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .withColumn("neg_freq", -col("freq"))
@@ -1053,7 +1052,7 @@ object TextOps {
     val panel = Q182Queries
       .flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "term")
-    val tok = Tables.spread(Tables.load(spark, dir, "documents"))
+    val tok = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
     val corpus = tok.groupBy(col("doc_id"))
@@ -1147,7 +1146,7 @@ object TextOps {
   val Q184TopK = 20
 
   def q184TokenDrift(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.spread(Tables.load(spark, dir, "documents"))
+    val tok = Tables.load(spark, dir, "documents")
       .select((col("doc_id") % 2 === 0).as("is_a"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
     val perTok = tok.groupBy(col("token"))
@@ -1216,7 +1215,7 @@ object TextOps {
     * the textbook merge-based phrase query — and 'AND of rare terms'
     * stays cheap no matter how big the corpus is. */
   def q198PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
-    val postings = Tables.spread(Tables.load(spark, dir, "documents"))
+    val postings = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         posexplode(TF.wsTokens(col("text"))).as(Seq("pos", "term")))
       .filter(col("term").isin(PhraseTerms: _*))
@@ -1279,7 +1278,7 @@ object TextOps {
     * the ppm divisions are the only divisions and they floor
     * identically on both engines. */
   def q230GoodTuring(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.spread(Tables.load(spark, dir, "documents"))
+    val counts = Tables.load(spark, dir, "documents")
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("r"))
     val spectrum = counts.groupBy(col("r"))
